@@ -1,0 +1,116 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The CDC apply-fold: changelog → replica snapshot.
+  *
+  * Reference semantics (`/root/reference/kafka-consumer-service/main.py:49-93`):
+  * op dispatch is by before/after *nullity*, never the wire `op` field —
+  *  - before null,  after !null → INSERT  (C1, `main.py:49-52`)
+  *  - before !null, after !null → UPDATE keyed by PK (C2, `main.py:54-73`)
+  *  - before !null, after null  → DELETE (C3, `main.py:75-86`)
+  *  - before null,  after null  → TRUNCATE — wholesale reset (C4, `main.py:88-90`)
+  * applied in total binlog order (`payload.source.pos`). The *net effect* is
+  * "latest surviving after-image per key, ignoring everything at or before
+  * the last truncate" — which is exactly what we compute, declaratively:
+  *
+  *  1. truncate horizon = max(pos) over truncate events (1-row agg; Catalyst
+  *     broadcasts it into the stream — no collect, no driver loop);
+  *  2. drop events with pos <= horizon (the generation reset, made pure and
+  *     replayable — batch and streaming share it);
+  *  3. one hash-shuffle by key + `max_by(after, pos)` (partial aggregation
+  *     runs map-side, so at 100 TB each executor pre-folds its partition of
+  *     the changelog to one candidate row per key before the exchange — the
+  *     shuffle carries |keys| rows, not |events|);
+  *  4. keys whose final image is null (deleted) drop out.
+  *
+  * Versus the reference's row-at-a-time interpreter this is embarrassingly
+  * parallel: per-key order is total via `pos`, so partitions never need
+  * cross-talk beyond the single keyed exchange.
+  */
+object CdcApply {
+
+  private val negInf = Long.MinValue
+
+  /** Classify an event by nullity (the engine's op dispatch). */
+  def opOf(before: Column, after: Column): Column =
+    when(before.isNull && after.isNotNull, "c")
+      .when(before.isNotNull && after.isNotNull, "u")
+      .when(before.isNotNull && after.isNull, "d")
+      .otherwise("t")
+
+  /** Events surviving the last truncate, truncates themselves removed. */
+  def afterTruncateHorizon(changelog: DataFrame): DataFrame = {
+    val horizon = changelog
+      .filter(col("before").isNull && col("after").isNull)
+      .agg(coalesce(max(col("pos")), lit(negInf)).as("h"))
+    changelog
+      .filter(!(col("before").isNull && col("after").isNull))
+      .crossJoin(broadcast(horizon))
+      .filter(col("pos") > col("h"))
+      .drop("h")
+  }
+
+  /** Replica snapshot: latest surviving after-image per key, key-ordered
+    * (mirrors the reference's canonical comparison order,
+    * `tests/test_consistency.py:58-59`).
+    */
+  def snapshot(changelog: DataFrame): DataFrame =
+    afterTruncateHorizon(changelog)
+      .withColumn("key", coalesce(col("after.order_id"), col("before.order_id")))
+      // Wrap the nullable after-image in a struct so a final DELETE (null
+      // after) is itself the max_by winner, not silently skipped.
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("after").as("after")), col("pos")).as("last"))
+      .filter(col("last.after").isNotNull)
+      .select(
+        col("last.after.order_id").cast("long").as("order_id"),
+        col("last.after.invoice_number").cast("long").as("invoice_number"))
+      .orderBy(col("order_id"))
+
+  /** Same fold via a ranking window — used by the consistency diff to check
+    * the two formulations agree (and in tests). One shuffle by key either
+    * way; `max_by` is preferred in the hot path because it map-side-combines,
+    * while the window must materialize per-key sorted runs.
+    */
+  def snapshotViaWindow(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("pos").desc)
+    afterTruncateHorizon(changelog)
+      .withColumn("key", coalesce(col("after.order_id"), col("before.order_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("after").isNotNull)
+      .select(
+        col("after.order_id").cast("long").as("order_id"),
+        col("after.invoice_number").cast("long").as("invoice_number"))
+      .orderBy(col("order_id"))
+  }
+
+  /** COUNT(*) consistency check (reference `test_consistency.py:38-53`). */
+  def rowcount(changelog: DataFrame): DataFrame =
+    snapshot(changelog).agg(count(lit(1)).as("n"))
+
+  /** Audit-log projection (reference P4, `main.py:44-45`): every
+    * non-tombstone event — truncates included — appended in stream order
+    * *before* dispatch. Here as the canonical (ts, pos, classified-op, key)
+    * log; the streaming path pairs this with `to_json` for the raw-message
+    * column.
+    */
+  def auditLog(changelog: DataFrame): DataFrame =
+    changelog.select(
+      col("ts_ms").as("log_ts"),
+      col("pos"),
+      opOf(col("before"), col("after")).as("op"),
+      coalesce(col("after.order_id"), col("before.order_id")).as("order_id"))
+      .orderBy(col("pos"))
+
+  /** Symmetric difference of two keyed tables — the reference's row-by-row
+    * consistency loop (`test_consistency.py:74-75`) as a set operation:
+    * empty ⟺ consistent. `exceptAll` keeps duplicate cardinality, which the
+    * Python zip-compare is also sensitive to.
+    */
+  def consistencyDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.exceptAll(b).withColumn("side", lit("a"))
+      .unionByName(b.exceptAll(a).withColumn("side", lit("b")))
+}

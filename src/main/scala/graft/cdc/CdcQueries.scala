@@ -1,0 +1,58 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-facing CDC queries + their DuckDB oracles.
+  *
+  * Each query is a pure `(SparkSession, sfDir) => DataFrame` over the
+  * deterministic synthetic changelog (Changelog.synthetic), so the DuckDB
+  * oracle can recompute the identical result relationally from the same
+  * parquet (`orders`). The two reference test assertions
+  * (`/root/reference/tests/test_consistency.py:38-53,56-75`) map to
+  * `cdc_rowcount` and `cdc_snapshot`.
+  */
+object CdcQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "cdc_snapshot" -> ((s, d) => CdcApply.snapshot(Changelog.synthetic(s, d))),
+    "cdc_rowcount" -> ((s, d) => CdcApply.rowcount(Changelog.synthetic(s, d))),
+    "cdc_audit_log" -> ((s, d) => CdcApply.auditLog(Changelog.synthetic(s, d))),
+    "cdc_consistency_diff" -> { (s, d) =>
+      val log = Changelog.synthetic(s, d)
+      CdcApply.consistencyDiff(CdcApply.snapshot(log), CdcApply.snapshotViaWindow(log))
+    })
+
+  private val cte = Changelog.oracleEventsCte
+
+  private val snapshotSql: String =
+    s"""$cte, ranked AS (
+       |  SELECT key, a_inv, is_del,
+       |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos DESC) AS rn
+       |  FROM live)
+       |SELECT CAST(key AS BIGINT) AS order_id, CAST(a_inv AS BIGINT) AS invoice_number
+       |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "cdc_snapshot" -> snapshotSql,
+    "cdc_rowcount" ->
+      s"""SELECT COUNT(*) AS n FROM ($snapshotSql)""",
+    "cdc_audit_log" ->
+      s"""$cte
+         |SELECT 1700000000000 + pos AS log_ts, pos, op, key AS order_id
+         |FROM ev ORDER BY pos""".stripMargin,
+    "cdc_consistency_diff" ->
+      s"""$cte, ranked AS (
+         |  SELECT key, a_inv, is_del,
+         |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos DESC) AS rn
+         |  FROM live),
+         |snap_a AS (
+         |  SELECT CAST(key AS BIGINT) AS order_id, CAST(max_by(a_inv, pos) AS BIGINT) AS invoice_number
+         |  FROM live GROUP BY key HAVING NOT max_by(is_del, pos)),
+         |snap_b AS (
+         |  SELECT CAST(key AS BIGINT) AS order_id, CAST(a_inv AS BIGINT) AS invoice_number
+         |  FROM ranked WHERE rn = 1 AND NOT is_del)
+         |SELECT *, 'a' AS side FROM (SELECT * FROM snap_a EXCEPT ALL SELECT * FROM snap_b)
+         |UNION ALL
+         |SELECT *, 'b' AS side FROM (SELECT * FROM snap_b EXCEPT ALL SELECT * FROM snap_a)""".stripMargin)
+}

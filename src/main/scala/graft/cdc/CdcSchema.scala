@@ -1,0 +1,81 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+/** Wire-format schema for the CDC change stream.
+  *
+  * The reference's change stream is a Debezium envelope per Kafka message: a
+  * self-describing JSON document `{schema, payload}` where `payload` is
+  * `{before, after, source, op, ts_ms, transaction}` (see
+  * `/root/reference/kafka-consumer-service/example/insert.json:169-195`). The
+  * embedded per-message Connect `schema` block (`insert.json:2-168`) is ~90%
+  * of the bytes and is never read by the consumer — so we declare a *narrow*
+  * payload schema and let `from_json` prune at parse time: unparsed fields
+  * cost nothing (schema-based pruning is the one manual optimization here;
+  * at 100 TB of envelopes this is the difference between parsing ~10% of the
+  * bytes and all of them).
+  *
+  * Types follow `/root/reference/mysql/init-script/script.sql:3-7` (source:
+  * `INT NOT NULL` twice) and
+  * `/root/reference/clickhouse/init-script/db-table-init.sql:11-17` (sink:
+  * `UInt64` — Spark has no unsigned, so the replica widens to LongType; the
+  * in-contract domain is 32-bit so no overflow is possible).
+  */
+object CdcSchema {
+
+  /** Row image of `dev.invoice` — before/after payload struct. */
+  val invoiceType: StructType = StructType(Seq(
+    StructField("order_id", IntegerType, nullable = true),
+    StructField("invoice_number", IntegerType, nullable = true)))
+
+  /** The slice of `payload.source` the engine reads: `pos` is the monotonic
+    * binlog order key (`example/insert.json:187`), `ts_ms` the source wall
+    * clock. db/table kept for multi-table routing at scale.
+    */
+  val sourceType: StructType = StructType(Seq(
+    StructField("ts_ms", LongType, nullable = true),
+    StructField("pos", LongType, nullable = true),
+    StructField("db", StringType, nullable = true),
+    StructField("table", StringType, nullable = true)))
+
+  val payloadType: StructType = StructType(Seq(
+    StructField("before", invoiceType, nullable = true),
+    StructField("after", invoiceType, nullable = true),
+    StructField("source", sourceType, nullable = true),
+    StructField("op", StringType, nullable = true),
+    StructField("ts_ms", LongType, nullable = true)))
+
+  /** Narrow envelope: only `payload` is parsed; the Connect `schema` block is
+    * pruned by omission.
+    */
+  val envelopeType: StructType = StructType(Seq(
+    StructField("payload", payloadType, nullable = true)))
+
+  /** Flat, engine-internal changelog schema — the normalized form every CDC
+    * ingress (Kafka envelope, file fixture, synthesized batch changelog)
+    * is brought into before the apply-fold. `pos` totally orders events per
+    * key (the wire guarantees a monotonic binlog position); `ts_ms` is the
+    * event wall clock (epoch millis).
+    */
+  val changelogType: StructType = StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("op", StringType, nullable = true),
+    StructField("before", invoiceType, nullable = true),
+    StructField("after", invoiceType, nullable = true),
+    StructField("ts_ms", LongType, nullable = true)))
+
+  /** Typed view of a row image, for Dataset paths / stateful streaming. */
+  final case class Invoice(order_id: Int, invoice_number: Int)
+
+  /** Typed changelog event. Op classification in the engine is by
+    * before/after nullity — the wire `op` field ('c'/'u'/'d'/'t') is carried
+    * but, like the reference (`main.py:49-90` never reads it), not trusted
+    * for dispatch.
+    */
+  final case class CdcEvent(
+      pos: Long,
+      op: Option[String],
+      before: Option[Invoice],
+      after: Option[Invoice],
+      ts_ms: Option[Long])
+}

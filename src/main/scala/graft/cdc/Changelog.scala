@@ -1,0 +1,125 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC ingress: changelog construction.
+  *
+  * Two ways into the normalized changelog schema (`CdcSchema.changelogType`):
+  *
+  *  1. [[fromEnvelopeJson]] — parse Debezium envelope JSON strings (the wire
+  *     format, `/root/reference/kafka-consumer-service/example/{insert,update,delete,truncate}.json`) with a
+  *     narrow `from_json`. This is the path both the batch replay and the
+  *     Structured Streaming ingest share.
+  *  2. [[synthetic]] — a deterministic batch changelog derived from the
+  *     `orders` fixture table, standing in for the reference's workload
+  *     generator (`/root/reference/sequencer.py:42-47`: ~1/3 insert / update
+  *     / delete over a bounded key domain, plus a truncate). No `rand()` and
+  *     no wall clock anywhere (driver verify constraint): ops are routed by
+  *     modular arithmetic on the key and `pos` is derived from the key, so
+  *     DuckDB can recompute the identical stream relationally.
+  *
+  * Workload shape of [[synthetic]] (k = orderkey, v = custkey % 100000):
+  *  - every key:       INSERT  (pos k*10+1)  after = (k, v)
+  *  - keys k%3==0:     UPDATE  (pos k*10+2)  after = (k, v+1000)
+  *  - keys k%9==0:     UPDATE  (pos k*10+3)  after = (k, v+2000)   [second writer — exercises last-writer-wins]
+  *  - keys k%7==0:     DELETE  (pos k*10+4)  before = latest image, after = null
+  *  - one TRUNCATE at pos = (max(k)*10) div 4 — both images null; events at or
+  *    before this horizon are erased from the snapshot (reference C4,
+  *    `main.py:88-90`).
+  */
+object Changelog {
+
+  /** Parse raw envelope JSON (one string per Kafka record value) into the
+    * normalized changelog. Null input strings are Kafka delete *tombstones*
+    * and are dropped here, mirroring `main.py:37-40` — the real delete is the
+    * before!=null/after==null envelope, which is not a tombstone.
+    *
+    * `kafkaTs` is the Kafka record timestamp (epoch ms) used by the audit
+    * log; callers without one pass the payload ts.
+    */
+  def fromEnvelopeJson(df: DataFrame, valueCol: String = "value",
+                       kafkaTsCol: Option[String] = None): DataFrame = {
+    val parsed = df
+      .filter(col(valueCol).isNotNull)                      // P1 tombstone filter
+      .withColumn("e", from_json(col(valueCol), CdcSchema.envelopeType))
+    val ts = kafkaTsCol.map(col).getOrElse(col("e.payload.ts_ms"))
+    parsed.select(
+      col("e.payload.source.pos").as("pos"),
+      col("e.payload.op").as("op"),
+      col("e.payload.before").as("before"),
+      col("e.payload.after").as("after"),
+      ts.as("ts_ms"))
+  }
+
+  /** Deterministic synthetic changelog over the `orders` fixture (see object
+    * doc). Emits the normalized schema. The unions are narrow (no shuffle);
+    * the whole stream scans `orders` once per branch with only
+    * (o_orderkey, o_custkey) in the ReadSchema.
+    */
+  def synthetic(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey").cast("int").as("k"),
+        (col("o_custkey") % 100000).cast("int").as("v"))
+
+    def img(id: org.apache.spark.sql.Column, inv: org.apache.spark.sql.Column) =
+      struct(id.as("order_id"), inv.as("invoice_number"))
+    val nullImg = lit(null).cast(CdcSchema.invoiceType)
+    def tsOf(pos: org.apache.spark.sql.Column) = lit(1700000000000L) + pos
+
+    val inserts = base.select(
+      (col("k").cast("long") * 10 + 1).as("pos"), lit("c").as("op"),
+      nullImg.as("before"), img(col("k"), col("v")).as("after"))
+    val updates1 = base.filter(col("k") % 3 === 0).select(
+      (col("k").cast("long") * 10 + 2).as("pos"), lit("u").as("op"),
+      img(col("k"), col("v")).as("before"),
+      img(col("k"), col("v") + 1000).as("after"))
+    val updates2 = base.filter(col("k") % 9 === 0).select(
+      (col("k").cast("long") * 10 + 3).as("pos"), lit("u").as("op"),
+      img(col("k"), col("v") + 1000).as("before"),
+      img(col("k"), col("v") + 2000).as("after"))
+    val lastInv = when(col("k") % 9 === 0, col("v") + 2000)
+      .when(col("k") % 3 === 0, col("v") + 1000)
+      .otherwise(col("v"))
+    val deletes = base.filter(col("k") % 7 === 0).select(
+      (col("k").cast("long") * 10 + 4).as("pos"), lit("d").as("op"),
+      img(col("k"), lastInv).as("before"), nullImg.as("after"))
+    // Scalar truncate horizon: a 1-row agg kept in-plan (no collect); `div`
+    // matches the oracle's integer `//`.
+    val truncates = base.agg(max(col("k").cast("long")).as("mk"))
+      .select(
+        expr("(mk * 10) div 4").as("pos"), lit("t").as("op"),
+        nullImg.as("before"), nullImg.as("after"))
+
+    inserts.unionByName(updates1).unionByName(updates2)
+      .unionByName(deletes).unionByName(truncates)
+      .withColumn("ts_ms", tsOf(col("pos")))
+  }
+
+  /** DuckDB SQL fragment recomputing [[synthetic]] flattened to
+    * (pos, op, key, a_inv, is_del, is_trunc) — the shape the oracle queries
+    * fold over. Kept here so every cdc_* oracle shares one definition.
+    */
+  val oracleEventsCte: String =
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS INTEGER) AS k,
+      |         CAST(o_custkey % 100000 AS INTEGER) AS v
+      |  FROM orders
+      |), ev AS (
+      |  SELECT CAST(k AS BIGINT)*10+1 AS pos, 'c' AS op, k AS key, v AS a_inv,
+      |         FALSE AS is_del, FALSE AS is_trunc FROM base
+      |  UNION ALL
+      |  SELECT CAST(k AS BIGINT)*10+2, 'u', k, v+1000, FALSE, FALSE FROM base WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(k AS BIGINT)*10+3, 'u', k, v+2000, FALSE, FALSE FROM base WHERE k % 9 = 0
+      |  UNION ALL
+      |  SELECT CAST(k AS BIGINT)*10+4, 'd', k, NULL, TRUE, FALSE FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT (CAST(MAX(k) AS BIGINT)*10)//4, 't', NULL, NULL, FALSE, TRUE FROM base
+      |), hor AS (
+      |  SELECT COALESCE(MAX(pos), -9223372036854775808) AS h FROM ev WHERE is_trunc
+      |), live AS (
+      |  SELECT ev.* FROM ev, hor WHERE ev.pos > hor.h AND NOT ev.is_trunc
+      |)""".stripMargin
+}
