@@ -20,12 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    cdc.CdcQueries.queries
+    cdc.CdcQueries.queries ++ operators.Relational.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
     * (driver records a weaker rows-only check).
     */
   def oracleSql: Map[String, String] =
-    cdc.CdcQueries.oracles
+    cdc.CdcQueries.oracles ++ operators.Relational.oracles
 }
