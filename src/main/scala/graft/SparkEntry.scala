@@ -20,12 +20,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    cdc.CdcQueries.queries ++ operators.Relational.queries
+    cdc.CdcQueries.queries ++ operators.Relational.queries ++
+      operators.TextAnalysis.queries ++ operators.Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
     * (driver records a weaker rows-only check).
     */
   def oracleSql: Map[String, String] =
-    cdc.CdcQueries.oracles ++ operators.Relational.oracles
+    cdc.CdcQueries.oracles ++ operators.Relational.oracles ++
+      operators.TextAnalysis.oracles ++ operators.Dedup.oracles
 }

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text primitives for the training-data pipeline operators.
+  *
+  * Everything here is built from codegen'd `functions._` higher-order
+  * functions (no UDFs): tokenization, shingling, and hashing stay inside
+  * whole-stage codegen, so per-document work never leaves the executor's
+  * tight loop — the property that makes these viable over 100 TB of text.
+  */
+object TextFns {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Total non-whitespace characters (token mass). */
+  def tokenChars(text: Column): Column = length(regexp_replace(text, "\\s+", ""))
+
+  /** Distinct word n-gram shingles of a token array: for each window start
+    * i, join `n` consecutive tokens with a single space. Documents shorter
+    * than `n` tokens yield an empty array.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Count of tokens belonging to a fixed vocabulary. */
+  def countIn(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isin(vocab: _*)))
+
+  /** Prime modulus for the MinHash permutation family (> 2^31). */
+  val minhashPrime: Long = 2147483659L
+
+  /** k-th MinHash permutation: `(a_k·x + b_k) mod p` over the low 31 bits of
+    * the base hash. The mod-prime is essential — an affine map without it is
+    * monotonic, so every "permutation" would share the same argmin shingle
+    * and the 32 signature lanes would be perfectly correlated. Bounds:
+    * a,b < p ≈ 2^31, x < 2^31 ⇒ a·x+b < 2^62, no Long overflow under ANSI.
+    * Deterministic — multipliers derive from k, no runtime seeds.
+    */
+  def minhashPerm(baseHash: Column, k: Int): Column = {
+    val p = minhashPrime
+    val a = ((2L * k + 1L) * 2654435761L) % p
+    val b = (k * 1000003L + 12345L) % p
+    pmod(baseHash.bitwiseAND(lit(0x7FFFFFFFL)) * lit(a) + lit(b), lit(p))
+  }
+
+  /** 64-bit SimHash of a token array, single pass, no explode: fold the
+    * tokens into 64 signed bit-counters (`zip_with` add), then collapse
+    * counter signs back into a bitmask. Stays entirely within array HOFs —
+    * one row in, one row out, shuffle-free.
+    */
+  def simhash64(toks: Column): Column = {
+    // functions.shiftright/shiftleft only take literal Int bit counts, so the
+    // per-bit-position lambdas call the SQL functions (column-typed args).
+    def shr(x: Column, b: Column) = call_function("shiftright", x, b)
+    def shl(x: Column, b: Column) = call_function("shiftleft", x, b)
+    val bitVotes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          b => shr(xxhash64(t), b).bitwiseAND(lit(1L)) * 2 - 1),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(bitVotes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, shl(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+}

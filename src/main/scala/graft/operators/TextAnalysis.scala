@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting surface a training-data
+  * pipeline needs (north star [EXT] in SURVEY.md §2).
+  *
+  * All per-document features are computed with array higher-order functions
+  * on the tokenized text — one scan, no explode, no shuffle until the final
+  * (optional) ordering. At 100 TB this is a map-only stage.
+  */
+object TextAnalysis {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Stopword list used by quality scoring (fixture vocabulary). */
+  val stopwords: Seq[String] = Seq("the", "a", "value", "data")
+
+  // DuckDB-side tokenization shared by all oracles.
+  private val docsCte =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents)""".stripMargin
+
+  // ------------------------------------------------------------- tokens
+  /** Token counting: whitespace tokens, characters, mean token length. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(TextFns.tokens(col("text"))).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        round(TextFns.tokenChars(col("text")).cast("double") /
+          size(TextFns.tokens(col("text"))), 4).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  private val textTokensSql =
+    s"""$docsCte
+       |SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars,
+       |  ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks), 4) AS avg_tok_len
+       |FROM docs ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ quality
+  /** Quality scoring: stopword ratio, lexical diversity, composite score —
+    * the length/punct/stopword-ratio family of filters used to gate
+    * training corpora.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq"),
+        TextFns.countIn(toks, stopwords).as("n_stop"))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 4))
+      .withColumn("uniq_ratio", round(col("n_uniq").cast("double") / col("n_tokens"), 4))
+      .withColumn("score", round(
+        (col("n_uniq").cast("double") / col("n_tokens")) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textQualitySql =
+    s"""$docsCte
+       |SELECT doc_id, len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_uniq,
+       |  len(list_filter(toks, t -> t IN ('the', 'a', 'value', 'data'))) AS n_stop,
+       |  ROUND(CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'value', 'data'))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
+       |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio,
+       |  ROUND((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) *
+       |        (1.0 - CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'value', 'data'))) AS DOUBLE) / len(toks)), 4) AS score
+       |FROM docs ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ lang id
+  /** Language-ID heuristic: score fixed token-frequency profiles and take
+    * the argmax. The fixture corpus is synthetic (same vocabulary under
+    * every label), so the profiles here are structural stand-ins — a real
+    * deployment swaps in char-n-gram profile tables; the Spark shape
+    * (per-doc feature counts → argmax, map-only) is the part that scales.
+    */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextFns.countIn(toks, Seq("the")).as("f_the"),
+        TextFns.countIn(toks, Seq("a")).as("f_a"),
+        size(toks).as("n"))
+      .withColumn("pred_lang",
+        when(col("f_the") > col("f_a"), "en")
+          .when(col("f_a") > col("f_the"), "es")
+          .otherwise("und"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        (col("lang") === col("pred_lang")).as("agree"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textLangidSql =
+    s"""$docsCte, f AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(toks, t -> t = 'the')) AS f_the,
+       |    len(list_filter(toks, t -> t = 'a')) AS f_a
+       |  FROM docs)
+       |SELECT doc_id, lang,
+       |  CASE WHEN f_the > f_a THEN 'en' WHEN f_a > f_the THEN 'es' ELSE 'und' END AS pred_lang,
+       |  lang = (CASE WHEN f_the > f_a THEN 'en' WHEN f_a > f_the THEN 'es' ELSE 'und' END) AS agree
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- fingerprint
+  /** Content fingerprint: md5 over the canonical (whitespace-normalized)
+    * token stream — the key exact dedup groups on.
+    */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(array_join(TextFns.tokens(col("text")), " ")).as("fp"),
+        size(TextFns.tokens(col("text"))).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val textFingerprintSql =
+    s"""$docsCte
+       |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp, len(toks) AS n_tokens
+       |FROM docs ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ export
+  val queries: Map[String, Q] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "text_fingerprint" -> textFingerprintSql)
+}
