@@ -21,7 +21,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cdc.CdcQueries.queries ++ operators.Relational.queries ++
-      operators.TextAnalysis.queries ++ operators.Dedup.queries
+      operators.TextAnalysis.queries ++ operators.Dedup.queries ++
+      operators.Similarity.queries ++ multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
@@ -29,5 +30,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     cdc.CdcQueries.oracles ++ operators.Relational.oracles ++
-      operators.TextAnalysis.oracles ++ operators.Dedup.oracles
+      operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
+      operators.Similarity.oracles ++ multimodal.Multimodal.oracles
 }

@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed by batched per-partition decode.
+  *
+  * The container has no media codecs, so the *decode kernel itself* is a
+  * clearly-marked deterministic stub ([[FakeDecoder]]) — what's real and
+  * tested is everything Spark-side: the binary column representation, the
+  * batched `mapPartitions` execution shape (decode libraries amortize
+  * per-batch setup — same contract as an Arrow-batched pandas UDF), the
+  * typed output schema, and partition-parallelism. Swapping [[FakeDecoder]]
+  * for a JNI/codec call changes no plan shape.
+  *
+  * At 100 TB: media blobs dominate row size, so the pipeline projects
+  * (id, blob) only — column pruning keeps metadata-only queries off the
+  * heavy bytes — and decode parallelism is governed purely by input
+  * partitioning (`spark.sql.files.maxPartitionBytes`), no shuffle.
+  */
+object Multimodal {
+
+  /** Decoded media features (one per blob). */
+  final case class MediaFeature(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      channels: Int,
+      checksum: Long)
+
+  /** STUB decode kernel — stands in for an image/audio decoder, which this
+    * environment does not ship. Deterministic pure function of the bytes
+    * (no I/O, no randomness) so tests and the driver's rows-only check are
+    * stable. A real deployment replaces `decode` with the codec call; the
+    * batch contract (`decodeBatch`) is what the engine depends on.
+    */
+  object FakeDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xFF); i += 1 }
+      val w = 64 + (math.abs(sum % 193)).toInt
+      val h = 64 + (math.abs((sum / 193) % 157)).toInt
+      (w, h, 3, sum)
+    }
+
+    /** Batched entry point — real decoders amortize context setup per batch. */
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeature] =
+      batch.map { case (id, bytes) =>
+        val (w, h, c, sum) = decode(bytes)
+        MediaFeature(id, bytes.length, w, h, c, sum)
+      }
+  }
+
+  /** Documents' text reinterpreted as an opaque media blob column — the
+    * representative (id, binary, metadata) multimodal table shape.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"),
+        col("source"), col("n_chars"))
+
+  /** Batched per-partition decode: binary in, typed features out. Batch
+    * size 64 mirrors an Arrow batch; the iterator never materializes the
+    * whole partition.
+    */
+  def decodeFeatures(s: SparkSession, dir: String): Dataset[MediaFeature] = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows =>
+        rows.grouped(64).flatMap(batch => FakeDecoder.decodeBatch(batch)))
+  }
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Blob-level stats computed without decoding — the metadata-only path
+    * that must never touch a decoder (oracle-checked).
+    */
+  def multimodalBlobStats(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("blob")).as("n_bytes"),
+        lower(hex(substring(col("blob"), 1, 8))).as("header"),
+        col("source"))
+      .orderBy(col("doc_id"))
+
+  private val multimodalBlobStatsSql =
+    """SELECT doc_id,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  lower(hex(CAST(substring(text, 1, 8) AS BLOB))) AS header,
+      |  source
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Decode-stub features (rows-only check: FakeDecoder is engine-side). */
+  def multimodalDecodeStub(s: SparkSession, dir: String): DataFrame =
+    decodeFeatures(s, dir).toDF().orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "multimodal_blob_stats" -> (multimodalBlobStats _),
+    "multimodal_decode_stub" -> (multimodalDecodeStub _))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_blob_stats" -> multimodalBlobStatsSql)
+}

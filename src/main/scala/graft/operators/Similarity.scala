@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFns._
+
+/** Similarity search over the `embeddings` table (`vec_id, embedding:
+  * array<float>, label`) — the ANN surface of the training-data pipeline.
+  *
+  *  - [[annCosineTopk]] — brute-force exact top-k against a query vector:
+  *    the correctness baseline. One broadcast of the (1-row) query, one
+  *    map-only cosine pass, `TakeOrderedAndProject` top-k — no shuffle of
+  *    the corpus at any scale.
+  *  - [[annTopkByLabel]] — partitioned top-k (per-label window), the
+  *    grouped-ANN shape.
+  *  - [[annLshHistogram]] — sign-LSH (random-hyperplane) bucket histogram:
+  *    the data layout a bucketed ANN index maintains.
+  *  - [[annLshTopk]] — the 100 TB search path: probe only the query's LSH
+  *    bucket ring (hamming ≤ 1 multiprobe), exact re-rank inside it. Cost
+  *    per query is |bucket ring|, not |corpus|. Rows-only oracle; recall
+  *    vs the brute-force baseline is asserted in SimilaritySpec.
+  *
+  * All cosine math is dyadic fixed-point (VectorFns) — exact integer sums,
+  * so even float outputs hash-match the DuckDB oracle bit-for-bit.
+  */
+object Similarity {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val QueryVec = 0L
+  private val LshBits = 8
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), fixedPoint(col("embedding")).as("v"))
+
+  private def queryRow(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).filter(col("vec_id") === QueryVec).select(col("v").as("qv"))
+
+  /** Corpus with exact cosine vs the fixed query vector. */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .filter(col("vec_id") =!= QueryVec)
+      .crossJoin(broadcast(queryRow(s, dir)))
+      .withColumn("cosine", cosineFx(col("v"), col("qv")))
+
+  // ---------------------------------------------------------- brute top-k
+  def annCosineTopk(s: SparkSession, dir: String): DataFrame =
+    scored(s, dir)
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+
+  // DuckDB-side fixed-point componentization shared by the oracles.
+  // generate_subscripts is 1-based; i0 aligns with Spark's 0-based lambdas.
+  private val compCte =
+    """WITH comp AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i0,
+      |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS x
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, SUM(x*x) AS nx FROM comp GROUP BY vec_id),
+      |q AS (SELECT i0, x AS qx FROM comp WHERE vec_id = 0),
+      |nq AS (SELECT nx AS nqv FROM norms WHERE vec_id = 0),
+      |dots AS (
+      |  SELECT c.vec_id, SUM(c.x * q.qx) AS dot
+      |  FROM comp c JOIN q USING (i0) WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+      |cos AS (
+      |  SELECT d.vec_id,
+      |         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nx AS DOUBLE) * CAST(nq.nqv AS DOUBLE)) AS cosine
+      |  FROM dots d JOIN norms n ON n.vec_id = d.vec_id, nq)""".stripMargin
+
+  private val annCosineTopkSql =
+    s"""$compCte
+       |SELECT vec_id, cosine FROM cos ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------- per-label top-k
+  def annTopkByLabel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("label")).orderBy(col("cosine").desc, col("vec_id"))
+    scored(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("label"), col("rn"), col("vec_id"), col("cosine"))
+      .orderBy(col("label"), col("rn"))
+  }
+
+  private val annTopkByLabelSql =
+    s"""$compCte, lab AS (
+       |  SELECT c.label, c.vec_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY c.label ORDER BY cosine DESC, c.vec_id) AS rn
+       |  FROM cos JOIN (SELECT DISTINCT vec_id, label FROM comp) c USING (vec_id))
+       |SELECT label, rn, vec_id, cosine FROM lab WHERE rn <= 3 ORDER BY label, rn""".stripMargin
+
+  // -------------------------------------------------------- LSH histogram
+  def annLshHistogram(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .withColumn("code", lshCode(col("v"), LshBits))
+      .groupBy(col("code"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("code"))
+
+  private val annLshHistogramSql =
+    """WITH comp AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i0,
+      |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS x
+      |  FROM embeddings),
+      |proj AS (
+      |  SELECT c.vec_id, j,
+      |         SUM(c.x * (CASE WHEN (c.i0 * 31 + j * 17) % 7 < 3 THEN 1 ELSE -1 END)) AS dot
+      |  FROM comp c, generate_series(0, 7) AS t(j)
+      |  GROUP BY c.vec_id, j),
+      |codes AS (
+      |  SELECT vec_id,
+      |         SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS code
+      |  FROM proj GROUP BY vec_id)
+      |SELECT CAST(code AS BIGINT) AS code, COUNT(*) AS n
+      |FROM codes GROUP BY code ORDER BY code""".stripMargin
+
+  // ------------------------------------------------------ LSH-probed top-k
+  /** Bucketed ANN search: compute the query's code, probe its hamming ≤ 2
+    * bucket ring (1 + 8 + 28 = 37 of 256 codes ≈ 14% of the corpus), exact-
+    * cosine re-rank only those candidates. The probe set is a broadcast of
+    * 37 codes against the bucketed corpus — at scale the corpus side would
+    * be written bucket-partitioned so the probe is a partition-pruned read,
+    * not a scan. (Uniform random vectors are LSH's worst case — there is no
+    * cluster structure to exploit — so the ring is deliberately wide;
+    * SimilaritySpec pins the achieved recall against brute force.)
+    */
+  def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val coded = corpus(s, dir)
+      .withColumn("code", lshCode(col("v"), LshBits))
+    val qCode = coded.filter(col("vec_id") === QueryVec)
+      .select(col("v").as("qv"), col("code").as("qcode"))
+    def flip(c: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      c.bitwiseXOR(call_function("shiftleft", lit(1L), b))
+    val ring2 = flatten(transform(sequence(lit(0), lit(LshBits - 1)),
+      b1 => transform(sequence(lit(0), lit(LshBits - 1)),
+        b2 => when(b1 < b2, flip(flip(col("qcode"), b1), b2))
+          .otherwise(col("qcode")))))
+    val probes = broadcast(qCode.select(
+      col("qv"),
+      explode(array_distinct(concat(
+        array(col("qcode")),
+        transform(sequence(lit(0), lit(LshBits - 1)), b => flip(col("qcode"), b)),
+        ring2)))
+        .as("probe")))
+    coded.filter(col("vec_id") =!= QueryVec)
+      .join(probes, col("code") === col("probe"))
+      .withColumn("cosine", cosineFx(col("v"), col("qv")))
+      .select(col("vec_id"), col("code"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ------------------------------------------------------------- export
+  val queries: Map[String, Q] = Map(
+    "ann_cosine_topk" -> (annCosineTopk _),
+    "ann_topk_by_label" -> (annTopkByLabel _),
+    "ann_lsh_histogram" -> (annLshHistogram _),
+    "ann_lsh_topk" -> (annLshTopk _))
+
+  /** ann_lsh_topk probes a hash-designed bucket ring — SQL-expressible in
+    * principle but kept rows-only; its recall is asserted in SimilaritySpec.
+    */
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" -> annCosineTopkSql,
+    "ann_topk_by_label" -> annTopkByLabelSql,
+    "ann_lsh_histogram" -> annLshHistogramSql)
+}
