@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.cdc.{CdcApply, CdcSchema, Changelog}
+
+/** The live CDC path: Structured Streaming over the envelope stream,
+  * sharing every transformation with the batch replay (SURVEY.md §3 —
+  * "batch-mode replay over the changelog = same code path").
+  *
+  * Topology (mirrors `/root/reference/kafka-consumer-service/main.py:34-93`):
+  *
+  *   source (kafka / files) ──► tombstone filter ──► narrow from_json
+  *        ├──► audit sink: every non-tombstone envelope, appended raw
+  *        │    (reference `main.py:44-45` — the event-sourcing log)
+  *        └──► foreachBatch: incremental keyed merge into replica state
+  *
+  * In production the source is `format("kafka")` with
+  * `subscribe=source.dev.invoice` (reference `main.py:25-29`); tests use the
+  * file source with the same value-column contract, which exercises an
+  * identical plan. Exactly-once: the merge is idempotent (max-pos-per-key
+  * over a monotonic binlog position), so at-least-once redelivery and
+  * micro-batch replay after checkpoint recovery converge to the same state.
+  */
+object CdcStream {
+
+  /** State/snapshot schema: one row per key — the latest event's position
+    * and after-image (null after = tombstone marker kept for idempotent
+    * re-merge), plus one `key IS NULL` row carrying the truncate horizon.
+    */
+
+  /** Kafka ingress (production): value bytes → normalized changelog. */
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest") // reference main.py:27 auto_offset_reset
+      .load()
+      .select(col("value").cast("string").as("value"),
+        (col("timestamp").cast("double") * 1000).cast("long").as("kafka_ts"))
+    Changelog.fromEnvelopeJson(raw, "value", Some("kafka_ts"))
+  }
+
+  /** File ingress (tests / replay): one envelope JSON per line. */
+  def fromFiles(spark: SparkSession, dir: String): DataFrame =
+    Changelog.fromEnvelopeJson(
+      spark.readStream.text(dir).withColumnRenamed("value", "raw"), "raw")
+
+  /** Audit-log projection of the raw stream — every non-tombstone message,
+    * truncates included, re-serialized (reference P4: `to_json` of the
+    * payload paired with the ingest timestamp).
+    */
+  def auditProjection(changelog: DataFrame): DataFrame =
+    changelog.select(
+      col("ts_ms").as("timestamp"),
+      to_json(struct(col("pos"), col("op"), col("before"), col("after"))).as("kafka_message"))
+
+  /** One incremental merge step: fold a micro-batch of changelog events
+    * into the keyed state. Pure (DataFrame → DataFrame), so it is unit-
+    * testable and usable from `foreachBatch` verbatim.
+    *
+    * Semantics: new truncate horizon = max(old, batch's); rows (state and
+    * batch alike) at or below the horizon are erased; survivors resolve by
+    * max pos per key. Delete markers stay in state so a late-redelivered
+    * older event cannot resurrect a deleted key — which makes the step
+    * idempotent and insensitive to batch boundaries (proven by
+    * CdcPropertySpec: any split of the changelog folds to the same state).
+    */
+  def mergeBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    val newHorizon = batch
+      .filter(col("before").isNull && col("after").isNull)
+      .agg(coalesce(max(col("pos")), lit(Long.MinValue)).as("bh"))
+    val oldHorizon = state
+      .filter(col("key").isNull)
+      .agg(coalesce(max(col("pos")), lit(Long.MinValue)).as("sh"))
+    val horizon = broadcast(
+      newHorizon.crossJoin(oldHorizon)
+        .select(greatest(col("bh"), col("sh")).as("h")))
+
+    val batchEvents = batch
+      .filter(!(col("before").isNull && col("after").isNull))
+      .select(
+        coalesce(col("after.order_id"), col("before.order_id")).as("key"),
+        col("pos"), col("after"))
+    val stateEvents = state.filter(col("key").isNotNull)
+      .select(col("key"), col("pos"), col("after"))
+
+    val merged = stateEvents.unionByName(batchEvents)
+      .crossJoin(horizon)
+      .filter(col("pos") > col("h"))
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("pos"), col("after")), col("pos")).as("m"))
+      .select(col("key"), col("m.pos").as("pos"), col("m.after").as("after"))
+
+    val horizonRow = horizon.select(
+      lit(null).cast("int").as("key"), col("h").as("pos"),
+      lit(null).cast(CdcSchema.invoiceType).as("after"))
+    merged.unionByName(horizonRow)
+  }
+
+  /** Empty state (schema only). */
+  def emptyState(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("after", CdcSchema.invoiceType))))
+
+  /** Replica view of a state: live keys, reference column shape. */
+  def snapshotOf(state: DataFrame): DataFrame =
+    state.filter(col("key").isNotNull && col("after").isNotNull)
+      .select(
+        col("after.order_id").cast("long").as("order_id"),
+        col("after.invoice_number").cast("long").as("invoice_number"))
+      .orderBy(col("order_id"))
+
+  /** Run a changelog stream to a versioned parquet state + audit log.
+    *
+    * Each micro-batch: (1) append the audit projection; (2) merge into the
+    * keyed state, written to `stateDir/v=<batchId+1>` — versioned dirs make
+    * the write atomic-by-rename and replay after checkpoint recovery
+    * idempotent (a re-run batch overwrites its own version, and merge
+    * idempotency makes the content identical).
+    */
+  def run(changelog: DataFrame, auditDir: String, stateDir: String,
+          checkpointDir: String): StreamingQuery = {
+    changelog.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        auditProjection(batch).write.mode("append").parquet(auditDir)
+        val prev = latestStateVersion(spark, stateDir) match {
+          case Some((_, df)) => df
+          case None => emptyState(spark)
+        }
+        mergeBatch(prev, batch)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$stateDir/v=${batchId + 1}")
+        ()
+      }
+      .start()
+  }
+
+  /** Newest state version under `stateDir`, if any. */
+  def latestStateVersion(spark: SparkSession, stateDir: String): Option[(Long, DataFrame)] = {
+    val d = new java.io.File(stateDir)
+    val versions = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+    if (versions.isEmpty) None
+    else {
+      val v = versions.max
+      Some((v, spark.read.parquet(s"$stateDir/v=$v")))
+    }
+  }
+}

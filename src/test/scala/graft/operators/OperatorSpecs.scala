@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Structural/recall assertions for the operator packs on sf0.001. The
+  * value-level correctness gate is the driver's DuckDB compare (and
+  * tools/verify_local.sh locally); these specs pin properties the oracle
+  * cannot see — sketch recall, determinism, plan-independent invariants.
+  */
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("q1 groups the 6 (returnflag, linestatus) combinations") {
+    assert(Relational.q1PricingSummary(spark, sf).count() === 6)
+  }
+
+  test("top-k is deterministically ordered and bounded") {
+    val rows = Relational.qTopkOrders(spark, sf).collect()
+    assert(rows.length === 20)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("semi + anti join partition the customer table") {
+    val semi = Relational.qJoinSemi(spark, sf).collect()
+      .map(_.getAs[Long]("n_customers")).sum
+    val anti = Relational.qJoinAnti(spark, sf).count()
+    val total = graft.Tables.customer(spark, sf).count()
+    assert(semi + anti === total)
+  }
+
+  test("sessionize: n_sessions never exceeds n_events and both positive") {
+    val rows = Relational.qEventsSessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_sessions") >= 1 &&
+        r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events")))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private lazy val exactPairs = Dedup.dedupNgramJaccard(spark, sf).collect()
+    .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+  test("exact jaccard finds the injected near-dup pairs") {
+    assert(exactPairs.size >= 20)
+  }
+
+  test("minhash LSH recalls >= 90% of exact near-dup pairs") {
+    val got = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val recall = (exactPairs & got).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"minhash recall $recall")
+  }
+
+  test("simhash banding recalls >= 90% of exact near-dup pairs") {
+    val got = Dedup.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val recall = (exactPairs & got).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"simhash recall $recall")
+  }
+
+  test("exact dedup keeps one representative per fingerprint") {
+    val df = Dedup.dedupExact(spark, sf)
+    val total = graft.Tables.documents(spark, sf).count()
+    val kept = df.count()
+    val dups = df.agg(org.apache.spark.sql.functions.sum("n_dups")).head.getLong(0)
+    assert(kept + dups === total)
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("brute-force top-k: 10 rows, strictly ordered, cosine in [-1,1]") {
+    val rows = Similarity.annCosineTopk(spark, sf).collect()
+    assert(rows.length === 10)
+    val cos = rows.map(_.getAs[Double]("cosine"))
+    assert(cos.sameElements(cos.sortBy(-_)))
+    assert(cos.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
+  test("LSH-probed top-k recalls a usable fraction of brute force") {
+    // Uniform random embeddings are LSH's worst case (no clusters); the
+    // hamming<=2 ring's ceiling on this corpus is ~3/10 — pin that floor
+    // so a banding regression (recall 0) is caught.
+    val brute = Similarity.annCosineTopk(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val lsh = Similarity.annLshTopk(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert((brute & lsh).size >= 2, s"lsh overlap ${(brute & lsh).size}")
+  }
+
+  test("fixed-point cosine of a vector with itself is 1 within 1 ulp-ish") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFns
+    val self = graft.Tables.embeddings(spark, sf)
+      .select(VectorFns.fixedPoint(col("embedding")).as("v"))
+      .select(VectorFns.cosineFx(col("v"), col("v")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(self.getDouble(0) >= 0.9999999 && self.getDouble(1) <= 1.0000001)
+  }
+
+  test("per-label top-k emits exactly 3 per label") {
+    val rows = Similarity.annTopkByLabel(spark, sf).collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    assert(byLabel.values.forall(_.length === 3))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("batched decode emits one feature row per blob, deterministically") {
+    val a = graft.multimodal.Multimodal.decodeFeatures(spark, sf).collect()
+      .sortBy(_.doc_id)
+    val b = graft.multimodal.Multimodal.decodeFeatures(spark, sf).collect()
+      .sortBy(_.doc_id)
+    assert(a.length === graft.Tables.documents(spark, sf).count())
+    assert(a.toSeq === b.toSeq) // pure function of bytes — repeatable
+    assert(a.forall(f => f.width >= 64 && f.height >= 64 && f.channels === 3))
+  }
+
+  test("blob byte length equals source text length (ascii corpus)") {
+    val mismatches = graft.multimodal.Multimodal.multimodalBlobStats(spark, sf)
+      .join(graft.Tables.documents(spark, sf), "doc_id")
+      .filter(org.apache.spark.sql.functions.col("n_bytes") =!=
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")))
+      .count()
+    assert(mismatches === 0)
+  }
+}

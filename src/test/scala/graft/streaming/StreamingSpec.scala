@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.cdc.{CdcApply, Changelog}
+
+/** End-to-end Structured Streaming: envelope JSON files → file-source
+  * stream → foreachBatch incremental merge → versioned state + audit log.
+  * The final streamed state must equal the batch apply of the same
+  * changelog (stream/batch unification — SURVEY.md §2.10 backfill row).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def env(before: String, after: String, op: String, pos: Long) =
+    s"""{"payload":{"before":$before,"after":$after,"source":{"ts_ms":${1000 + pos},"pos":$pos,"db":"dev","table":"invoice"},"op":"$op","ts_ms":${1000 + pos}}}"""
+
+  private val lines1 = Seq(
+    env("null", """{"order_id":1,"invoice_number":10}""", "c", 1),
+    env("null", """{"order_id":2,"invoice_number":20}""", "c", 2),
+    env("null", """{"order_id":3,"invoice_number":30}""", "c", 3))
+  private val lines2 = Seq(
+    env("""{"order_id":2,"invoice_number":20}""", """{"order_id":2,"invoice_number":21}""", "u", 4),
+    env("""{"order_id":3,"invoice_number":30}""", "null", "d", 5),
+    env("null", """{"order_id":4,"invoice_number":40}""", "c", 6))
+
+  test("streamed incremental state equals batch apply; audit log complete") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/b1.json"),
+      lines1.mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(s"$in/b2.json"),
+      lines2.mkString("\n").getBytes("UTF-8"))
+
+    val stream = CdcStream.fromFiles(spark, in)
+    assert(stream.isStreaming)
+    // maxFilesPerTrigger=1 would pin 2 micro-batches; AvailableNow already
+    // splits per file listing order here — assert via state versions below.
+    val q = CdcStream.run(stream, s"$base/audit", s"$base/state", s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    val Some((_, state)) = CdcStream.latestStateVersion(spark, s"$base/state")
+    val streamed = CdcStream.snapshotOf(state).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val batch = Changelog.fromEnvelopeJson(
+      spark.createDataset(lines1 ++ lines2)(org.apache.spark.sql.Encoders.STRING).toDF("value"))
+    val expected = CdcApply.snapshot(batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    assert(streamed === expected)
+    assert(streamed === Seq((1L, 10L), (2L, 21L), (4L, 40L)))
+
+    val audit = spark.read.parquet(s"$base/audit")
+    assert(audit.count() === 6)
+    assert(audit.columns.sorted.toSeq === Seq("kafka_message", "timestamp"))
+  }
+
+  test("restarted stream with new data continues from checkpointed state") {
+    val base = Files.createTempDirectory("graft-stream2").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/b1.json"), lines1.mkString("\n").getBytes("UTF-8"))
+    val q1 = CdcStream.run(CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt")
+    q1.awaitTermination(120000)
+
+    Files.write(Paths.get(s"$in/b2.json"), lines2.mkString("\n").getBytes("UTF-8"))
+    val q2 = CdcStream.run(CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt")
+    q2.awaitTermination(120000)
+
+    val Some((v, state)) = CdcStream.latestStateVersion(spark, s"$base/state")
+    assert(v >= 2) // two distinct micro-batches across the restart
+    val streamed = CdcStream.snapshotOf(state).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed === Seq((1L, 10L), (2L, 21L), (4L, 40L)))
+  }
+}
