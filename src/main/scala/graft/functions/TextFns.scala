@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Shared text primitives for the training-data pipeline operators.
   *
-  * Everything here is built from codegen'd `functions._` higher-order
-  * functions (no UDFs): tokenization, shingling, and hashing stay inside
-  * whole-stage codegen, so per-document work never leaves the executor's
-  * tight loop — the property that makes these viable over 100 TB of text.
+  * Everything here is built from `functions._` expressions (no UDFs):
+  * shuffle-free, single-pass-per-document, usable in any plan position.
+  * One caveat learned by measurement: Spark evaluates array *higher-order*
+  * functions (`transform`/`aggregate`/`zip_with`) interpreted
+  * (CodegenFallback), so the HOF forms here are the compact reference
+  * implementations — hot paths use relational equivalents that stay inside
+  * whole-stage codegen (see operators.Dedup.docShingles /
+  * simhashSignatures, with parity specs asserting equivalence).
   */
 object TextFns {
 

@@ -4,8 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector primitives over `array<float>` embedding columns, built from
-  * codegen'd array HOFs (`zip_with`/`aggregate`) — no UDFs, no per-row JVM
-  * object churn, safe inside whole-stage codegen.
+  * array HOFs (`zip_with`/`aggregate`) — no UDFs. (Spark evaluates HOFs
+  * interpreted, not codegen'd; at 64 dims per row that costs microseconds
+  * and these stay off the shuffle path, so the HOF form is kept for
+  * clarity. A custom codegen `Expression` is the documented escalation if
+  * a profile ever shows the dot product hot.)
   *
   * Cross-engine determinism: floats are lifted to **dyadic fixed-point**
   * longs (`floor(x · 2^20)`) before any arithmetic. Multiplying by a power
