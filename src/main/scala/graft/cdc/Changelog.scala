@@ -40,9 +40,9 @@ object Changelog {
     */
   def fromEnvelopeJson(df: DataFrame, valueCol: String = "value",
                        kafkaTsCol: Option[String] = None): DataFrame = {
-    val parsed = df
-      .filter(col(valueCol).isNotNull)                      // P1 tombstone filter
-      .withColumn("e", from_json(col(valueCol), CdcSchema.envelopeType))
+    val parsed = parsedEnvelopes(df, valueCol)
+      .filter(col("e").isNotNull && col("e.payload").isNotNull &&
+        col("e.payload.source.pos").isNotNull)              // dead letters excluded
     val ts = kafkaTsCol.map(col).getOrElse(col("e.payload.ts_ms"))
     parsed.select(
       col("e.payload.source.pos").as("pos"),
@@ -51,6 +51,24 @@ object Changelog {
       col("e.payload.after").as("after"),
       ts.as("ts_ms"))
   }
+
+  /** Malformed-envelope dead-letter routing — the engine's live analogue of
+    * the reference's unreachable fallback branch (`main.py:92-93` C5): a
+    * non-tombstone message that does not parse to a positioned payload is
+    * quarantined with its raw bytes instead of being silently dropped or
+    * crashing the stream. Fork both [[fromEnvelopeJson]] and this from one
+    * source; at scale the dead-letter sink is an append-only table that is
+    * monitored, not a log line.
+    */
+  def deadLetters(df: DataFrame, valueCol: String = "value"): DataFrame =
+    parsedEnvelopes(df, valueCol)
+      .filter(col("e").isNull || col("e.payload").isNull ||
+        col("e.payload.source.pos").isNull)
+      .select(col(valueCol).as("raw"), lit("unparseable_envelope").as("reason"))
+
+  private def parsedEnvelopes(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)                      // P1 tombstone filter
+      .withColumn("e", from_json(col(valueCol), CdcSchema.envelopeType))
 
   /** Deterministic synthetic changelog over the `orders` fixture (see object
     * doc). Emits the normalized schema. The unions are narrow (no shuffle);

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming event analytics over the `events` stream shape
+  * (`ts timestamp, user_id, event_type, value, props`) — the [EXT]
+  * windowed-aggregation surface of SURVEY.md §2.10.
+  *
+  * Each transformation takes the (streaming or batch) events DataFrame and
+  * returns a declarative plan — identical code path in both modes, like the
+  * CDC fold. Watermarks bound state: with a 2-hour watermark, window state
+  * for hours older than (max event time − 2h) is dropped, so state size is
+  * O(active windows × groups), independent of stream length — the property
+  * that keeps a 100 TB/day stream's state in memory.
+  */
+object EventStream {
+
+  /** Declare the event-time watermark ONCE, at ingress. Stateful ops below
+    * take an already-watermarked stream and never re-declare it — Spark
+    * rejects watermark redefinition when stateful operators are chained
+    * (e.g. dedup → windowed agg), so composability requires the watermark
+    * to be the caller's single declaration.
+    */
+  def watermarked(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Tumbling one-hour counts/sums per event type. In streaming-append
+    * mode a window emits exactly once, when the watermark passes its end —
+    * late events inside the watermark still land in their window; older
+    * ones are dropped (bounded lateness, explicit and monitorable).
+    * Input must be [[watermarked]] for append-mode streaming.
+    */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** At-least-once delivery dedup by event id: keeps first arrival, drops
+    * replays that arrive within the watermark horizon. State is bounded by
+    * the watermark (ids older than the horizon are forgotten — a replay
+    * later than that is indistinguishable from a new event, the standard
+    * at-least-once contract). Input must be [[watermarked]].
+    */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    events.dropDuplicatesWithinWatermark(Seq("event_id"))
+}
