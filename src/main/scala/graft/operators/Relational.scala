@@ -387,8 +387,70 @@ object Relational {
       |  ROUND((sum_sq - sum_price * sum_price / n) / (n - 1), 4) AS variance
       |FROM a""".stripMargin
 
+  // ------------------------------------------------------------ rollup
+  /** Hierarchical aggregate (ROLLUP): subtotals per (returnflag, linestatus),
+    * per returnflag, and grand total — grouping-set coverage. Spark default
+    * sort puts NULLs first; the oracle pins NULLS FIRST explicitly.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val qRollupSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ----------------------------------------------- correlated subquery
+  /** Orders ≥ 3/2 of their customer's average order value, written as
+    * correlated scalar subqueries through the engine's SQL entry point —
+    * Catalyst decorrelates them into joins. The predicate is restated in
+    * exact decimal arithmetic (price·cnt·2 > sum·3) so row selection never
+    * hinges on a float ulp; the oracle uses the decorrelated join form.
+    */
+  def qSqlCorrSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_v o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |        * (SELECT COUNT(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey) * 2
+        |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         FROM orders_v i WHERE i.o_custkey = o.o_custkey) * 3
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val qSqlCorrSubquerySql =
+    """WITH c AS (
+      |  SELECT o_custkey AS k, COUNT(*) AS cnt,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders JOIN c ON k = o_custkey
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cnt * 2 > s * 3
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------- approx distinct
+  /** HLL++ sketch cardinality next to the exact count — the constant-memory
+    * path for 100 TB cardinalities. Sketch estimates are engine-specific,
+    * so no SQL oracle (rows-only check); ApproxSpec pins the error < 5%.
+    */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------------------ export
   val queries: Map[String, Q] = Map(
+    "q_rollup" -> (qRollup _),
+    "q_sql_corr_subquery" -> (qSqlCorrSubquery _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
@@ -408,6 +470,8 @@ object Relational {
     "q_agg_stats" -> (qAggStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_rollup" -> qRollupSql,
+    "q_sql_corr_subquery" -> qSqlCorrSubquerySql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier_volume" -> q5Sql,

@@ -153,8 +153,42 @@ object Similarity {
       .limit(10)
   }
 
+  // -------------------------------------------- embedding-cosine near-dup
+  /** Embedding near-duplicate pairs: exact pairwise cosine ≥ 0.3 over a
+    * deterministic 20% sample (vec_id % 5 = 0). The sample bounds the
+    * quadratic candidate space for the oracle-checked exact form; the full-
+    * corpus scale path is [[annLshTopk]]'s bucketing (probe-join instead of
+    * all-pairs). Fixed-point arithmetic keeps scores bit-identical.
+    */
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val sub = corpus(s, dir).filter(col("vec_id") % 5 === 0).select(col("vec_id"), col("v"))
+    sub.as("a").join(sub.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosineFx(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val dedupEmbeddingCosineSql =
+    """WITH comp AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i0,
+      |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS x
+      |  FROM embeddings WHERE vec_id % 5 = 0),
+      |norms AS (SELECT vec_id, SUM(x*x) AS nx FROM comp GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+      |  FROM comp a JOIN comp b ON a.i0 = b.i0 AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT vec_a, vec_b,
+      |         CAST(dot AS DOUBLE) / sqrt(CAST(na.nx AS DOUBLE) * CAST(nb.nx AS DOUBLE)) AS cosine
+      |  FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b)
+      |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   // ------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_topk_by_label" -> (annTopkByLabel _),
     "ann_lsh_histogram" -> (annLshHistogram _),
@@ -164,6 +198,7 @@ object Similarity {
     * principle but kept rows-only; its recall is asserted in SimilaritySpec.
     */
   val oracles: Map[String, String] = Map(
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_topk_by_label" -> annTopkByLabelSql,
     "ann_lsh_histogram" -> annLshHistogramSql)

@@ -184,3 +184,19 @@ class FormulationParitySpec extends AnyFunSuite {
     assert(diff === 0)
   }
 }
+
+/** Sketch accuracy: the HLL++ estimate must track the exact cardinality. */
+class ApproxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("approx_count_distinct within 5% of exact") {
+    val rows = Relational.qApproxDistinct(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+}
