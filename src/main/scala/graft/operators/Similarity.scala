@@ -32,6 +32,17 @@ object Similarity {
   private val QueryVec = 0L
   private val LshBits = 8
 
+  /** Cosine via the native codegen expression (graft.functions.CosineFxExpr)
+    * — bit-identical to VectorFns.cosineFx (parity-tested) but runs as one
+    * fused loop inside whole-stage codegen instead of interpreted HOFs.
+    */
+  private def cosNative(s: SparkSession,
+                        a: org.apache.spark.sql.Column,
+                        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.functions.CosineFxExpr.register(s)
+    call_function("cosine_fx", a, b)
+  }
+
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), fixedPoint(col("embedding")).as("v"))
@@ -44,7 +55,7 @@ object Similarity {
     corpus(s, dir)
       .filter(col("vec_id") =!= QueryVec)
       .crossJoin(broadcast(queryRow(s, dir)))
-      .withColumn("cosine", cosineFx(col("v"), col("qv")))
+      .withColumn("cosine", cosNative(s, col("v"), col("qv")))
 
   // ---------------------------------------------------------- brute top-k
   def annCosineTopk(s: SparkSession, dir: String): DataFrame =
@@ -147,7 +158,7 @@ object Similarity {
         .as("probe")))
     coded.filter(col("vec_id") =!= QueryVec)
       .join(probes, col("code") === col("probe"))
-      .withColumn("cosine", cosineFx(col("v"), col("qv")))
+      .withColumn("cosine", cosNative(s, col("v"), col("qv")))
       .select(col("vec_id"), col("code"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
@@ -164,7 +175,7 @@ object Similarity {
     val sub = corpus(s, dir).filter(col("vec_id") % 5 === 0).select(col("vec_id"), col("v"))
     sub.as("a").join(sub.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosineFx(col("a.v"), col("b.v")).as("cosine"))
+        cosNative(s, col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= 0.3)
       .orderBy(col("vec_a"), col("vec_b"))
   }
