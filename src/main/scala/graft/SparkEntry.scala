@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cdc.CdcQueries.queries ++ operators.Relational.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
-      operators.Similarity.queries ++ multimodal.Multimodal.queries
+      operators.Similarity.queries ++ multimodal.Multimodal.queries ++
+      operators.Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     cdc.CdcQueries.oracles ++ operators.Relational.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
-      operators.Similarity.oracles ++ multimodal.Multimodal.oracles
+      operators.Similarity.oracles ++ multimodal.Multimodal.oracles ++
+      operators.Skew.oracles
 }

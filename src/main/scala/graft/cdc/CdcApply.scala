@@ -87,6 +87,15 @@ object CdcApply {
       .orderBy(col("order_id"))
   }
 
+  /** Time-travel: the replica as of binlog position `pos` (inclusive).
+    * Because the fold is a pure function of the event set, "as of" is just
+    * a position predicate before the same fold — replayable history for
+    * free, something the reference's mutate-in-place sink cannot answer.
+    * The predicate pushes down to the changelog scan.
+    */
+  def snapshotAsOf(changelog: DataFrame, pos: Long): DataFrame =
+    snapshot(changelog.filter(col("pos") <= pos))
+
   /** COUNT(*) consistency check (reference `test_consistency.py:38-53`). */
   def rowcount(changelog: DataFrame): DataFrame =
     snapshot(changelog).agg(count(lit(1)).as("n"))

@@ -18,6 +18,17 @@ object CdcQueries {
     "cdc_snapshot" -> ((s, d) => CdcApply.snapshot(Changelog.synthetic(s, d))),
     "cdc_rowcount" -> ((s, d) => CdcApply.rowcount(Changelog.synthetic(s, d))),
     "cdc_audit_log" -> ((s, d) => CdcApply.auditLog(Changelog.synthetic(s, d))),
+    "cdc_snapshot_asof" -> { (s, d) =>
+      // Time-travel to the stream's midpoint position, computed in-plan
+      // (1-row broadcast). The as-of point lands after the truncate
+      // horizon, so history replay includes the generation reset.
+      import org.apache.spark.sql.functions.{broadcast, col, expr}
+      val p = graft.Tables.orders(s, d)
+        .agg(expr("(max(cast(o_orderkey as bigint)) * 10) div 2").as("p"))
+      CdcApply.snapshot(
+        Changelog.synthetic(s, d).crossJoin(broadcast(p))
+          .filter(col("pos") <= col("p")).drop("p"))
+    },
     "cdc_consistency_diff" -> { (s, d) =>
       // Cache both snapshot formulations: each feeds two exceptAll sides,
       // so without caching the whole apply-fold would run four times.
@@ -38,6 +49,19 @@ object CdcQueries {
 
   val oracles: Map[String, String] = Map(
     "cdc_snapshot" -> snapshotSql,
+    "cdc_snapshot_asof" ->
+      s"""$cte, p AS (
+         |  SELECT (CAST(MAX(k) AS BIGINT) * 10) // 2 AS p FROM base),
+         |eva AS (SELECT ev.* FROM ev, p WHERE ev.pos <= p.p),
+         |hora AS (
+         |  SELECT COALESCE(MAX(pos), -9223372036854775808) AS h FROM eva WHERE is_trunc),
+         |livea AS (SELECT eva.* FROM eva, hora WHERE eva.pos > hora.h AND NOT eva.is_trunc),
+         |ranked AS (
+         |  SELECT key, a_inv, is_del,
+         |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos DESC) AS rn
+         |  FROM livea)
+         |SELECT CAST(key AS BIGINT) AS order_id, CAST(a_inv AS BIGINT) AS invoice_number
+         |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin,
     "cdc_rowcount" ->
       s"""SELECT COUNT(*) AS n FROM ($snapshotSql)""",
     "cdc_audit_log" ->

@@ -26,6 +26,11 @@ import graft.cdc.{CdcApply, CdcSchema, Changelog}
   */
 object CdcStream {
 
+  /** Per-key typed state for [[typedLatestPerKey]]: latest position and
+    * after-image (None = delete marker, kept for idempotent re-merge).
+    */
+  final case class KeyState(pos: Long, after: Option[CdcSchema.Invoice])
+
   /** State/snapshot schema: one row per key — the latest event's position
     * and after-image (null after = tombstone marker kept for idempotent
     * re-merge), plus one `key IS NULL` row carrying the truncate horizon.
@@ -146,6 +151,41 @@ object CdcStream {
         ()
       }
       .start()
+  }
+
+  /** Typed per-key state via `flatMapGroupsWithState` — the
+    * KeyValueGroupedDataset alternative to the foreachBatch merge for
+    * latencies where per-batch parquet rewrites are too coarse. State per
+    * key is (pos, after): max-pos-wins, delete markers retained, so
+    * redelivery is idempotent — identical semantics to [[mergeBatch]].
+    *
+    * Scope note: cross-key TRUNCATE cannot be expressed inside a
+    * per-key state function (groups are isolated by design); feed this
+    * from `CdcApply.afterTruncateHorizon` (batch) or handle truncates as
+    * a state-store generation upstream. Emits (order_id, invoice_number
+    * nullable) per updated key, update-mode.
+    */
+  def typedLatestPerKey(changelog: org.apache.spark.sql.Dataset[CdcSchema.CdcEvent])
+      : DataFrame = {
+    import CdcStream.KeyState
+    import changelog.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    changelog
+      .groupByKey(e => e.after.orElse(e.before).map(_.order_id).getOrElse(Int.MinValue))
+      .flatMapGroupsWithState[KeyState, (Int, Option[Int])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Int, events: Iterator[CdcSchema.CdcEvent], state: GroupState[KeyState]) =>
+          val incoming = events.maxByOption(_.pos)
+          val best = (incoming.map(e => KeyState(e.pos, e.after)).toSeq ++
+            state.getOption.toSeq).maxByOption(_.pos)
+          best match {
+            case Some(b) if !state.getOption.exists(_.pos >= b.pos) =>
+              state.update(b)
+              Iterator.single((key, b.after.map(_.invoice_number)))
+            case _ => Iterator.empty
+          }
+      }
+      .toDF("order_id", "invoice_number")
   }
 
   /** Newest state version under `stateDir`, if any. */

@@ -79,3 +79,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === Seq((1L, 10L), (2L, 21L), (4L, 40L)))
   }
 }
+
+/** Typed stateful streaming: flatMapGroupsWithState per-key latest. */
+class TypedStateSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def env(before: String, after: String, op: String, pos: Long) =
+    s"""{"payload":{"before":$before,"after":$after,"source":{"ts_ms":${1000 + pos},"pos":$pos,"db":"dev","table":"invoice"},"op":"$op","ts_ms":${1000 + pos}}}"""
+
+  test("typed state stream converges to latest-per-key across micro-batches") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val in = Files.createTempDirectory("typed").toString
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      env("null", """{"order_id":1,"invoice_number":10}""", "c", 1),
+      env("null", """{"order_id":2,"invoice_number":20}""", "c", 2)).mkString("\n").getBytes)
+    val stream = graft.streaming.CdcStream.fromFiles(spark, in)
+      .as[graft.cdc.CdcSchema.CdcEvent]
+    val q = graft.streaming.CdcStream.typedLatestPerKey(stream)
+      .writeStream.format("memory").queryName("typed_state")
+      .outputMode("update")
+      .option("maxFilesPerTrigger", "1")
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(Paths.get(s"$in/b2.json"), Seq(
+        env("""{"order_id":2,"invoice_number":20}""", """{"order_id":2,"invoice_number":21}""", "u", 3),
+        env("""{"order_id":1,"invoice_number":10}""", "null", "d", 4),
+        env("""{"order_id":2,"invoice_number":21}""", """{"order_id":2,"invoice_number":21}""", "u", 3)).mkString("\n").getBytes) // pos-3 replay
+      q.processAllAvailable()
+      // last emission per key is the converged value
+      val emissions = spark.table("typed_state").collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      val last = emissions.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+      assert(last === Map(1 -> None, 2 -> Some(21)))
+    } finally q.stop()
+  }
+}
