@@ -87,6 +87,37 @@ object CdcApply {
       .orderBy(col("order_id"))
   }
 
+  /** Multi-table fold: one engine instance maintaining every table of a
+    * database from a single interleaved changelog (the wire format carries
+    * `source.db`/`source.table`; a Debezium connector emits all captured
+    * tables). Semantics generalize the single-table fold with the horizon
+    * computed PER TABLE — a TRUNCATE resets only its own table (matching
+    * MySQL semantics the reference inherits). Expects `db`/`table` columns
+    * alongside the normalized changelog (see `Changelog.fromEnvelopeJsonMulti`).
+    *
+    * Scale: horizons are |tables| rows (broadcast); the fold is one
+    * hash-shuffle on (db, table, key) — adding tables adds keys, not
+    * stages.
+    */
+  def snapshotByTable(changelog: DataFrame): DataFrame = {
+    val horizons = changelog
+      .filter(col("before").isNull && col("after").isNull)
+      .groupBy(col("db"), col("table"))
+      .agg(max(col("pos")).as("h"))
+    changelog
+      .filter(!(col("before").isNull && col("after").isNull))
+      .join(broadcast(horizons), Seq("db", "table"), "left")
+      .filter(col("h").isNull || col("pos") > col("h"))
+      .withColumn("key", coalesce(col("after.order_id"), col("before.order_id")))
+      .groupBy(col("db"), col("table"), col("key"))
+      .agg(max_by(struct(col("after").as("after")), col("pos")).as("last"))
+      .filter(col("last.after").isNotNull)
+      .select(col("db"), col("table"),
+        col("last.after.order_id").cast("long").as("order_id"),
+        col("last.after.invoice_number").cast("long").as("invoice_number"))
+      .orderBy(col("db"), col("table"), col("order_id"))
+  }
+
   /** Time-travel: the replica as of binlog position `pos` (inclusive).
     * Because the fold is a pure function of the event set, "as of" is just
     * a position predicate before the same fold — replayable history for

@@ -52,6 +52,23 @@ object Changelog {
       ts.as("ts_ms"))
   }
 
+  /** Multi-table variant of [[fromEnvelopeJson]]: keeps the wire's
+    * `source.db`/`source.table` routing columns for
+    * `CdcApply.snapshotByTable`.
+    */
+  def fromEnvelopeJsonMulti(df: DataFrame, valueCol: String = "value"): DataFrame =
+    parsedEnvelopes(df, valueCol)
+      .filter(col("e").isNotNull && col("e.payload").isNotNull &&
+        col("e.payload.source.pos").isNotNull)
+      .select(
+        col("e.payload.source.db").as("db"),
+        col("e.payload.source.table").as("table"),
+        col("e.payload.source.pos").as("pos"),
+        col("e.payload.op").as("op"),
+        col("e.payload.before").as("before"),
+        col("e.payload.after").as("after"),
+        col("e.payload.ts_ms").as("ts_ms"))
+
   /** Malformed-envelope dead-letter routing — the engine's live analogue of
     * the reference's unreachable fallback branch (`main.py:92-93` C5): a
     * non-tombstone message that does not parse to a positioned payload is
