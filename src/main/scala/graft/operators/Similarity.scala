@@ -164,6 +164,53 @@ object Similarity {
       .limit(10)
   }
 
+  // ------------------------------------------------------------ IVF ANN
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer (MLlib, fixed
+    * seed) partitions the corpus into cells; a query probes only its
+    * `nProbe` nearest cells and exact-reranks inside them. The structured
+    * complement to sign-LSH: centroids adapt to the data distribution
+    * (LSH hyperplanes are data-independent). At scale the cell id is a
+    * write-partition column, so probing is partition-pruned I/O. Search
+    * cost ≈ (nProbe/k)·|corpus| + k centroid distances. Rows-only oracle
+    * (k-means assignment is engine-side); recall vs brute force pinned in
+    * SimilaritySpec.
+    */
+  def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.vector_to_array
+    val k = 16
+    val nProbe = 4
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("cell"),
+        fixedPoint(vector_to_array(col("features"))).as("v"))
+    // query's nProbe nearest cells by exact centroid distance
+    val qv = assigned.filter(col("vec_id") === QueryVec)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centroidDf = s.createDataFrame(centroids).toDF("cell", "centroid")
+      .select(col("cell"), fixedPoint(col("centroid")).as("cv"))
+    val probeCells = broadcast(
+      centroidDf.crossJoin(broadcast(qv.select(col("v").as("qv"))))
+        .withColumn("sim", cosNative(s, col("cv"), col("qv")))
+        .orderBy(col("sim").desc, col("cell"))
+        .limit(nProbe)
+        .select(col("cell"), col("qv")))
+    assigned.filter(col("vec_id") =!= QueryVec)
+      .join(probeCells, "cell")
+      .withColumn("cosine", cosNative(s, col("v"), col("qv")))
+      .select(col("vec_id"), col("cell"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   // -------------------------------------------- embedding-cosine near-dup
   /** Embedding near-duplicate pairs: exact pairwise cosine ≥ 0.3 over a
     * deterministic 20% sample (vec_id % 5 = 0). The sample bounds the
@@ -199,6 +246,7 @@ object Similarity {
 
   // ------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
+    "ann_ivf_topk" -> (annIvfTopk _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_topk_by_label" -> (annTopkByLabel _),

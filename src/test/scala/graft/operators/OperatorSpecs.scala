@@ -200,3 +200,23 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 }
+
+/** IVF ANN: determinism and recall vs brute force. */
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("IVF top-k is deterministic with usable recall (vs brute force)") {
+    val brute = Similarity.annCosineTopk(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivf1 = Similarity.annIvfTopk(spark, sf).collect().map(_.getAs[Long]("vec_id"))
+    val ivf2 = Similarity.annIvfTopk(spark, sf).collect().map(_.getAs[Long]("vec_id"))
+    assert(ivf1.toSeq === ivf2.toSeq) // fixed-seed k-means => repeatable
+    val lsh = Similarity.annLshTopk(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivfRecall = (brute & ivf1.toSet).size
+    val lshRecall = (brute & lsh).size
+    info(s"recall@10: ivf=$ivfRecall lsh=$lshRecall")
+    assert(ivfRecall >= 2)
+  }
+}
