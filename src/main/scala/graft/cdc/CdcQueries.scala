@@ -29,6 +29,27 @@ object CdcQueries {
         Changelog.synthetic(s, d).crossJoin(broadcast(p))
           .filter(col("pos") <= col("p")).drop("p"))
     },
+    "cdc_snapshot_multitable" -> { (s, d) =>
+      // Route the synthetic events into two tables by key parity and
+      // truncate only 'alpha' — per-table horizon semantics under the
+      // oracle gate (MultiTableSpec covers the wire-format path).
+      import org.apache.spark.sql.functions._
+      val ev = Changelog.synthetic(s, d)
+        .filter(!(col("before").isNull && col("after").isNull))
+        .withColumn("db", lit("dev"))
+        .withColumn("table",
+          when(coalesce(col("after.order_id"), col("before.order_id")) % 2 === 0, "alpha")
+            .otherwise("beta"))
+      val nullImg = lit(null).cast(CdcSchema.invoiceType)
+      val truncAlpha = graft.Tables.orders(s, d)
+        .agg(max(col("o_orderkey").cast("long")).as("mk"))
+        .select(
+          expr("(mk * 10) div 4").as("pos"), lit("t").as("op"),
+          nullImg.as("before"), nullImg.as("after"),
+          (lit(1700000000000L) + expr("(mk * 10) div 4")).as("ts_ms"),
+          lit("dev").as("db"), lit("alpha").as("table"))
+      CdcApply.snapshotByTable(ev.unionByName(truncAlpha))
+    },
     "cdc_consistency_diff" -> { (s, d) =>
       // Cache both snapshot formulations: each feeds two exceptAll sides,
       // so without caching the whole apply-fold would run four times.
@@ -64,6 +85,24 @@ object CdcQueries {
          |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin,
     "cdc_rowcount" ->
       s"""SELECT COUNT(*) AS n FROM ($snapshotSql)""",
+    "cdc_snapshot_multitable" ->
+      s"""$cte, tev AS (
+         |  SELECT pos, key, a_inv, is_del,
+         |         CASE WHEN key % 2 = 0 THEN 'alpha' ELSE 'beta' END AS tbl
+         |  FROM ev WHERE NOT is_trunc),
+         |hor2 AS (
+         |  SELECT 'alpha' AS tbl, (CAST(MAX(k) AS BIGINT) * 10) // 4 AS h FROM base),
+         |live2 AS (
+         |  SELECT tev.* FROM tev LEFT JOIN hor2 ON tev.tbl = hor2.tbl
+         |  WHERE hor2.h IS NULL OR tev.pos > hor2.h),
+         |ranked2 AS (
+         |  SELECT tbl, key, a_inv, is_del,
+         |         ROW_NUMBER() OVER (PARTITION BY tbl, key ORDER BY pos DESC) AS rn
+         |  FROM live2)
+         |SELECT 'dev' AS db, tbl AS "table",
+         |       CAST(key AS BIGINT) AS order_id, CAST(a_inv AS BIGINT) AS invoice_number
+         |FROM ranked2 WHERE rn = 1 AND NOT is_del
+         |ORDER BY db, "table", order_id""".stripMargin,
     "cdc_audit_log" ->
       s"""$cte
          |SELECT 1700000000000 + pos AS log_ts, pos, op, key AS order_id

@@ -27,12 +27,23 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   // ------------------------------------------------------------- tokens
-  /** Token counting: whitespace tokens, characters, mean token length. */
+  /** BPE-style pre-tokenizer pattern (GPT-2-like shape, narrowed to the
+    * corpus alphabet): runs of letters / digits / other, each optionally
+    * absorbing one leading space — the unit a byte-pair encoder would
+    * merge over. Identical regex semantics in Spark (Java regex) and
+    * DuckDB (RE2) for this pattern.
+    */
+  val bpeishPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Token counting: whitespace tokens, BPE-ish subword units, characters,
+    * mean token length.
+    */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
         size(TextFns.tokens(col("text"))).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0))).as("n_bpeish"),
         length(col("text")).as("n_chars"),
         round(TextFns.tokenChars(col("text")).cast("double") /
           size(TextFns.tokens(col("text"))), 4).as("avg_tok_len"))
@@ -40,7 +51,9 @@ object TextAnalysis {
 
   private val textTokensSql =
     s"""$docsCte
-       |SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars,
+       |SELECT doc_id, len(toks) AS n_tokens,
+       |  len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpeish,
+       |  length(text) AS n_chars,
        |  ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks), 4) AS avg_tok_len
        |FROM docs ORDER BY doc_id""".stripMargin
 

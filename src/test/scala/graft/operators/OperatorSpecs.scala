@@ -220,3 +220,29 @@ class IvfSpec extends AnyFunSuite {
     assert(ivfRecall >= 2)
   }
 }
+
+/** Winnowing fingerprints: near-dups overlap heavily, unrelated docs don't. */
+class WinnowSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("near-dup pairs share most fingerprints; random pairs share few") {
+    val idx = Dedup.winnowIndex(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val nearDups = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDups.nonEmpty)
+    val overlaps = nearDups.map { case (a, b) =>
+      val (fa, fb) = (idx(a), idx(b))
+      (fa & fb).size.toDouble / math.min(fa.size, fb.size)
+    }
+    assert(overlaps.forall(_ >= 0.8), s"near-dup overlaps: ${overlaps.min}")
+    // control: consecutive non-near-dup ids
+    val dupSet = nearDups.flatMap(p => Seq(p._1, p._2)).toSet
+    val controls = idx.keys.toSeq.sorted.filterNot(dupSet).take(20)
+      .sliding(2, 2).collect { case Seq(a, b) =>
+        (idx(a) & idx(b)).size.toDouble / math.min(idx(a).size, idx(b).size)
+      }.toSeq
+    assert(controls.forall(_ <= 0.5), s"control overlaps too high: ${controls.max}")
+  }
+}
