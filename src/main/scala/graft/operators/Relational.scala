@@ -433,6 +433,38 @@ object Relational {
       |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cnt * 2 > s * 3
       |ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------- cube
+  /** Full CUBE over the two flag dimensions — all 2^2 grouping sets. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val qCubeSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------- pivot
+  /** Pivot order status into columns per priority (wide-format rollup);
+    * the oracle is the portable FILTER-clause formulation.
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority"))
+
+  private val qPivotSql =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // --------------------------------------------------- approx distinct
   /** HLL++ sketch cardinality next to the exact count — the constant-memory
     * path for 100 TB cardinalities. Sketch estimates are engine-specific,
@@ -448,6 +480,8 @@ object Relational {
 
   // ------------------------------------------------------------ export
   val queries: Map[String, Q] = Map(
+    "q_cube" -> (qCube _),
+    "q_pivot" -> (qPivot _),
     "q_rollup" -> (qRollup _),
     "q_sql_corr_subquery" -> (qSqlCorrSubquery _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -470,6 +504,8 @@ object Relational {
     "q_agg_stats" -> (qAggStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_cube" -> qCubeSql,
+    "q_pivot" -> qPivotSql,
     "q_rollup" -> qRollupSql,
     "q_sql_corr_subquery" -> qSqlCorrSubquerySql,
     "q1_pricing_summary" -> q1Sql,
