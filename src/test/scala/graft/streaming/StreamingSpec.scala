@@ -117,3 +117,64 @@ class TypedStateSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Bucketed incremental state: only touched partitions rewrite. */
+class PartitionedStateSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def env(before: String, after: String, op: String, pos: Long) =
+    s"""{"payload":{"before":$before,"after":$after,"source":{"ts_ms":${1000 + pos},"pos":$pos,"db":"dev","table":"invoice"},"op":"$op","ts_ms":${1000 + pos}}}"""
+
+  test("disjoint-key batches leave untouched buckets' files alone") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("pstate").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    val n = 8
+    // batch 1: keys 0 and 1 (buckets 0, 1)
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      env("null", """{"order_id":0,"invoice_number":5}""", "c", 1),
+      env("null", """{"order_id":1,"invoice_number":10}""", "c", 2)).mkString("\n").getBytes)
+    val q1 = graft.streaming.CdcStream.runPartitioned(
+      graft.streaming.CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt", n)
+    q1.awaitTermination(120000)
+    val bucket1File = new java.io.File(s"$base/state/p=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    // batch 2: key 2 only (bucket 2) — bucket 1 must not be rewritten
+    Files.write(Paths.get(s"$in/b2.json"), Seq(
+      env("null", """{"order_id":2,"invoice_number":20}""", "c", 3)).mkString("\n").getBytes)
+    val q2 = graft.streaming.CdcStream.runPartitioned(
+      graft.streaming.CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt", n)
+    q2.awaitTermination(120000)
+    val bucket1After = new java.io.File(s"$base/state/p=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    assert(bucket1After === bucket1File, "untouched bucket was rewritten")
+    val snap = graft.streaming.CdcStream.partitionedSnapshot(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap === Seq((0L, 5L), (1L, 10L), (2L, 20L)))
+  }
+
+  test("truncate batch resets every bucket") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("pstate2").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      env("null", """{"order_id":3,"invoice_number":30}""", "c", 1),
+      env("null", """{"order_id":12,"invoice_number":120}""", "c", 2)).mkString("\n").getBytes)
+    val q1 = graft.streaming.CdcStream.runPartitioned(
+      graft.streaming.CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt", 8)
+    q1.awaitTermination(120000)
+    Files.write(Paths.get(s"$in/b2.json"), Seq(
+      env("null", "null", "t", 3),
+      env("null", """{"order_id":7,"invoice_number":70}""", "c", 4)).mkString("\n").getBytes)
+    val q2 = graft.streaming.CdcStream.runPartitioned(
+      graft.streaming.CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt", 8)
+    q2.awaitTermination(120000)
+    val snap = graft.streaming.CdcStream.partitionedSnapshot(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap === Seq((7L, 70L)))
+  }
+}
