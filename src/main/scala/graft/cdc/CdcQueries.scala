@@ -51,9 +51,10 @@ object CdcQueries {
       CdcApply.snapshotByTable(ev.unionByName(truncAlpha))
     },
     "cdc_consistency_diff" -> { (s, d) =>
-      // Cache both snapshot formulations: each feeds two exceptAll sides,
-      // so without caching the whole apply-fold would run four times.
-      val log = Changelog.synthetic(s, d)
+      // Cache the changelog (shared input of both formulations) and both
+      // snapshots (each feeds two exceptAll sides) — without caching the
+      // generator would run four times and each fold twice.
+      val log = Changelog.synthetic(s, d).cache()
       CdcApply.consistencyDiff(
         CdcApply.snapshot(log).cache(), CdcApply.snapshotViaWindow(log).cache())
     })
