@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library façade: one call gives a session configured the way the engine
+  * expects — a user of the reference pipeline switches by replacing their
+  * consumer process with `Graft.session()` + the `cdc`/`streaming` APIs.
+  *
+  * Config stance (local or cluster):
+  *  - shuffle partitions sized to cores (not the 200 default — right for
+  *    local mode; on a real cluster set to 2–3× total executor cores);
+  *  - AQE on (runtime coalescing + skew-join splitting at bench SF and up);
+  *  - UTC session timezone (oracle/cross-engine parity);
+  *  - the engine's native SQL functions (`cosine_fx`) registered.
+  */
+object Graft {
+
+  def session(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+              appName: String = "graft",
+              shufflePartitions: Option[Int] = None): SparkSession = {
+    val cores = master match {
+      case s if s.startsWith("local[") && !s.contains("*") =>
+        s.stripPrefix("local[").stripSuffix("]").toInt
+      case _ => Runtime.getRuntime.availableProcessors()
+    }
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.getOrElse(cores).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    functions.CosineFxExpr.register(spark)
+    spark
+  }
+}

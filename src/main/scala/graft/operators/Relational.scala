@@ -433,6 +433,25 @@ object Relational {
       |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cnt * 2 > s * 3
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------- temporal rollup
+  /** Monthly order rollup — date-function surface (`date_trunc`/`year`/
+    * `month`) over the order timeline.
+    */
+  def qOrdersByMonth(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("o_totalprice")))).as("revenue"))
+      .orderBy(col("y"), col("m"))
+
+  private val qOrdersByMonthSql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+      |       CAST(month(o_orderdate) AS INTEGER) AS m,
+      |       COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- cube
   /** Full CUBE over the two flag dimensions — all 2^2 grouping sets. */
   def qCube(s: SparkSession, dir: String): DataFrame =
@@ -480,6 +499,7 @@ object Relational {
 
   // ------------------------------------------------------------ export
   val queries: Map[String, Q] = Map(
+    "q_orders_by_month" -> (qOrdersByMonth _),
     "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
     "q_rollup" -> (qRollup _),
@@ -504,6 +524,7 @@ object Relational {
     "q_agg_stats" -> (qAggStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_orders_by_month" -> qOrdersByMonthSql,
     "q_cube" -> qCubeSql,
     "q_pivot" -> qPivotSql,
     "q_rollup" -> qRollupSql,
