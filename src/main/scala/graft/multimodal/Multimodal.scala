@@ -77,6 +77,53 @@ object Multimodal {
         rows.grouped(64).flatMap(batch => FakeDecoder.decodeBatch(batch)))
   }
 
+  /** Resized-image features (STUB kernel: a real implementation calls the
+    * codec's scaler; dimensions derive deterministically from the decode
+    * stub so the pipeline shape — decode → resize → features — is real).
+    */
+  final case class ResizedFeature(
+      doc_id: Long, width: Int, height: Int, scale_w: Int, scale_h: Int)
+
+  /** Frame-sample features for "video" blobs (STUB: frames are fixed-size
+    * byte windows; a real implementation seeks keyframes). One row per
+    * sampled frame — the explode-shaped output a frame pipeline needs.
+    */
+  final case class FrameFeature(
+      doc_id: Long, frame_idx: Int, offset: Int, frame_checksum: Long)
+
+  /** Decode → resize to a bounding box, preserving the batched
+    * mapPartitions shape.
+    */
+  def resizeFeatures(s: SparkSession, dir: String,
+                     maxW: Int = 224, maxH: Int = 224): Dataset[ResizedFeature] = {
+    import s.implicits._
+    decodeFeatures(s, dir).mapPartitions(_.map { f =>
+      // STUB scaler arithmetic (fit-within, integer): real impl calls the lib
+      val sw = math.min(maxW, f.width)
+      val sh = math.min(maxH, f.height)
+      ResizedFeature(f.doc_id, f.width, f.height, sw, sh)
+    })
+  }
+
+  /** Sample every `stride`-th fixed-size frame window from each blob. */
+  def frameSample(s: SparkSession, dir: String,
+                  frameBytes: Int = 32, stride: Int = 4): Dataset[FrameFeature] = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by stride).map { i =>
+          val off = i * frameBytes
+          var sum = 0L
+          var j = off
+          while (j < off + frameBytes) { sum = sum * 31 + (bytes(j) & 0xFF); j += 1 }
+          FrameFeature(id, i, off, sum)
+        }
+      })
+  }
+
   private type Q = (SparkSession, String) => DataFrame
 
   /** Blob-level stats computed without decoding — the metadata-only path

@@ -246,3 +246,36 @@ class WinnowSpec extends AnyFunSuite {
     assert(controls.forall(_ <= 0.5), s"control overlaps too high: ${controls.max}")
   }
 }
+
+/** Multimodal pipeline stages beyond decode: resize + frame sampling. */
+class MultimodalPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("resize fits every image within the bounding box, deterministically") {
+    val r = graft.multimodal.Multimodal.resizeFeatures(spark, sf, 100, 100).collect()
+    assert(r.length === graft.Tables.documents(spark, sf).count())
+    assert(r.forall(f => f.scale_w <= 100 && f.scale_h <= 100))
+    assert(r.forall(f => f.scale_w <= f.width && f.scale_h <= f.height))
+  }
+
+  test("frame sampling emits every stride-th window with in-bounds offsets") {
+    val frames = graft.multimodal.Multimodal.frameSample(spark, sf, 32, 4).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(f => f.frame_idx % 4 == 0 && f.offset == f.frame_idx * 32))
+    val again = graft.multimodal.Multimodal.frameSample(spark, sf, 32, 4).collect()
+    assert(frames.sortBy(f => (f.doc_id, f.frame_idx)).toSeq ===
+      again.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
+  }
+}
+
+/** Library facade smoke: session comes back configured with native fns. */
+class GraftFacadeSpec extends AnyFunSuite {
+  test("Graft.session registers cosine_fx") {
+    val s = graft.Graft.session("local[4]")
+    // same-JVM getOrCreate may return the shared test session; the contract
+    // is that cosine_fx is registered on whatever comes back
+    val r = s.sql("SELECT cosine_fx(array(1L, 2L), array(2L, 4L)) AS c").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+}
