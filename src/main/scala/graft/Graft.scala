@@ -34,4 +34,18 @@ object Graft {
     functions.CosineFxExpr.register(spark)
     spark
   }
+
+  /** Register every fixture table as a temp view so the whole engine
+    * surface is reachable from `spark.sql` text.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach { t =>
+        val df = t match {
+          case "events" => Tables.events(spark, sfDir) // nanos-ts handling
+          case other => Tables.load(spark, sfDir, other)
+        }
+        df.createOrReplaceTempView(t)
+      }
 }

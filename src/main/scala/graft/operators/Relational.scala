@@ -433,6 +433,74 @@ object Relational {
       |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cnt * 2 > s * 3
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------- full outer join
+  /** FULL OUTER membership accounting: which side of customer⋈orders each
+    * row falls on. Completes the join-type family (inner/left/semi/anti/
+    * cross are exercised elsewhere).
+    */
+  def qJoinFullOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_orderkey").isNull, "customer_only")
+          .otherwise("matched").as("side"))
+      .groupBy(col("side")).agg(count(lit(1)).as("n"))
+      .orderBy(col("side"))
+
+  private val qJoinFullOuterSql =
+    """SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+      |            WHEN o_orderkey IS NULL THEN 'customer_only'
+      |            ELSE 'matched' END AS side, COUNT(*) AS n
+      |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------- range-frame window
+  /** Rolling 30-day quantity per supplier — a RANGE (value-based) frame
+    * over epoch seconds, vs the ROWS frame of q_window_running. Equal
+    * order keys share the frame in both engines by RANGE semantics.
+    */
+  def qWindowRange30d(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("sec"))
+      .rangeBetween(-2592000L, 0L)
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        unix_timestamp(col("l_shipdate")).as("sec"), col("l_quantity"))
+      .withColumn("qty_30d", d(sum(dec(col("l_quantity"))).over(w)))
+      .drop("l_quantity")
+      .orderBy(col("l_suppkey"), col("sec"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val qWindowRange30dSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  epoch_ms(l_shipdate)//1000 AS sec,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey ORDER BY epoch_ms(l_shipdate)//1000
+      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_30d
+      |FROM lineitem
+      |ORDER BY l_suppkey, sec, l_orderkey, l_linenumber""".stripMargin
+
+  // -------------------------------------------------------- percentiles
+  /** Exact linear-interpolation percentiles (median/p90) — both engines
+    * interpolate `(1−g)·a + g·b`; the quantity domain is integer-valued so
+    * interpolated results are exact.
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val qPercentilesSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------- temporal rollup
   /** Monthly order rollup — date-function surface (`date_trunc`/`year`/
     * `month`) over the order timeline.
@@ -499,6 +567,9 @@ object Relational {
 
   // ------------------------------------------------------------ export
   val queries: Map[String, Q] = Map(
+    "q_join_full_outer" -> (qJoinFullOuter _),
+    "q_window_range_30d" -> (qWindowRange30d _),
+    "q_percentiles" -> (qPercentiles _),
     "q_orders_by_month" -> (qOrdersByMonth _),
     "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
@@ -524,6 +595,9 @@ object Relational {
     "q_agg_stats" -> (qAggStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_join_full_outer" -> qJoinFullOuterSql,
+    "q_window_range_30d" -> qWindowRange30dSql,
+    "q_percentiles" -> qPercentilesSql,
     "q_orders_by_month" -> qOrdersByMonthSql,
     "q_cube" -> qCubeSql,
     "q_pivot" -> qPivotSql,

@@ -279,3 +279,22 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
 }
+
+/** SQL-text reachability of the whole table surface. */
+class SqlViewsSpec extends AnyFunSuite {
+  test("registerViews makes every fixture table SQL-queryable") {
+    val spark = TestSpark.spark
+    graft.Graft.registerViews(spark, TestSpark.sf0001)
+    val joined = spark.sql(
+      """SELECT r_name, COUNT(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin).collect()
+    assert(joined.length === 5)
+    // events view must carry the converted timestamp type
+    val t = spark.sql("SELECT MIN(ts) FROM events").schema.head.dataType
+    assert(t.typeName === "timestamp")
+  }
+}
