@@ -433,6 +433,21 @@ object Relational {
       |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cnt * 2 > s * 3
       |ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------- ntile
+  /** Quartile bucketing of customers by balance (ntile window). */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val qNtileSql =
+    """SELECT c_custkey, c_acctbal,
+      |  NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   // --------------------------------------------------- full outer join
   /** FULL OUTER membership accounting: which side of customer⋈orders each
     * row falls on. Completes the join-type family (inner/left/semi/anti/
@@ -567,6 +582,7 @@ object Relational {
 
   // ------------------------------------------------------------ export
   val queries: Map[String, Q] = Map(
+    "q_ntile" -> (qNtile _),
     "q_join_full_outer" -> (qJoinFullOuter _),
     "q_window_range_30d" -> (qWindowRange30d _),
     "q_percentiles" -> (qPercentiles _),
@@ -595,6 +611,7 @@ object Relational {
     "q_agg_stats" -> (qAggStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_ntile" -> qNtileSql,
     "q_join_full_outer" -> qJoinFullOuterSql,
     "q_window_range_30d" -> qWindowRange30dSql,
     "q_percentiles" -> qPercentilesSql,

@@ -244,8 +244,36 @@ object Similarity {
       |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ----------------------------------------------- embedding array stats
+  /** Per-vector component stats — the array-function surface over
+    * embeddings: min/max components (float→double widening is exact) and
+    * the exact fixed-point squared norm.
+    */
+  def embeddingStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        array_min(col("embedding")).cast("double").as("cmin"),
+        array_max(col("embedding")).cast("double").as("cmax"),
+        size(col("embedding")).as("dim"),
+        dotFx(fixedPoint(col("embedding")), fixedPoint(col("embedding"))).as("norm_fx"))
+      .orderBy(col("vec_id"))
+
+  private val embeddingStatsSql =
+    """WITH comp AS (
+      |  SELECT vec_id, CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS x
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS norm_fx FROM comp GROUP BY vec_id)
+      |SELECT e.vec_id, e.label,
+      |  CAST(list_min(e.embedding) AS DOUBLE) AS cmin,
+      |  CAST(list_max(e.embedding) AS DOUBLE) AS cmax,
+      |  len(e.embedding) AS dim,
+      |  n.norm_fx
+      |FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+      |ORDER BY e.vec_id""".stripMargin
+
   // ------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
+    "embedding_stats" -> (embeddingStats _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "ann_cosine_topk" -> (annCosineTopk _),
@@ -257,6 +285,7 @@ object Similarity {
     * principle but kept rows-only; its recall is asserted in SimilaritySpec.
     */
   val oracles: Map[String, String] = Map(
+    "embedding_stats" -> embeddingStatsSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_topk_by_label" -> annTopkByLabelSql,

@@ -140,14 +140,42 @@ object TextAnalysis {
        |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp, len(toks) AS n_tokens
        |FROM docs ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- fuzzy match
+  /** Edit-distance fuzzy matching over a bounded sample (doc_id < 30
+    * pairwise on 60-char prefixes): the string-similarity complement to
+    * shingle Jaccard. Levenshtein is O(m·n) per pair — at scale it's a
+    * re-rank step after cheap blocking, never the candidate generator, so
+    * the query shape (small-side cross join → exact distance) is the
+    * honest one.
+    */
+  def textFuzzySample(s: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.documents(s, dir)
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("prefix"))
+    sample.as("a").join(sample.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.prefix"), col("b.prefix")).as("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val textFuzzySampleSql =
+    """WITH s AS (
+      |  SELECT doc_id, substring(text, 1, 60) AS prefix FROM documents WHERE doc_id < 30)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       levenshtein(a.prefix, b.prefix) AS edit_dist
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------ export
   val queries: Map[String, Q] = Map(
+    "text_fuzzy_sample" -> (textFuzzySample _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_fuzzy_sample" -> textFuzzySampleSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
