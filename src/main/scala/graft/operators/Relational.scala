@@ -281,6 +281,19 @@ object Relational {
       |EXCEPT SELECT o_custkey AS custkey FROM orders
       |ORDER BY custkey""".stripMargin
 
+  def qSetopIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      .intersect(o.filter(col("o_totalprice") > 300000.0).select(col("o_orderkey")))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val qSetopIntersectSql =
+    """SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT
+      |SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0
+      |ORDER BY o_orderkey""".stripMargin
+
   def qSetopUnion(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
@@ -604,6 +617,7 @@ object Relational {
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
     "q_setop_except" -> (qSetopExcept _),
+    "q_setop_intersect" -> (qSetopIntersect _),
     "q_setop_union" -> (qSetopUnion _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_json" -> (qEventsJson _),
@@ -632,6 +646,7 @@ object Relational {
     "q_join_semi" -> qJoinSemiSql,
     "q_join_anti" -> qJoinAntiSql,
     "q_setop_except" -> qSetopExceptSql,
+    "q_setop_intersect" -> qSetopIntersectSql,
     "q_setop_union" -> qSetopUnionSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_events_json" -> qEventsJsonSql,
