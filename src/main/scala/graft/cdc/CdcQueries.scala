@@ -48,7 +48,9 @@ object CdcQueries {
           nullImg.as("before"), nullImg.as("after"),
           (lit(1700000000000L) + expr("(mk * 10) div 4")).as("ts_ms"),
           lit("dev").as("db"), lit("alpha").as("table"))
-      CdcApply.snapshotByTable(ev.unionByName(truncAlpha))
+      // snapshotByTable traverses the changelog twice (per-table horizons,
+      // then the fold) — cache the union so the generator runs once.
+      CdcApply.snapshotByTable(ev.unionByName(truncAlpha).cache())
     },
     "cdc_consistency_diff" -> { (s, d) =>
       // Cache the changelog (shared input of both formulations) and both

@@ -43,9 +43,12 @@ object Relational {
         d(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
         d(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
         d(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
-        round(d(sum(dec(col("l_quantity")))) / count(lit(1)), 6).as("avg_qty"),
-        round(d(sum(dec(col("l_extendedprice")))) / count(lit(1)), 6).as("avg_price"),
-        round(d(sum(dec(col("l_discount")))) / count(lit(1)), 6).as("avg_disc"),
+        // raw double division (no rounding): identical IEEE ops on identical
+        // operands are bit-equal cross-engine, while round() can disagree
+        // when a rational lands exactly on a half-boundary of the grid
+        (d(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (d(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        (d(sum(dec(col("l_discount")))) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -55,9 +58,9 @@ object Relational {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -384,6 +387,9 @@ object Relational {
         max(col("l_extendedprice")).as("max_price"),
         d(sum(dec(col("l_extendedprice")))).as("sum_price"),
         d(sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))).as("sum_sq"))
+      // variance keeps round(4): its inputs pass through decimal->double
+      // conversions above 2^53 where DuckDB double-rounds (1-ulp drift), and
+      // unlike terminating ratios the value can't land on a rounding tie
       .withColumn("variance",
         round((col("sum_sq") - col("sum_price") * col("sum_price") / col("n")) / (col("n") - 1), 4))
       .select(col("n"), col("min_price"), col("max_price"), col("sum_price"), col("variance"))

@@ -45,8 +45,8 @@ object TextAnalysis {
         size(TextFns.tokens(col("text"))).as("n_tokens"),
         size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0))).as("n_bpeish"),
         length(col("text")).as("n_chars"),
-        round(TextFns.tokenChars(col("text")).cast("double") /
-          size(TextFns.tokens(col("text"))), 4).as("avg_tok_len"))
+        (TextFns.tokenChars(col("text")).cast("double") /
+          size(TextFns.tokens(col("text")))).as("avg_tok_len"))
       .orderBy(col("doc_id"))
 
   private val textTokensSql =
@@ -54,7 +54,7 @@ object TextAnalysis {
        |SELECT doc_id, len(toks) AS n_tokens,
        |  len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpeish,
        |  length(text) AS n_chars,
-       |  ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks), 4) AS avg_tok_len
+       |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) AS avg_tok_len
        |FROM docs ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ quality
@@ -70,11 +70,11 @@ object TextAnalysis {
         size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_uniq"),
         TextFns.countIn(toks, stopwords).as("n_stop"))
-      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 4))
-      .withColumn("uniq_ratio", round(col("n_uniq").cast("double") / col("n_tokens"), 4))
-      .withColumn("score", round(
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_tokens"))
+      .withColumn("score",
         (col("n_uniq").cast("double") / col("n_tokens")) *
-          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 4))
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")))
       .orderBy(col("doc_id"))
   }
 
@@ -83,10 +83,10 @@ object TextAnalysis {
        |SELECT doc_id, len(toks) AS n_tokens,
        |  len(list_distinct(toks)) AS n_uniq,
        |  len(list_filter(toks, t -> t IN ('the', 'a', 'value', 'data'))) AS n_stop,
-       |  ROUND(CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'value', 'data'))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
-       |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio,
-       |  ROUND((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) *
-       |        (1.0 - CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'value', 'data'))) AS DOUBLE) / len(toks)), 4) AS score
+       |  CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'value', 'data'))) AS DOUBLE) / len(toks) AS stop_ratio,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+       |  (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) *
+       |        (1.0 - CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'value', 'data'))) AS DOUBLE) / len(toks)) AS score
        |FROM docs ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ lang id

@@ -164,7 +164,7 @@ class FormulationParitySpec extends AnyFunSuite {
       inter
         .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("jaccard", round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+        .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
         .filter(col("jaccard") >= 0.8)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }
