@@ -250,7 +250,11 @@ object CdcStream {
         // truncate is.
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
           if (hasTruncate) "static" else "dynamic")
-        merged.write.mode("overwrite").partitionBy("p").parquet(stateDir)
+        // One file per bucket dir: without clustering by p, every shuffle
+        // partition writes a sliver into every bucket (buckets × partitions
+        // small files), and state reads pay the listing cost forever.
+        merged.repartition(col("p"))
+          .write.mode("overwrite").partitionBy("p").parquet(stateDir)
         merged.unpersist()
         ()
       }
