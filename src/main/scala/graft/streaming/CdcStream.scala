@@ -248,13 +248,22 @@ object CdcStream {
         // would silently keep stale. Truncate batches therefore use a
         // static (full-dir) overwrite, which is also semantically what a
         // truncate is.
+        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
           if (hasTruncate) "static" else "dynamic")
-        // One file per bucket dir: without clustering by p, every shuffle
-        // partition writes a sliver into every bucket (buckets × partitions
-        // small files), and state reads pay the listing cost forever.
-        merged.repartition(col("p"))
-          .write.mode("overwrite").partitionBy("p").parquet(stateDir)
+        try {
+          // One file per bucket dir: without clustering by p, every shuffle
+          // partition writes a sliver into every bucket (buckets × partitions
+          // small files), and state reads pay the listing cost forever.
+          merged.repartition(col("p"))
+            .write.mode("overwrite").partitionBy("p").parquet(stateDir)
+        } finally {
+          // don't leak the overwrite mode into unrelated writes on this session
+          prevMode match {
+            case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+            case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
         merged.unpersist()
         ()
       }
