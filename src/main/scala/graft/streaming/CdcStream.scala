@@ -215,7 +215,7 @@ object CdcStream {
     changelog.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         auditProjection(batch).write.mode("append").parquet(auditDir)
 
@@ -236,38 +236,42 @@ object CdcStream {
             else all.filter(col("p").isin((batchBuckets :+ -1L).map(Long.box): _*))
           }
 
-        val merged = mergeBatch(prev.drop("p"), batch)
+        // Stage the merged delta to a side directory FIRST. The final write
+        // overwrites the very files `prev` reads from, so the merge must be
+        // durably materialized with a recompute path that does not touch
+        // stateDir — cached blocks are not enough (eviction/executor loss
+        // mid-write would recompute from deleted files). The staging dir is
+        // only removed after the state write commits; a crash in between
+        // leaves it behind to be harmlessly overwritten by the re-run.
+        // repartition by p: one file per bucket dir, not buckets×partitions
+        // slivers.
+        val staging = s"$stateDir.staging"
+        mergeBatch(prev.drop("p"), batch)
           .withColumn("p",
             when(col("key").isNull, lit(-1L))
               .otherwise(pmod(col("key").cast("long"), lit(nBuckets.toLong))))
-          .persist()
-        merged.count() // materialize BEFORE overwriting the files we read from
+          .repartition(col("p"))
+          .write.mode("overwrite").partitionBy("p").parquet(staging)
 
         // Dynamic overwrite only replaces partitions present in the output —
         // a truncate can leave a bucket with zero rows, which dynamic mode
         // would silently keep stale. Truncate batches therefore use a
         // static (full-dir) overwrite, which is also semantically what a
-        // truncate is.
-        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-          if (hasTruncate) "static" else "dynamic")
-        try {
-          // One file per bucket dir: without clustering by p, every shuffle
-          // partition writes a sliver into every bucket (buckets × partitions
-          // small files), and state reads pay the listing cost forever.
-          merged.repartition(col("p"))
-            .write.mode("overwrite").partitionBy("p").parquet(stateDir)
-        } finally {
-          // don't leak the overwrite mode into unrelated writes on this session
-          prevMode match {
-            case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-            case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-          }
-        }
-        merged.unpersist()
+        // truncate is. Per-write option: no session-conf mutation to leak
+        // or race.
+        spark.read.parquet(staging)
+          .write
+          .option("partitionOverwriteMode", if (hasTruncate) "static" else "dynamic")
+          .mode("overwrite").partitionBy("p").parquet(stateDir)
+        deleteRecursively(new java.io.File(staging))
         ()
       }
       .start()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   /** Replica snapshot of a bucketed state dir. */
