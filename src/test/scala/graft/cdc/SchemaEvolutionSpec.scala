@@ -1,0 +1,63 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Wire-format forward/backward compatibility. The reference captures
+  * schema-change events but never consumes them (SURVEY §1.3); our narrow
+  * `from_json` parse must therefore tolerate envelope drift without code
+  * changes: extra fields (producer upgraded first) are ignored, missing
+  * optional fields (older producer) parse as null, and only the engine's
+  * contract fields (payload.source.pos + images) decide validity.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def parse(lines: Seq[String]) =
+    Changelog.fromEnvelopeJson(
+      spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("value"))
+
+  test("extra envelope fields from a newer producer are ignored") {
+    val withExtras =
+      """{"payload":{"before":null,
+        |"after":{"order_id":1,"invoice_number":10,"new_col":"surprise"},
+        |"source":{"ts_ms":1,"pos":7,"db":"dev","table":"invoice","sequence":"[null,\"123\"]","extra_source_field":42},
+        |"op":"c","ts_ms":1,"transaction":{"id":"tx-9","total_order":1},
+        |"brand_new_top_level":{"a":1}}}""".stripMargin.replace("\n", "")
+    val rows = parse(Seq(withExtras)).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("pos") === 7L)
+    assert(rows.head.getAs[org.apache.spark.sql.Row]("after")
+      .getAs[Int]("order_id") === 1)
+  }
+
+  test("missing optional fields from an older producer parse as null") {
+    val minimal =
+      """{"payload":{"after":{"order_id":2,"invoice_number":20},"source":{"pos":8}}}"""
+    val rows = parse(Seq(minimal)).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("pos") === 8L)
+    assert(r.getAs[String]("op") === null)      // op absent — dispatch is by nullity anyway
+    assert(r.getAs[java.lang.Long]("ts_ms") === null)
+    assert(r.getAs[org.apache.spark.sql.Row]("before") === null)
+  }
+
+  test("snapshot semantics are unchanged under mixed producer versions") {
+    val mixed = Seq(
+      """{"payload":{"after":{"order_id":5,"invoice_number":50},"source":{"pos":1}}}""",
+      """{"payload":{"before":{"order_id":5,"invoice_number":50},"after":{"order_id":5,"invoice_number":51,"extra":true},"source":{"ts_ms":2,"pos":2,"db":"dev","table":"invoice"},"op":"u","ts_ms":2,"future_field":1}}""")
+    val snap = CdcApply.snapshot(parse(mixed)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(snap.toSeq === Seq((5L, 51L)))
+  }
+
+  test("full-schema envelopes (embedded Connect schema block) parse identically") {
+    // the wire's ~90%-dead-weight `schema` sibling is pruned by omission
+    val withSchemaBlock =
+      """{"schema":{"type":"struct","fields":[{"type":"struct","fields":[{"type":"int32","optional":false,"field":"order_id"}],"optional":true,"field":"after"}],"optional":false,"name":"source.dev.invoice.Envelope"},"payload":{"before":null,"after":{"order_id":9,"invoice_number":90},"source":{"ts_ms":3,"pos":3,"db":"dev","table":"invoice"},"op":"c","ts_ms":3}}"""
+    val rows = parse(Seq(withSchemaBlock)).collect()
+    assert(rows.length === 1 && rows.head.getAs[Long]("pos") === 3L)
+  }
+}
