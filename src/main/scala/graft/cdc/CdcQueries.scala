@@ -53,10 +53,11 @@ object CdcQueries {
       CdcApply.snapshotByTable(ev.unionByName(truncAlpha).cache())
     },
     "cdc_consistency_diff" -> { (s, d) =>
-      // Cache the changelog (shared input of both formulations) and both
-      // snapshots (each feeds two exceptAll sides) — without caching the
-      // generator would run four times and each fold twice.
-      val log = Changelog.synthetic(s, d).cache()
+      // Materialize the changelog once (localCheckpoint: both snapshot
+      // formulations read the same blocks) and cache each snapshot (each
+      // feeds two exceptAll sides) — otherwise the generator runs four
+      // times and each fold twice.
+      val log = Changelog.synthetic(s, d).localCheckpoint()
       CdcApply.consistencyDiff(
         CdcApply.snapshot(log).cache(), CdcApply.snapshotViaWindow(log).cache())
     })

@@ -374,6 +374,38 @@ object Relational {
       |SELECT user_id, COUNT(*) AS n_events, CAST(1 + SUM(newf) AS BIGINT) AS n_sessions
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------- windowed top-k analytics
+  /** Top spender per hour: grouped aggregation composed with a ranking
+    * window — the "leaderboard per window" shape of stream analytics (the
+    * streaming form runs the same agg under a watermark, rank applied on
+    * the emitted finalized windows).
+    */
+  def qEventsTopUserHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+        col("user_id"))
+      .agg(d(sum(dec(col("value")))).as("total"))
+    val w = Window.partitionBy(col("hour_ts"))
+      .orderBy(col("total").desc, col("user_id"))
+    hourly.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("hour_ts"), col("user_id"), col("total"))
+      .orderBy(col("hour_ts"))
+  }
+
+  private val qEventsTopUserHourlySql =
+    """WITH hourly AS (
+      |  SELECT epoch_ms(date_trunc('hour', ts))//1000 AS hour_ts, user_id,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_ts
+      |                               ORDER BY total DESC, user_id) AS rn
+      |  FROM hourly)
+      |SELECT hour_ts, user_id, total FROM ranked WHERE rn = 1
+      |ORDER BY hour_ts""".stripMargin
+
   // -------------------------------------------------------- exact stats
   /** Global moments computed exactly: decimal sums, then identical IEEE
     * double ops on both engines (variance via the sum-of-squares identity)
@@ -628,6 +660,7 @@ object Relational {
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_json" -> (qEventsJson _),
     "q_events_sessionize" -> (qEventsSessionize _),
+    "q_events_top_user_hourly" -> (qEventsTopUserHourly _),
     "q_agg_stats" -> (qAggStats _))
 
   val oracles: Map[String, String] = Map(
@@ -657,5 +690,6 @@ object Relational {
     "q_events_hourly" -> qEventsHourlySql,
     "q_events_json" -> qEventsJsonSql,
     "q_events_sessionize" -> qEventsSessionizeSql,
+    "q_events_top_user_hourly" -> qEventsTopUserHourlySql,
     "q_agg_stats" -> qAggStatsSql)
 }
