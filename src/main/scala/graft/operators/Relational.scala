@@ -225,29 +225,36 @@ object Relational {
 
   // -------------------------------------------------- window: running
   /** Per-supplier running quantity (frame window). Decimal-exact running
-    * sum; total order within each partition via (shipdate, orderkey,
-    * linenumber).
+    * sum. The ROWS frame makes ordering part of the SEMANTICS, so the sort
+    * key must be a total order of the table — (orderkey, linenumber) alone
+    * is NOT unique in the fixtures at sf0.1 (118k duplicate pairs), and a
+    * tie between rows of different quantity makes prefix sums
+    * engine-dependent. (partkey, extendedprice) completes the unique key;
+    * the output order adds running_qty so fully-tied display rows are
+    * ordered deterministically too.
     */
   def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_shipdate"), col("l_quantity"))
+        col("l_shipdate"), col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
       .withColumn("running_qty", d(sum(dec(col("l_quantity"))).over(w)))
-      .drop("l_quantity")
-      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .drop("l_quantity", "l_partkey", "l_extendedprice")
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("running_qty"))
   }
 
   private val qWindowRunningSql =
     """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
       |    PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       |FROM lineitem
-      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, running_qty""".stripMargin
 
   // ------------------------------------------------------ semi / anti
   def qJoinSemi(s: SparkSession, dir: String): DataFrame =
@@ -405,6 +412,43 @@ object Relational {
       |  FROM hourly)
       |SELECT hour_ts, user_id, total FROM ranked WHERE rn = 1
       |ORDER BY hour_ts""".stripMargin
+
+  // -------------------------------------------------------------- funnel
+  /** Funnel conversion: users whose first `purchase` follows their first
+    * `signup`, with the conversion delay. Event-sequence analytics as one
+    * conditional-aggregation pass per user — no self-join over the event
+    * log, so the shape survives any event volume (shuffle carries one row
+    * per user).
+    */
+  def qEventsFunnel(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", unix_millis(col("ts")))).as("first_signup_ms"),
+        min(when(col("event_type") === "purchase", unix_millis(col("ts")))).as("first_purchase_ms"),
+        count(lit(1)).as("n_events"))
+      .withColumn("converted",
+        col("first_signup_ms").isNotNull && col("first_purchase_ms").isNotNull &&
+          col("first_purchase_ms") > col("first_signup_ms"))
+      .withColumn("delay_ms",
+        when(col("converted"), col("first_purchase_ms") - col("first_signup_ms")))
+      .select(col("user_id"), col("n_events"), col("converted"), col("delay_ms"))
+      .orderBy(col("user_id"))
+
+  private val qEventsFunnelSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS first_signup_ms,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS first_purchase_ms,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  (first_signup_ms IS NOT NULL AND first_purchase_ms IS NOT NULL
+      |   AND first_purchase_ms > first_signup_ms) AS converted,
+      |  CASE WHEN first_signup_ms IS NOT NULL AND first_purchase_ms IS NOT NULL
+      |            AND first_purchase_ms > first_signup_ms
+      |       THEN first_purchase_ms - first_signup_ms END AS delay_ms
+      |FROM u ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------------- exact stats
   /** Global moments computed exactly: decimal sums, then identical IEEE
@@ -661,6 +705,7 @@ object Relational {
     "q_events_json" -> (qEventsJson _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_top_user_hourly" -> (qEventsTopUserHourly _),
+    "q_events_funnel" -> (qEventsFunnel _),
     "q_agg_stats" -> (qAggStats _))
 
   val oracles: Map[String, String] = Map(
@@ -691,5 +736,6 @@ object Relational {
     "q_events_json" -> qEventsJsonSql,
     "q_events_sessionize" -> qEventsSessionizeSql,
     "q_events_top_user_hourly" -> qEventsTopUserHourlySql,
+    "q_events_funnel" -> qEventsFunnelSql,
     "q_agg_stats" -> qAggStatsSql)
 }
