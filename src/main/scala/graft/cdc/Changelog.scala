@@ -38,11 +38,28 @@ object Changelog {
     * `kafkaTs` is the Kafka record timestamp (epoch ms) used by the audit
     * log; callers without one pass the payload ts.
     */
+  /** Envelope validity: a positioned payload whose row images are each
+    * either absent or COMPLETE. Partial images (e.g. a mistyped field that
+    * PERMISSIVE `from_json` nulled) are rejected at ingress rather than
+    * allowed to flow: a null `order_id` downstream would masquerade as the
+    * engine's null-key truncate-horizon row and silently erase state, and
+    * a null `invoice_number` would kill the typed (`Dataset[CdcEvent]`)
+    * path at decode. One gate, both hazards closed.
+    */
+  private def isValidEnvelope(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def completeImage(img: org.apache.spark.sql.Column) =
+      img.isNull || (img.getField("order_id").isNotNull &&
+        img.getField("invoice_number").isNotNull)
+    e.isNotNull && e.getField("payload").isNotNull &&
+      e.getField("payload").getField("source").getField("pos").isNotNull &&
+      completeImage(e.getField("payload").getField("before")) &&
+      completeImage(e.getField("payload").getField("after"))
+  }
+
   def fromEnvelopeJson(df: DataFrame, valueCol: String = "value",
                        kafkaTsCol: Option[String] = None): DataFrame = {
     val parsed = parsedEnvelopes(df, valueCol)
-      .filter(col("e").isNotNull && col("e.payload").isNotNull &&
-        col("e.payload.source.pos").isNotNull)              // dead letters excluded
+      .filter(isValidEnvelope(col("e")))                    // dead letters excluded
     val ts = kafkaTsCol.map(col).getOrElse(col("e.payload.ts_ms"))
     parsed.select(
       col("e.payload.source.pos").as("pos"),
@@ -58,8 +75,7 @@ object Changelog {
     */
   def fromEnvelopeJsonMulti(df: DataFrame, valueCol: String = "value"): DataFrame =
     parsedEnvelopes(df, valueCol)
-      .filter(col("e").isNotNull && col("e.payload").isNotNull &&
-        col("e.payload.source.pos").isNotNull)
+      .filter(isValidEnvelope(col("e")))
       .select(
         col("e.payload.source.db").as("db"),
         col("e.payload.source.table").as("table"),
@@ -79,8 +95,7 @@ object Changelog {
     */
   def deadLetters(df: DataFrame, valueCol: String = "value"): DataFrame =
     parsedEnvelopes(df, valueCol)
-      .filter(col("e").isNull || col("e.payload").isNull ||
-        col("e.payload.source.pos").isNull)
+      .filter(!isValidEnvelope(col("e")))
       .select(col(valueCol).as("raw"), lit("unparseable_envelope").as("reason"))
 
   private def parsedEnvelopes(df: DataFrame, valueCol: String): DataFrame =

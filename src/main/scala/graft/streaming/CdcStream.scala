@@ -90,6 +90,10 @@ object CdcStream {
       .select(
         coalesce(col("after.order_id"), col("before.order_id")).as("key"),
         col("pos"), col("after"))
+      // key IS NULL is reserved for the horizon row; the ingress gate
+      // (Changelog.isValidEnvelope) already rejects keyless events, this
+      // keeps a hand-built batch from poisoning the horizon
+      .filter(col("key").isNotNull)
     val stateEvents = state.filter(col("key").isNotNull)
       .select(col("key"), col("pos"), col("after"))
 
@@ -138,20 +142,39 @@ object CdcStream {
     changelog.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        auditProjection(batch).write.mode("append").parquet(auditDir)
-        val prev = latestStateVersion(spark, stateDir) match {
-          case Some((_, df)) => df
-          case None => emptyState(spark)
-        }
-        mergeBatch(prev, batch)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$stateDir/v=${batchId + 1}")
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch.persist() // the body runs several actions; scan once
+        try {
+          writeAudit(batch, auditDir, batchId)
+          val prev = latestStateVersion(spark, stateDir) match {
+            case Some((v, df)) =>
+              // A state version newer than this batch means the checkpoint was
+              // reset against a retained stateDir — reading max(v) would then
+              // silently freeze the fold. Fail loudly instead.
+              require(v <= batchId + 1,
+                s"stateDir has version v=$v but the stream is at batch $batchId: " +
+                  "checkpointDir and stateDir must be retained (or cleared) together")
+              df
+            case None => emptyState(spark)
+          }
+          mergeBatch(prev, batch)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$stateDir/v=${batchId + 1}")
+        } finally batch.unpersist()
         ()
       }
       .start()
   }
+
+  /** Idempotent audit append: each micro-batch owns the partition dir
+    * `batch=<id>` and overwrites it, so a checkpoint-recovery replay of the
+    * batch cannot double-append events (a plain append would). Readers see
+    * the extra `batch` partition column.
+    */
+  private def writeAudit(batch: DataFrame, auditDir: String, batchId: Long): Unit =
+    auditProjection(batch).write.mode("overwrite")
+      .parquet(s"$auditDir/batch=$batchId")
 
   /** Typed per-key state via `flatMapGroupsWithState` — the
     * KeyValueGroupedDataset alternative to the foreachBatch merge for
@@ -206,7 +229,17 @@ object CdcStream {
     * Cost per batch is O(|touched buckets|) ≈ O(|delta|), independent of
     * total state size. A TRUNCATE touches every bucket by definition (the
     * horizon invalidates rows everywhere) — that one rare event pays a
-    * full rewrite, which is exactly what a truncate is. Crash mid-write:
+    * full rewrite, which is exactly what a truncate is.
+    *
+    * Durability scope: the staged write guarantees a durable recompute
+    * source, but the final dynamic-overwrite commit is not atomic ACROSS
+    * bucket directories — a crash inside that commit window can leave a
+    * touched bucket deleted-but-not-replaced, and the re-run's `prev` then
+    * misses that bucket's untouched keys. Single-writer deployments
+    * tolerate this by re-seeding from the audit log; a production
+    * deployment at scale puts this state on a transactional table format
+    * (a manifest-committed table) where the same merge is one atomic
+    * commit. Crash mid-write:
     * the checkpoint re-runs the batch and the idempotent merge converges
     * to the same content (same guarantee as the versioned writer).
     */
@@ -215,9 +248,11 @@ object CdcStream {
     changelog.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        auditProjection(batch).write.mode("append").parquet(auditDir)
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch.persist() // 3 more actions below; scan the source once
+        try {
+        writeAudit(batch, auditDir, batchId)
 
         val hasTruncate = batch
           .filter(col("before").isNull && col("after").isNull).limit(1).count() > 0
@@ -227,7 +262,8 @@ object CdcStream {
           .filter(col("p").isNotNull).distinct()
           .collect().map(_.getLong(0))
 
-        val stateExists = new java.io.File(stateDir).exists()
+        val stateExists = hadoopFs(spark, stateDir)
+          .exists(new org.apache.hadoop.fs.Path(stateDir))
         val prev =
           if (!stateExists) emptyState(spark).withColumn("p", lit(-1L))
           else {
@@ -263,16 +299,21 @@ object CdcStream {
           .write
           .option("partitionOverwriteMode", if (hasTruncate) "static" else "dynamic")
           .mode("overwrite").partitionBy("p").parquet(stateDir)
-        deleteRecursively(new java.io.File(staging))
+        hadoopFs(spark, staging)
+          .delete(new org.apache.hadoop.fs.Path(staging), true)
+        } finally batch.unpersist()
         ()
       }
       .start()
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
-  }
+  /** FileSystem for a path via the session's Hadoop conf — works for
+    * local, HDFS, and object-store state dirs alike (java.io.File would
+    * silently see "no state" on any non-local URI and discard prior state).
+    */
+  private def hadoopFs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Replica snapshot of a bucketed state dir. */
   def partitionedSnapshot(spark: SparkSession, stateDir: String): DataFrame =
@@ -280,14 +321,18 @@ object CdcStream {
 
   /** Newest state version under `stateDir`, if any. */
   def latestStateVersion(spark: SparkSession, stateDir: String): Option[(Long, DataFrame)] = {
-    val d = new java.io.File(stateDir)
-    val versions = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
-    if (versions.isEmpty) None
+    val fs = hadoopFs(spark, stateDir)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(root)) None
     else {
-      val v = versions.max
-      Some((v, spark.read.parquet(s"$stateDir/v=$v")))
+      val versions = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toLong)
+      if (versions.isEmpty) None
+      else {
+        val v = versions.max
+        Some((v, spark.read.parquet(s"$stateDir/v=$v")))
+      }
     }
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Streaming event analytics over the `events` stream shape
-  * (`ts timestamp, user_id, event_type, value, props`) — the [EXT]
+  * (`event_id, ts timestamp, user_id, event_type, value, props`) — the [EXT]
   * windowed-aggregation surface of SURVEY.md §2.10.
   *
   * Each transformation takes the (streaming or batch) events DataFrame and

@@ -56,7 +56,8 @@ class StreamingSpec extends AnyFunSuite {
 
     val audit = spark.read.parquet(s"$base/audit")
     assert(audit.count() === 6)
-    assert(audit.columns.sorted.toSeq === Seq("kafka_message", "timestamp"))
+    // per-batch partition dirs (idempotent replay) add the batch column
+    assert(audit.columns.sorted.toSeq === Seq("batch", "kafka_message", "timestamp"))
   }
 
   test("restarted stream with new data continues from checkpointed state") {
