@@ -45,3 +45,39 @@ class DeadLetterSpec extends AnyFunSuite {
     assert(Changelog.deadLetters(withNull).count() === 0)
   }
 }
+
+/** The null-key poisoning scenario: a mistyped field nulled by PERMISSIVE
+  * parsing must never reach the fold, where a null key would masquerade as
+  * the truncate-horizon marker.
+  */
+class NullKeyPoisonSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private val good =
+    """{"payload":{"before":null,"after":{"order_id":1,"invoice_number":10},"source":{"ts_ms":1,"pos":5,"db":"d","table":"t"},"op":"c","ts_ms":1}}"""
+  private val poison = // order_id mistyped -> nulled; pos higher than everything
+    """{"payload":{"before":{"order_id":"oops","invoice_number":1},"after":null,"source":{"ts_ms":1,"pos":99,"db":"d","table":"t"},"op":"d","ts_ms":1}}"""
+  private val partial = // incomplete after-image would crash typed decode
+    """{"payload":{"before":null,"after":{"order_id":7},"source":{"ts_ms":1,"pos":6,"db":"d","table":"t"},"op":"c","ts_ms":1}}"""
+
+  private def df = spark.createDataset(Seq(good, poison, partial))(
+    org.apache.spark.sql.Encoders.STRING).toDF("value")
+
+  test("malformed-image envelopes dead-letter instead of entering the fold") {
+    assert(graft.cdc.Changelog.fromEnvelopeJson(df).count() === 1)
+    assert(graft.cdc.Changelog.deadLetters(df).count() === 2)
+  }
+
+  test("the poison pos must not act as a truncate horizon") {
+    val snap = graft.cdc.CdcApply.snapshot(graft.cdc.Changelog.fromEnvelopeJson(df))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(snap.toSeq === Seq((1L, 10L))) // pos 5 < 99 yet survives
+  }
+
+  test("everything passing the gate decodes through the typed path") {
+    import spark.implicits._
+    val events = graft.cdc.Changelog.fromEnvelopeJson(df)
+      .as[graft.cdc.CdcSchema.CdcEvent].collect()
+    assert(events.length === 1 && events.head.after.get.order_id === 1)
+  }
+}
