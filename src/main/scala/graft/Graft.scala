@@ -18,11 +18,10 @@ object Graft {
   def session(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
               appName: String = "graft",
               shufflePartitions: Option[Int] = None): SparkSession = {
-    val cores = master match {
-      case s if s.startsWith("local[") && !s.contains("*") =>
-        s.stripPrefix("local[").stripSuffix("]").toInt
-      case _ => Runtime.getRuntime.availableProcessors()
-    }
+    // local[N] / local[N,maxFailures] / local[*] / cluster URLs all legal
+    val cores = scala.util.Try(
+      master.stripPrefix("local[").stripSuffix("]").split(",")(0).toInt
+    ).getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)

@@ -27,10 +27,24 @@ object Tables {
     * matching DuckDB's ns→coarser conversions exactly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try
+      load(s, d, "events")
+        // floor division (not `div`, which truncates toward zero): DuckDB's
+        // ns→µs conversion floors, and the two differ for pre-1970 values
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+    finally {
+      // the flag is consulted at schema resolution (the read above); restore
+      // so later reads of other nanos files fail loudly instead of silently
+      // yielding long columns
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -29,33 +29,46 @@ case class CosineFxExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_fx"
 
+  // Length mismatch ⇒ null, matching the HOF form exactly (zip_with
+  // null-pads the shorter side and the null poisons the aggregate) —
+  // truncating to min(n) would produce a silently wrong similarity.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0L; var nx = 0L; var ny = 0L
-    var i = 0
-    while (i < n) {
-      val xi = x.getLong(i); val yi = y.getLong(i)
-      dot += xi * yi; nx += xi * xi; ny += yi * yi
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var dot = 0L; var nx = 0L; var ny = 0L
+      var i = 0
+      while (i < n) {
+        val xi = x.getLong(i); val yi = y.getLong(i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      dot.toDouble / math.sqrt(nx.toDouble * ny.toDouble)
     }
-    dot.toDouble / math.sqrt(nx.toDouble * ny.toDouble)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val (dot, nx, ny, n, i) = (ctx.freshName("dot"), ctx.freshName("nx"),
-        ctx.freshName("ny"), ctx.freshName("n"), ctx.freshName("i"))
+      val (dot, nx, ny, n, i, xi, yi) = (ctx.freshName("dot"), ctx.freshName("nx"),
+        ctx.freshName("ny"), ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("xi"), ctx.freshName("yi"))
       s"""
-         |long $dot = 0L, $nx = 0L, $ny = 0L;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long xi = $a.getLong($i);
-         |  long yi = $b.getLong($i);
-         |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L, $nx = 0L, $ny = 0L;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $xi = $a.getLong($i);
+         |    long $yi = $b.getLong($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  ${ev.value} = (double) $dot / java.lang.Math.sqrt((double) $nx * (double) $ny);
          |}
-         |${ev.value} = (double) $dot / java.lang.Math.sqrt((double) $nx * (double) $ny);
        """.stripMargin
     })
 

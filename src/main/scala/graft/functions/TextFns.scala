@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
-  /** Whitespace tokenization of trimmed text. */
+  /** Whitespace tokenization of trimmed text. Note: empty/whitespace-only
+    * input yields `[""]` (one empty token), matching DuckDB's
+    * `string_split_regex` exactly — the oracle parity contract outranks the
+    * arguably-nicer 0-token behavior; filter empties at call sites that
+    * need them gone.
+    */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Total non-whitespace characters (token mass). */

@@ -130,11 +130,13 @@ object Multimodal {
     * that must never touch a decoder (oracle-checked).
     */
   def multimodalBlobStats(s: SparkSession, dir: String): DataFrame =
-    mediaTable(s, dir)
+    Tables.documents(s, dir)
       .select(
         col("doc_id"),
-        length(col("blob")).as("n_bytes"),
-        lower(hex(substring(col("blob"), 1, 8))).as("header"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        // slice CHARACTERS then encode, matching the oracle — a byte slice
+        // could split a multibyte codepoint and diverge on non-ASCII text
+        lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("header"),
         col("source"))
       .orderBy(col("doc_id"))
 
