@@ -22,8 +22,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries may cache/checkpoint internally; don't let 50+ queries
-      // accumulate pinned blocks in one session
+      // accumulate pinned blocks in one session (shared indexes spared)
       spark.catalog.clearCache()
+      Shared.releaseTransient(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -15,9 +15,9 @@ object CdcQueries {
   private type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "cdc_snapshot" -> ((s, d) => CdcApply.snapshot(Changelog.synthetic(s, d))),
-    "cdc_rowcount" -> ((s, d) => CdcApply.rowcount(Changelog.synthetic(s, d))),
-    "cdc_audit_log" -> ((s, d) => CdcApply.auditLog(Changelog.synthetic(s, d))),
+    "cdc_snapshot" -> ((s, d) => CdcApply.snapshot(Changelog.syntheticShared(s, d))),
+    "cdc_rowcount" -> ((s, d) => CdcApply.rowcount(Changelog.syntheticShared(s, d))),
+    "cdc_audit_log" -> ((s, d) => CdcApply.auditLog(Changelog.syntheticShared(s, d))),
     "cdc_snapshot_asof" -> { (s, d) =>
       // Time-travel to the stream's midpoint position, computed in-plan
       // (1-row broadcast). The as-of point lands after the truncate
@@ -26,7 +26,7 @@ object CdcQueries {
       val p = graft.Tables.orders(s, d)
         .agg(expr("(max(cast(o_orderkey as bigint)) * 10) div 2").as("p"))
       CdcApply.snapshot(
-        Changelog.synthetic(s, d).crossJoin(broadcast(p))
+        Changelog.syntheticShared(s, d).crossJoin(broadcast(p))
           .filter(col("pos") <= col("p")).drop("p"))
     },
     "cdc_snapshot_multitable" -> { (s, d) =>
@@ -34,7 +34,7 @@ object CdcQueries {
       // truncate only 'alpha' — per-table horizon semantics under the
       // oracle gate (MultiTableSpec covers the wire-format path).
       import org.apache.spark.sql.functions._
-      val ev = Changelog.synthetic(s, d)
+      val ev = Changelog.syntheticShared(s, d)
         .filter(!(col("before").isNull && col("after").isNull))
         .withColumn("db", lit("dev"))
         .withColumn("table",
@@ -49,15 +49,13 @@ object CdcQueries {
           (lit(1700000000000L) + expr("(mk * 10) div 4")).as("ts_ms"),
           lit("dev").as("db"), lit("alpha").as("table"))
       // snapshotByTable traverses the changelog twice (per-table horizons,
-      // then the fold) — cache the union so the generator runs once.
+      // then the fold) — cache the union so the routing runs once.
       CdcApply.snapshotByTable(ev.unionByName(truncAlpha).cache())
     },
     "cdc_consistency_diff" -> { (s, d) =>
-      // Materialize the changelog once (localCheckpoint: both snapshot
-      // formulations read the same blocks) and cache each snapshot (each
-      // feeds two exceptAll sides) — otherwise the generator runs four
-      // times and each fold twice.
-      val log = Changelog.synthetic(s, d).localCheckpoint()
+      // The shared changelog feeds both snapshot formulations; cache each
+      // snapshot (each feeds two exceptAll sides) so each fold runs once.
+      val log = Changelog.syntheticShared(s, d)
       CdcApply.consistencyDiff(
         CdcApply.snapshot(log).cache(), CdcApply.snapshotViaWindow(log).cache())
     })

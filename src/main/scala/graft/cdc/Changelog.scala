@@ -154,6 +154,14 @@ object Changelog {
       .withColumn("ts_ms", lit(1700000000000L) + col("pos"))
   }
 
+  /** [[synthetic]] as a shared materialization: the `cdc_*` family all
+    * fold over the same deterministic changelog, so the generator runs
+    * once per (session, sfDir) and every query reads the checkpointed
+    * blocks — the changelog is pipeline state, not per-query scratch.
+    */
+  def syntheticShared(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Shared.materialize(spark, sfDir, "cdc_changelog")(synthetic(spark, sfDir))
+
   /** DuckDB SQL fragment recomputing [[synthetic]] flattened to
     * (pos, op, key, a_inv, is_del, is_trunc) — the shape the oracle queries
     * fold over. Kept here so every cdc_* oracle shares one definition.
