@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression: cosine similarity of two fixed-point
   * `array<bigint>` vectors (see VectorFns — dyadic `floor(x·2^20)` lift).
@@ -23,9 +24,24 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineFxExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs are engine-constructed array<bigint> (ExpectsInputTypes is not
-  // extendable from outside org.apache.spark.sql — AbstractDataType is
-  // package-private — so input typing is by construction, not analysis).
+  // ExpectsInputTypes is not extendable from outside org.apache.spark.sql
+  // (AbstractDataType is package-private), but the registry exposes this
+  // to arbitrary SQL text — so enforce array<bigint> inputs manually at
+  // analysis time. Without this, calling cosine_fx on the natural
+  // array<float> `embedding` column would reinterpret raw bytes via
+  // ArrayData.getLong and return silently wrong numbers.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFx(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (isFx(left.dataType) && isFx(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "cosine_fx expects two array<bigint> fixed-point vectors " +
+        s"(lift floats with VectorFns.fixedPoint), got ${left.dataType.catalogString} " +
+        s"and ${right.dataType.catalogString}")
+  }
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_fx"
 

@@ -19,7 +19,7 @@ import graft.functions.VectorFns._
   *  - [[annLshHistogram]] — sign-LSH (random-hyperplane) bucket histogram:
   *    the data layout a bucketed ANN index maintains.
   *  - [[annLshTopk]] — the 100 TB search path: probe only the query's LSH
-  *    bucket ring (hamming ≤ 1 multiprobe), exact re-rank inside it. Cost
+  *    bucket ring (hamming ≤ 2 multiprobe), exact re-rank inside it. Cost
   *    per query is |bucket ring|, not |corpus|. Rows-only oracle; recall
   *    vs the brute-force baseline is asserted in SimilaritySpec.
   *

@@ -74,7 +74,21 @@ object CdcStream {
     * idempotent and insensitive to batch boundaries (proven by
     * CdcPropertySpec: any split of the changelog folds to the same state).
     */
-  def mergeBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+  def mergeBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    mergeBatch(state, batch, tombstoneGcBelow = None)
+
+  /** [[mergeBatch]] with tombstone GC: delete markers whose pos is below
+    * `tombstoneGcBelow` are dropped from the merged state. Without GC the
+    * marker set grows monotonically with every key ever deleted — at scale
+    * it eventually dominates the state. The caller supplies a redelivery
+    * watermark (a position at-or-below which the source can no longer
+    * redeliver, e.g. the committed checkpoint offset minus the broker's
+    * max redelivery window); GC'ing above that watermark re-opens the
+    * resurrection window idempotency closes, so the default keeps all
+    * markers.
+    */
+  def mergeBatch(state: DataFrame, batch: DataFrame,
+                 tombstoneGcBelow: Option[Long]): DataFrame = {
     val newHorizon = batch
       .filter(col("before").isNull && col("after").isNull)
       .agg(coalesce(max(col("pos")), lit(Long.MinValue)).as("bh"))
@@ -104,10 +118,14 @@ object CdcStream {
       .agg(max_by(struct(col("pos"), col("after")), col("pos")).as("m"))
       .select(col("key"), col("m.pos").as("pos"), col("m.after").as("after"))
 
+    val gced = tombstoneGcBelow match {
+      case Some(wm) => merged.filter(col("after").isNotNull || col("pos") >= wm)
+      case None => merged
+    }
     val horizonRow = horizon.select(
       lit(null).cast("int").as("key"), col("h").as("pos"),
       lit(null).cast(CdcSchema.invoiceType).as("after"))
-    merged.unionByName(horizonRow)
+    gced.unionByName(horizonRow)
   }
 
   /** Empty state (schema only). */
@@ -135,10 +153,15 @@ object CdcStream {
     * keyed state, written to `stateDir/v=<batchId+1>` — versioned dirs make
     * the write atomic-by-rename and replay after checkpoint recovery
     * idempotent (a re-run batch overwrites its own version, and merge
-    * idempotency makes the content identical).
+    * idempotency makes the content identical); (3) prune versions older
+    * than the newest `retainVersions` (a long-running stream would
+    * otherwise grow storage without bound — one O(|state|) copy per batch).
+    * The newest version is never pruned, and keeping ≥2 means a crash
+    * mid-write of v=n+1 still recovers from v=n.
     */
   def run(changelog: DataFrame, auditDir: String, stateDir: String,
-          checkpointDir: String): StreamingQuery = {
+          checkpointDir: String, retainVersions: Int = 3): StreamingQuery = {
+    require(retainVersions >= 2, "retainVersions must be >= 2 (current + recovery)")
     changelog.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -161,10 +184,24 @@ object CdcStream {
           mergeBatch(prev, batch)
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$stateDir/v=${batchId + 1}")
+          pruneVersions(spark, stateDir, keep = retainVersions)
         } finally batch.unpersist()
         ()
       }
       .start()
+  }
+
+  /** Delete `v=<n>` dirs older than the newest `keep` (post-commit GC). */
+  private def pruneVersions(spark: SparkSession, stateDir: String, keep: Int): Unit = {
+    val fs = hadoopFs(spark, stateDir)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    if (fs.exists(root)) {
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .sortBy(-_.getPath.getName.stripPrefix("v=").toLong)
+        .drop(keep)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
   }
 
   /** Idempotent audit append: each micro-batch owns the partition dir
@@ -231,17 +268,19 @@ object CdcStream {
     * horizon invalidates rows everywhere) — that one rare event pays a
     * full rewrite, which is exactly what a truncate is.
     *
-    * Durability scope: the staged write guarantees a durable recompute
-    * source, but the final dynamic-overwrite commit is not atomic ACROSS
-    * bucket directories — a crash inside that commit window can leave a
-    * touched bucket deleted-but-not-replaced, and the re-run's `prev` then
-    * misses that bucket's untouched keys. Single-writer deployments
-    * tolerate this by re-seeding from the audit log; a production
-    * deployment at scale puts this state on a transactional table format
-    * (a manifest-committed table) where the same merge is one atomic
-    * commit. Crash mid-write:
-    * the checkpoint re-runs the batch and the idempotent merge converges
-    * to the same content (same guarantee as the versioned writer).
+    * Commit protocol (version-pointer, single-writer): the state is a
+    * manifest-committed table. Bucket data lives under immutable
+    * `v=<batch>/p=<bucket>/` dirs; a single `_CURRENT` manifest maps each
+    * bucket to the version that owns its current data. A batch (1) writes
+    * its touched buckets under its own `v=<batchId+1>/` (never visible to
+    * readers until committed; a checkpoint-replayed batch overwrites its
+    * own version dir, and merge idempotency makes the content identical),
+    * (2) atomically renames a new `_CURRENT` over the old one — THE commit
+    * point, all buckets switch at once — then (3) deletes version dirs no
+    * manifest entry references. A crash before (2) leaves `_CURRENT`
+    * pointing at complete pre-batch state (no lost buckets — the window
+    * the old dynamic-partition-overwrite scheme could not close); a crash
+    * after (2) leaves garbage dirs that the next batch's GC removes.
     */
   def runPartitioned(changelog: DataFrame, auditDir: String, stateDir: String,
                      checkpointDir: String, nBuckets: Int = 64): StreamingQuery = {
@@ -262,49 +301,107 @@ object CdcStream {
           .filter(col("p").isNotNull).distinct()
           .collect().map(_.getLong(0))
 
-        val stateExists = hadoopFs(spark, stateDir)
-          .exists(new org.apache.hadoop.fs.Path(stateDir))
+        val manifest = readManifest(spark, stateDir)
+        val touched = (batchBuckets :+ -1L).toSet
         val prev =
-          if (!stateExists) emptyState(spark).withColumn("p", lit(-1L))
+          if (manifest.isEmpty) emptyState(spark).withColumn("p", lit(-1L))
           else {
-            val all = spark.read.parquet(stateDir)
-            if (hasTruncate) all // horizon moved: every bucket is affected
-            else all.filter(col("p").isin((batchBuckets :+ -1L).map(Long.box): _*))
+            // horizon moved ⇒ every bucket is affected; otherwise read
+            // only the touched buckets (partition-pruned per version dir)
+            val relevant =
+              if (hasTruncate) manifest
+              else manifest.view.filterKeys(touched).toMap
+            readBuckets(spark, stateDir, relevant)
           }
 
-        // Stage the merged delta to a side directory FIRST. The final write
-        // overwrites the very files `prev` reads from, so the merge must be
-        // durably materialized with a recompute path that does not touch
-        // stateDir — cached blocks are not enough (eviction/executor loss
-        // mid-write would recompute from deleted files). The staging dir is
-        // only removed after the state write commits; a crash in between
-        // leaves it behind to be harmlessly overwritten by the re-run.
+        // (1) Stage this batch's buckets under its OWN version dir — never
+        // read by `prev` (old versions are immutable), so no
+        // overwrite-what-you-read hazard and no extra staging copy.
         // repartition by p: one file per bucket dir, not buckets×partitions
         // slivers.
-        val staging = s"$stateDir.staging"
+        val newVersion = batchId + 1
         mergeBatch(prev.drop("p"), batch)
           .withColumn("p",
             when(col("key").isNull, lit(-1L))
               .otherwise(pmod(col("key").cast("long"), lit(nBuckets.toLong))))
           .repartition(col("p"))
-          .write.mode("overwrite").partitionBy("p").parquet(staging)
+          .write.mode("overwrite").partitionBy("p").parquet(s"$stateDir/v=$newVersion")
 
-        // Dynamic overwrite only replaces partitions present in the output —
-        // a truncate can leave a bucket with zero rows, which dynamic mode
-        // would silently keep stale. Truncate batches therefore use a
-        // static (full-dir) overwrite, which is also semantically what a
-        // truncate is. Per-write option: no session-conf mutation to leak
-        // or race.
-        spark.read.parquet(staging)
-          .write
-          .option("partitionOverwriteMode", if (hasTruncate) "static" else "dynamic")
-          .mode("overwrite").partitionBy("p").parquet(stateDir)
-        hadoopFs(spark, staging)
-          .delete(new org.apache.hadoop.fs.Path(staging), true)
+        // Buckets actually present in the output (a truncate can empty a
+        // bucket entirely — it must drop out of the manifest, the case
+        // dynamic partition overwrite silently got wrong).
+        val outBuckets = listBuckets(spark, s"$stateDir/v=$newVersion")
+        val base = if (hasTruncate) Map.empty[Long, Long] else manifest
+        val next = (base -- touched) ++ outBuckets.map(_ -> newVersion)
+
+        // (2) THE commit point: atomic rename over _CURRENT.
+        commitManifest(spark, stateDir, next)
+
+        // (3) GC version dirs nothing references anymore.
+        val live = next.values.toSet + newVersion
+        val fs = hadoopFs(spark, stateDir)
+        fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+          .filterNot(s => live.contains(s.getPath.getName.stripPrefix("v=").toLong))
+          .foreach(s => fs.delete(s.getPath, true))
         } finally batch.unpersist()
         ()
       }
       .start()
+  }
+
+  /** `_CURRENT` manifest: one `bucket,version` line per bucket. Empty map
+    * = no committed state.
+    */
+  private def readManifest(spark: SparkSession, stateDir: String): Map[Long, Long] = {
+    val fs = hadoopFs(spark, stateDir)
+    val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
+    if (!fs.exists(cur)) Map.empty
+    else {
+      val in = fs.open(cur)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map { l => val Array(b, v) = l.split(","); b.toLong -> v.toLong }
+        .toMap
+      finally in.close()
+    }
+  }
+
+  private def commitManifest(spark: SparkSession, stateDir: String,
+                             manifest: Map[Long, Long]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT.tmp")
+    val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
+    val fs = hadoopFs(spark, stateDir)
+    val out = fs.create(tmp, true)
+    try out.write(
+      manifest.toSeq.sorted.map { case (b, v) => s"$b,$v" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // FileContext.rename(OVERWRITE) is the atomic-replace primitive
+    // (plain FileSystem.rename won't clobber on local/HDFS). On stores
+    // without atomic rename the deployment pins the manifest elsewhere.
+    org.apache.hadoop.fs.FileContext.getFileContext(cur.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Union of each referenced version's bucket dirs, partition-pruned:
+    * group the (bucket → version) map by version, one pruned read per
+    * referenced version (bounded by nBuckets, typically 1-2 versions).
+    */
+  private def readBuckets(spark: SparkSession, stateDir: String,
+                          manifest: Map[Long, Long]): DataFrame = {
+    if (manifest.isEmpty) return emptyState(spark).withColumn("p", lit(-1L))
+    manifest.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, entries) =>
+      spark.read.option("basePath", s"$stateDir/v=$v")
+        .parquet(entries.keys.toSeq.sorted.map(b => s"$stateDir/v=$v/p=$b"): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  private def listBuckets(spark: SparkSession, versionDir: String): Seq[Long] = {
+    val fs = hadoopFs(spark, versionDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(versionDir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p="))
+      .map(_.getPath.getName.stripPrefix("p=").toLong)
   }
 
   /** FileSystem for a path via the session's Hadoop conf — works for
@@ -315,9 +412,11 @@ object CdcStream {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Replica snapshot of a bucketed state dir. */
+  /** Replica snapshot of a bucketed state dir, resolved through the
+    * `_CURRENT` manifest — readers never see an uncommitted version dir.
+    */
   def partitionedSnapshot(spark: SparkSession, stateDir: String): DataFrame =
-    snapshotOf(spark.read.parquet(stateDir).drop("p"))
+    snapshotOf(readBuckets(spark, stateDir, readManifest(spark, stateDir)).drop("p"))
 
   /** Newest state version under `stateDir`, if any. */
   def latestStateVersion(spark: SparkSession, stateDir: String): Option[(Long, DataFrame)] = {

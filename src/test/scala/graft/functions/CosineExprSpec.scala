@@ -60,6 +60,16 @@ class CosineExprSpec extends AnyFunSuite {
     assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-9))
   }
 
+  test("misuse on non-fixed-point arrays fails at analysis, not silently") {
+    CosineFxExpr.register(spark)
+    graft.Tables.embeddings(spark, sf).createOrReplaceTempView("emb_raw")
+    // the natural float column: must be an analysis error, not wrong numbers
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_fx(embedding, embedding) FROM emb_raw").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine_fx"))
+  }
+
   test("microbench: native at least as fast as HOF (informational)") {
     CosineFxExpr.register(spark)
     val p = pairs.cache(); p.count()

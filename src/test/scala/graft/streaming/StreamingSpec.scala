@@ -60,6 +60,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(audit.columns.sorted.toSeq === Seq("batch", "kafka_message", "timestamp"))
   }
 
+  test("version pruning keeps the newest retainVersions dirs only") {
+    val base = Files.createTempDirectory("graft-retain").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    // four single-line files → up to 4 micro-batches under AvailableNow;
+    // force one file per trigger via separate runs to pin version count
+    (1 to 4).foreach { i =>
+      Files.write(Paths.get(s"$in/b$i.json"),
+        env("null", s"""{"order_id":$i,"invoice_number":${i * 10}}""", "c", i).getBytes)
+      val q = CdcStream.run(CdcStream.fromFiles(spark, in),
+        s"$base/audit", s"$base/state", s"$base/ckpt", retainVersions = 2)
+      q.awaitTermination(120000)
+    }
+    val versions = new java.io.File(s"$base/state").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName).sorted.toSeq
+    assert(versions.size <= 2, s"old versions not pruned: $versions")
+    // newest version carries the full fold regardless of pruning
+    val Some((_, state)) = CdcStream.latestStateVersion(spark, s"$base/state")
+    val snap = CdcStream.snapshotOf(state).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap === (1 to 4).map(i => (i.toLong, i * 10L)))
+  }
+
+  test("tombstone GC drops old delete markers but keeps the at-least-once window") {
+    import org.apache.spark.sql.functions.col
+    val batch1 = Changelog.fromEnvelopeJson(
+      spark.createDataset(Seq(
+        env("null", """{"order_id":1,"invoice_number":10}""", "c", 1),
+        env("null", """{"order_id":2,"invoice_number":20}""", "c", 2),
+        env("""{"order_id":1,"invoice_number":10}""", "null", "d", 3)))(
+        org.apache.spark.sql.Encoders.STRING).toDF("value"))
+    val s1 = CdcStream.mergeBatch(CdcStream.emptyState(spark), batch1)
+    // marker for key 1 present without GC
+    assert(s1.filter(col("key") === 1 && col("after").isNull).count() === 1)
+    // GC watermark above the marker's pos → marker dropped, live key kept
+    val s2 = CdcStream.mergeBatch(CdcStream.emptyState(spark), batch1, Some(4L))
+    assert(s2.filter(col("key") === 1).count() === 0)
+    assert(s2.filter(col("key") === 2).count() === 1)
+    // watermark at-or-below the marker's pos → marker retained (idempotency
+    // window still open for redelivery of pos <= 3)
+    val s3 = CdcStream.mergeBatch(CdcStream.emptyState(spark), batch1, Some(3L))
+    assert(s3.filter(col("key") === 1 && col("after").isNull).count() === 1)
+  }
+
   test("restarted stream with new data continues from checkpointed state") {
     val base = Files.createTempDirectory("graft-stream2").toString
     val in = s"$base/in"; Files.createDirectories(Paths.get(in))
@@ -139,8 +181,10 @@ class PartitionedStateSpec extends org.scalatest.funsuite.AnyFunSuite {
       graft.streaming.CdcStream.fromFiles(spark, in),
       s"$base/audit", s"$base/state", s"$base/ckpt", n)
     q1.awaitTermination(120000)
-    val bucket1File = new java.io.File(s"$base/state/p=1").listFiles()
+    // manifest layout: batch 1's buckets live under v=1
+    val bucket1File = new java.io.File(s"$base/state/v=1/p=1").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    assert(bucket1File.nonEmpty)
     // batch 2: key 2 only (bucket 2) — bucket 1 must not be rewritten
     Files.write(Paths.get(s"$in/b2.json"), Seq(
       env("null", """{"order_id":2,"invoice_number":20}""", "c", 3)).mkString("\n").getBytes)
@@ -148,12 +192,57 @@ class PartitionedStateSpec extends org.scalatest.funsuite.AnyFunSuite {
       graft.streaming.CdcStream.fromFiles(spark, in),
       s"$base/audit", s"$base/state", s"$base/ckpt", n)
     q2.awaitTermination(120000)
-    val bucket1After = new java.io.File(s"$base/state/p=1").listFiles()
+    val bucket1After = new java.io.File(s"$base/state/v=1/p=1").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
     assert(bucket1After === bucket1File, "untouched bucket was rewritten")
+    // v=1 still referenced (buckets 0,1), v=2 holds bucket 2 + horizon
+    assert(new java.io.File(s"$base/state/v=1").exists())
+    assert(new java.io.File(s"$base/state/v=2").exists())
     val snap = graft.streaming.CdcStream.partitionedSnapshot(spark, s"$base/state")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(snap === Seq((0L, 5L), (1L, 10L), (2L, 20L)))
+  }
+
+  test("crash between stage and manifest commit loses no bucket; GC reclaims") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("pstate3").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      env("null", """{"order_id":0,"invoice_number":5}""", "c", 1),
+      env("null", """{"order_id":1,"invoice_number":10}""", "c", 2)).mkString("\n").getBytes)
+    val q1 = graft.streaming.CdcStream.runPartitioned(
+      graft.streaming.CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt", 8)
+    q1.awaitTermination(120000)
+    val committed = graft.streaming.CdcStream.partitionedSnapshot(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(committed === Seq((0L, 5L), (1L, 10L)))
+
+    // Simulate a writer killed between stage (version dir written) and
+    // commit (_CURRENT rename): a stale staged version appears on disk.
+    val staleDf = spark.range(1).selectExpr(
+      "CAST(99 AS INT) AS key", "CAST(999 AS BIGINT) AS pos",
+      "named_struct('order_id', CAST(99 AS INT), 'invoice_number', CAST(990 AS INT)) AS after",
+      "CAST(3 AS BIGINT) AS p")
+    staleDf.write.mode("overwrite").partitionBy("p").parquet(s"$base/state/v=77")
+
+    // Readers resolve through _CURRENT: the staged-but-uncommitted version
+    // is invisible, and no pre-crash bucket is lost.
+    val afterCrash = graft.streaming.CdcStream.partitionedSnapshot(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(afterCrash === committed, "uncommitted version leaked or a bucket was lost")
+
+    // The recovered writer re-runs; its commit GCs the unreferenced dir.
+    Files.write(Paths.get(s"$in/b2.json"), Seq(
+      env("null", """{"order_id":2,"invoice_number":20}""", "c", 3)).mkString("\n").getBytes)
+    val q2 = graft.streaming.CdcStream.runPartitioned(
+      graft.streaming.CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt", 8)
+    q2.awaitTermination(120000)
+    assert(!new java.io.File(s"$base/state/v=77").exists(), "orphan version dir not GC'd")
+    val finalSnap = graft.streaming.CdcStream.partitionedSnapshot(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(finalSnap === Seq((0L, 5L), (1L, 10L), (2L, 20L)))
   }
 
   test("truncate batch resets every bucket") {
