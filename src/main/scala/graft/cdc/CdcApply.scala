@@ -53,22 +53,35 @@ object CdcApply {
       .drop("h")
   }
 
-  /** Replica snapshot: latest surviving after-image per key, key-ordered
-    * (mirrors the reference's canonical comparison order,
-    * `tests/test_consistency.py:58-59`).
+  /** Generic replica snapshot: latest surviving after-image per key for an
+    * arbitrary table shape. All per-op reference behaviors derive from the
+    * spec — key extraction (P7), SET-columns = after minus PK (P6), and the
+    * final projection (P5) — so new tables need a `CdcTableSpec`, not new
+    * fold code. Output columns keep the image's natural types, key-ordered.
     */
-  def snapshot(changelog: DataFrame): DataFrame =
+  def snapshotFor(changelog: DataFrame, spec: CdcSchema.CdcTableSpec): DataFrame =
     afterTruncateHorizon(changelog)
-      .withColumn("key", coalesce(col("after.order_id"), col("before.order_id")))
+      .withColumn("key",
+        coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}")))
       // Wrap the nullable after-image in a struct so a final DELETE (null
       // after) is itself the max_by winner, not silently skipped.
       .groupBy(col("key"))
       .agg(max_by(struct(col("after").as("after")), col("pos")).as("last"))
       .filter(col("last.after").isNotNull)
+      .select(spec.allCols.map(c => col(s"last.after.$c").as(c)): _*)
+      .orderBy(col(spec.key))
+
+  /** Replica snapshot of the reference's invoice table: the generic fold
+    * plus the sink's UInt64 widening (`db-table-init.sql:13-14`), key-ordered
+    * (mirrors the reference's canonical comparison order,
+    * `tests/test_consistency.py:58-59`). The projection preserves the
+    * fold's key ordering — no second sort.
+    */
+  def snapshot(changelog: DataFrame): DataFrame =
+    snapshotFor(changelog, CdcSchema.invoiceSpec)
       .select(
-        col("last.after.order_id").cast("long").as("order_id"),
-        col("last.after.invoice_number").cast("long").as("invoice_number"))
-      .orderBy(col("order_id"))
+        col("order_id").cast("long").as("order_id"),
+        col("invoice_number").cast("long").as("invoice_number"))
 
   /** Same fold via a ranking window — used by the consistency diff to check
     * the two formulations agree (and in tests). One shuffle by key either

@@ -58,7 +58,11 @@ object CdcQueries {
       val log = Changelog.syntheticShared(s, d)
       CdcApply.consistencyDiff(
         CdcApply.snapshot(log).cache(), CdcApply.snapshotViaWindow(log).cache())
-    })
+    },
+    "cdc_snapshot_wide" -> ((s, d) =>
+      // The spec-parameterized fold over a 4-column mixed-type table —
+      // same operator, different CdcTableSpec, natural output types.
+      CdcApply.snapshotFor(Changelog.syntheticWide(s, d), CdcSchema.wideSpec)))
 
   private val cte = Changelog.oracleEventsCte
 
@@ -109,6 +113,35 @@ object CdcQueries {
       s"""$cte
          |SELECT 1700000000000 + pos AS log_ts, pos, op, key AS order_id
          |FROM ev ORDER BY pos""".stripMargin,
+    "cdc_snapshot_wide" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS INTEGER) AS k,
+        |         CAST(o_custkey % 100000 AS INTEGER) AS v
+        |  FROM orders
+        |), ev AS (
+        |  SELECT CAST(k AS BIGINT)*10+1 AS pos, k AS key, v AS inv,
+        |         (k*7) % 1000 AS amount,
+        |         CASE WHEN k % 2 = 0 THEN 'open' ELSE 'closed' END AS status,
+        |         FALSE AS is_del, FALSE AS is_trunc FROM base
+        |  UNION ALL
+        |  SELECT CAST(k AS BIGINT)*10+2, k, v, (k*7) % 1000 + 5000, 'paid',
+        |         FALSE, FALSE FROM base WHERE k % 4 = 0
+        |  UNION ALL
+        |  SELECT CAST(k AS BIGINT)*10+3, k, NULL, NULL, NULL, TRUE, FALSE
+        |  FROM base WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT (CAST(MAX(k) AS BIGINT)*10)//3, NULL, NULL, NULL, NULL, FALSE, TRUE
+        |  FROM base
+        |), hor AS (
+        |  SELECT COALESCE(MAX(pos), -9223372036854775808) AS h FROM ev WHERE is_trunc
+        |), live AS (
+        |  SELECT ev.* FROM ev, hor WHERE ev.pos > hor.h AND NOT ev.is_trunc
+        |), ranked AS (
+        |  SELECT key, inv, amount, status, is_del,
+        |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos DESC) AS rn
+        |  FROM live)
+        |SELECT key AS order_id, inv AS invoice_number, amount, status
+        |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin,
     "cdc_consistency_diff" ->
       s"""$cte, ranked AS (
          |  SELECT key, a_inv, is_del,

@@ -64,6 +64,34 @@ object CdcSchema {
     StructField("after", invoiceType, nullable = true),
     StructField("ts_ms", LongType, nullable = true)))
 
+  /** Table shape the apply-fold is parameterized over: primary-key column
+    * plus value columns. The reference hard-codes these
+    * (`main.py:52` column list, `main.py:57` PK name); here the reference's
+    * per-op behaviors are *derived* from the spec instead of baked in:
+    * UPDATE's SET-list = after minus PK (P6 — [[valueCols]]), the UPDATE
+    * match predicate = PK equality (P7 — [[key]]), and DELETE's full-row
+    * match (P8) is subsumed by max-pos nullity on the whole image.
+    */
+  final case class CdcTableSpec(key: String, valueCols: Seq[String]) {
+    require(!valueCols.contains(key), s"key $key must not repeat in valueCols")
+    /** P5: the full, order-stable column list (PK first). */
+    def allCols: Seq[String] = key +: valueCols
+  }
+
+  /** The reference's `dev.invoice` table as a spec. */
+  val invoiceSpec: CdcTableSpec = CdcTableSpec("order_id", Seq("invoice_number"))
+
+  /** A ≥3-value-column shape (mixed int/string) exercising the generic
+    * fold — no reference analogue; see `Changelog.syntheticWide`.
+    */
+  val wideType: StructType = StructType(Seq(
+    StructField("order_id", IntegerType, nullable = true),
+    StructField("invoice_number", IntegerType, nullable = true),
+    StructField("amount", IntegerType, nullable = true),
+    StructField("status", StringType, nullable = true)))
+
+  val wideSpec: CdcTableSpec = CdcTableSpec("order_id", Seq("invoice_number", "amount", "status"))
+
   /** Typed view of a row image, for Dataset paths / stateful streaming. */
   final case class Invoice(order_id: Int, invoice_number: Int)
 

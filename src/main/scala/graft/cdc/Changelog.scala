@@ -47,9 +47,11 @@ object Changelog {
     * path at decode. One gate, both hazards closed.
     */
   private def isValidEnvelope(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // Image completeness is derived from the table spec (absent or every
+    // spec column present), not a hard-coded column pair.
     def completeImage(img: org.apache.spark.sql.Column) =
-      img.isNull || (img.getField("order_id").isNotNull &&
-        img.getField("invoice_number").isNotNull)
+      img.isNull || CdcSchema.invoiceSpec.allCols
+        .map(c => img.getField(c).isNotNull).reduce(_ && _)
     e.isNotNull && e.getField("payload").isNotNull &&
       e.getField("payload").getField("source").getField("pos").isNotNull &&
       completeImage(e.getField("payload").getField("before")) &&
@@ -151,6 +153,47 @@ object Changelog {
         nullImg.as("before"), nullImg.as("after"))
 
     perKey.unionByName(truncates)
+      .withColumn("ts_ms", lit(1700000000000L) + col("pos"))
+  }
+
+  /** Deterministic changelog over a 4-column table shape
+    * (`CdcSchema.wideType`: int PK + two int values + a string status) —
+    * exercises `CdcApply.snapshotFor` with a spec the reference never had.
+    * Workload (k = orderkey, v = custkey % 100000):
+    *  - every key:    INSERT (pos k*10+1)  (k, v, (k*7)%1000, open|closed by parity)
+    *  - keys k%4==0:  UPDATE (pos k*10+2)  amount += 5000, status = 'paid'
+    *  - keys k%11==0: DELETE (pos k*10+3)
+    *  - one TRUNCATE at pos = (max(k)*10) div 3
+    */
+  def syntheticWide(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey").cast("int").as("k"),
+        (col("o_custkey") % 100000).cast("int").as("v"))
+    def img(id: org.apache.spark.sql.Column, inv: org.apache.spark.sql.Column,
+            amt: org.apache.spark.sql.Column, st: org.apache.spark.sql.Column) =
+      struct(id.as("order_id"), inv.as("invoice_number"), amt.as("amount"), st.as("status"))
+    val nullImg = lit(null).cast(CdcSchema.wideType)
+    val amt0 = (col("k") * 7) % 1000
+    val st0 = when(col("k") % 2 === 0, "open").otherwise("closed")
+    val inserts = base.select(
+      (col("k").cast("long") * 10 + 1).as("pos"), lit("c").as("op"),
+      nullImg.as("before"), img(col("k"), col("v"), amt0, st0).as("after"))
+    val updates = base.filter(col("k") % 4 === 0).select(
+      (col("k").cast("long") * 10 + 2).as("pos"), lit("u").as("op"),
+      img(col("k"), col("v"), amt0, st0).as("before"),
+      img(col("k"), col("v"), amt0 + 5000, lit("paid")).as("after"))
+    val lastImg = img(col("k"), col("v"),
+      when(col("k") % 4 === 0, amt0 + 5000).otherwise(amt0),
+      when(col("k") % 4 === 0, lit("paid")).otherwise(st0))
+    val deletes = base.filter(col("k") % 11 === 0).select(
+      (col("k").cast("long") * 10 + 3).as("pos"), lit("d").as("op"),
+      lastImg.as("before"), nullImg.as("after"))
+    val truncates = base.agg(max(col("k").cast("long")).as("mk"))
+      .select(
+        expr("(mk * 10) div 3").as("pos"), lit("t").as("op"),
+        nullImg.as("before"), nullImg.as("after"))
+    inserts.unionByName(updates).unionByName(deletes).unionByName(truncates)
       .withColumn("ts_ms", lit(1700000000000L) + col("pos"))
   }
 
