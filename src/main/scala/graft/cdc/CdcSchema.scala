@@ -38,12 +38,22 @@ object CdcSchema {
     StructField("db", StringType, nullable = true),
     StructField("table", StringType, nullable = true)))
 
+  /** `ddl`/`databaseName` identify Debezium *schema-change* events
+    * (emitted because the reference config sets `include.schema.changes:
+    * "true"`, `debezium-config-push.sh:21`; history topic `:20`). They are
+    * parsed so ingress can ROUTE them: a schema-change payload has a
+    * `source.pos` and no row images, which the nullity dispatch would
+    * otherwise read as a TRUNCATE — a DDL event must never move the
+    * truncate horizon.
+    */
   val payloadType: StructType = StructType(Seq(
     StructField("before", invoiceType, nullable = true),
     StructField("after", invoiceType, nullable = true),
     StructField("source", sourceType, nullable = true),
     StructField("op", StringType, nullable = true),
-    StructField("ts_ms", LongType, nullable = true)))
+    StructField("ts_ms", LongType, nullable = true),
+    StructField("ddl", StringType, nullable = true),
+    StructField("databaseName", StringType, nullable = true)))
 
   /** Narrow envelope: only `payload` is parsed; the Connect `schema` block is
     * pruned by omission.

@@ -52,11 +52,19 @@ object Changelog {
     def completeImage(img: org.apache.spark.sql.Column) =
       img.isNull || CdcSchema.invoiceSpec.allCols
         .map(c => img.getField(c).isNotNull).reduce(_ && _)
+    // A schema-change event is NOT a data event: it has source.pos and no
+    // row images, so without the ddl exclusion the nullity dispatch would
+    // read it as a TRUNCATE and silently erase state below its pos.
     e.isNotNull && e.getField("payload").isNotNull &&
+      !isSchemaChange(e) &&
       e.getField("payload").getField("source").getField("pos").isNotNull &&
       completeImage(e.getField("payload").getField("before")) &&
       completeImage(e.getField("payload").getField("after"))
   }
+
+  private def isSchemaChange(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    e.isNotNull && e.getField("payload").isNotNull &&
+      e.getField("payload").getField("ddl").isNotNull
 
   def fromEnvelopeJson(df: DataFrame, valueCol: String = "value",
                        kafkaTsCol: Option[String] = None): DataFrame = {
@@ -97,8 +105,26 @@ object Changelog {
     */
   def deadLetters(df: DataFrame, valueCol: String = "value"): DataFrame =
     parsedEnvelopes(df, valueCol)
-      .filter(!isValidEnvelope(col("e")))
+      .filter(!isValidEnvelope(col("e")) && !isSchemaChange(col("e")))
       .select(col(valueCol).as("raw"), lit("unparseable_envelope").as("reason"))
+
+  /** Schema-history routing: DDL events (captured because the reference
+    * config sets `include.schema.changes: "true"`,
+    * `/root/reference/debezium-config-push.sh:20-21`) are logged to a typed
+    * schema-history table — neither quarantined as dead letters (they are
+    * well-formed) nor allowed into the changelog (where their dual-null
+    * images would masquerade as a truncate). Ingress forks three ways:
+    * [[fromEnvelopeJson]] ∪ [[schemaHistory]] ∪ [[deadLetters]] partition
+    * the non-tombstone stream.
+    */
+  def schemaHistory(df: DataFrame, valueCol: String = "value"): DataFrame =
+    parsedEnvelopes(df, valueCol)
+      .filter(isSchemaChange(col("e")))
+      .select(
+        col("e.payload.databaseName").as("db"),
+        col("e.payload.source.pos").as("pos"),
+        col("e.payload.ts_ms").as("ts_ms"),
+        col("e.payload.ddl").as("ddl"))
 
   private def parsedEnvelopes(df: DataFrame, valueCol: String): DataFrame =
     df.filter(col(valueCol).isNotNull)                      // P1 tombstone filter

@@ -35,6 +35,32 @@ class DeadLetterSpec extends AnyFunSuite {
     assert(parsed === 1 && parsed + dead === 4)
   }
 
+  test("schema-change envelopes route to schema history, not dead letters") {
+    // Debezium schema-change event (include.schema.changes=true,
+    // debezium-config-push.sh:21): has source.pos + ddl, no row images.
+    val ddlEvent =
+      """{"payload":{"source":{"ts_ms":9,"pos":999,"db":"dev"},"databaseName":"dev","ddl":"ALTER TABLE dev.invoice ADD COLUMN note VARCHAR(64)","ts_ms":9}}"""
+    val in = df(Seq(good, ddlEvent, notJson))
+    val hist = Changelog.schemaHistory(in).collect()
+    assert(hist.length === 1)
+    assert(hist.head.getString(0) === "dev")
+    assert(hist.head.getLong(1) === 999L)
+    assert(hist.head.getString(3).startsWith("ALTER TABLE"))
+    // three-way partition: changelog=1, history=1, dead=1
+    assert(Changelog.fromEnvelopeJson(in).count() === 1)
+    assert(Changelog.deadLetters(in).count() === 1)
+  }
+
+  test("a DDL event's pos must never act as a truncate horizon") {
+    val ddlEvent = // pos above every data event
+      """{"payload":{"source":{"ts_ms":9,"pos":999,"db":"dev"},"databaseName":"dev","ddl":"DROP TABLE dev.scratch","ts_ms":9}}"""
+    val in = df(Seq(good, ddlEvent))
+    val snap = CdcApply.snapshot(Changelog.fromEnvelopeJson(in))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pos 5 < 999, yet the insert survives: the DDL was routed, not folded
+    assert(snap.toSeq === Seq((1L, 1L)))
+  }
+
   test("tombstones are skipped by both paths (not dead letters)") {
     val withNull = spark.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row(good), org.apache.spark.sql.Row(null)),
