@@ -271,6 +271,26 @@ object Similarity {
       |FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
       |ORDER BY e.vec_id""".stripMargin
 
+  // Probe-ring membership (37 explicit codes at hamming ≤ 2) is equivalent
+  // to bit_count(code XOR qcode) <= 2 over the 8-bit code domain — the
+  // oracle states it as the predicate, the engine as the broadcast probe
+  // list (which at scale prunes partitions instead of scanning).
+  private val annLshTopkSql =
+    s"""$compCte, proj AS (
+       |  SELECT c.vec_id, j,
+       |         SUM(c.x * (CASE WHEN (c.i0 * 31 + j * 17) % 7 < 3 THEN 1 ELSE -1 END)) AS dot
+       |  FROM comp c, generate_series(0, 7) AS t(j)
+       |  GROUP BY c.vec_id, j),
+       |codes AS (
+       |  SELECT vec_id,
+       |         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS code
+       |  FROM proj GROUP BY vec_id),
+       |qc AS (SELECT code AS qcode FROM codes WHERE vec_id = 0)
+       |SELECT c.vec_id, codes.code, c.cosine
+       |FROM cos c JOIN codes ON codes.vec_id = c.vec_id, qc
+       |WHERE bit_count(xor(codes.code, qc.qcode)) <= 2
+       |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "embedding_stats" -> (embeddingStats _),
@@ -281,13 +301,11 @@ object Similarity {
     "ann_lsh_histogram" -> (annLshHistogram _),
     "ann_lsh_topk" -> (annLshTopk _))
 
-  /** ann_lsh_topk probes a hash-designed bucket ring — SQL-expressible in
-    * principle but kept rows-only; its recall is asserted in SimilaritySpec.
-    */
   val oracles: Map[String, String] = Map(
     "embedding_stats" -> embeddingStatsSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_topk_by_label" -> annTopkByLabelSql,
-    "ann_lsh_histogram" -> annLshHistogramSql)
+    "ann_lsh_histogram" -> annLshHistogramSql,
+    "ann_lsh_topk" -> annLshTopkSql)
 }

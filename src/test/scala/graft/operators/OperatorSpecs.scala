@@ -228,7 +228,7 @@ class WinnowSpec extends AnyFunSuite {
 
   test("near-dup pairs share most fingerprints; random pairs share few") {
     val idx = Dedup.winnowIndex(spark, sf).collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
     val nearDups = Dedup.dedupNgramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(nearDups.nonEmpty)
