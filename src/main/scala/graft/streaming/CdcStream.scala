@@ -36,17 +36,34 @@ object CdcStream {
     * re-merge), plus one `key IS NULL` row carrying the truncate horizon.
     */
 
-  /** Kafka ingress (production): value bytes → normalized changelog. */
-  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame = {
-    val raw = spark.readStream
+  /** Kafka ingress (production): value bytes → normalized changelog.
+    *
+    * Environment boundary: the sandbox ships neither the
+    * `spark-sql-kafka` connector nor any broker, so this source cannot be
+    * exercised end-to-end here (no jar, no egress — `format("kafka")`
+    * would not even resolve). The tested boundary is
+    * [[fromKafkaRelation]]: everything after `.load()` is a pure function
+    * over the connector's documented output relation (key/value binary,
+    * topic, partition, offset, timestamp, timestampType), and
+    * KafkaContractSpec drives it with exactly that schema — tombstones,
+    * golden envelopes, and the record-timestamp conversion included.
+    */
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    fromKafkaRelation(spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", "latest") // reference main.py:27 auto_offset_reset
-      .load()
-      .select(col("value").cast("string").as("value"),
-        (col("timestamp").cast("double") * 1000).cast("long").as("kafka_ts"))
-    Changelog.fromEnvelopeJson(raw, "value", Some("kafka_ts"))
+      .load())
+
+  /** Kafka source relation → normalized changelog (value bytes cast to
+    * string, record timestamp to epoch-ms for the audit log — reference
+    * `main.py:35` pairs each message with its Kafka ingest timestamp).
+    */
+  def fromKafkaRelation(raw: DataFrame): DataFrame = {
+    val vals = raw.select(col("value").cast("string").as("value"),
+      (col("timestamp").cast("double") * 1000).cast("long").as("kafka_ts"))
+    Changelog.fromEnvelopeJson(vals, "value", Some("kafka_ts"))
   }
 
   /** File ingress (tests / replay): one envelope JSON per line. */
