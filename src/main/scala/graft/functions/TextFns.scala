@@ -24,6 +24,12 @@ object TextFns {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Canonical content fingerprint: md5 of the whitespace-normalized token
+    * stream — the ONE definition both exact dedup (group key) and the
+    * published `text_fingerprint` column share, so they cannot drift.
+    */
+  def fingerprint(text: Column): Column = md5(array_join(tokens(text), " "))
+
   /** Total non-whitespace characters (token mass). */
   def tokenChars(text: Column): Column = length(regexp_replace(text, "\\s+", ""))
 

@@ -18,11 +18,19 @@ object Layout {
   /** Write `events` Hive-partitioned by event_type (+ sorted within
     * partitions by ts so min/max row-group stats make ts range filters
     * effective too).
+    *
+    * The sort leads with the partition column: a partitioned write
+    * requires child ordering on its partition columns, so sorting by ts
+    * alone would make Spark insert its own Sort(event_type) on top —
+    * paying a second sort AND losing the ts clustering whenever that sort
+    * spills (spill-merge does not preserve the input order of equal keys).
+    * (event_type, ts) satisfies the required prefix, so one sort does
+    * both jobs and the ts clustering is contractual.
     */
   def writeEventsPartitioned(s: SparkSession, sfDir: String, out: String): Unit =
     Tables.events(s, sfDir)
       .repartition(col("event_type"))
-      .sortWithinPartitions(col("ts"))
+      .sortWithinPartitions(col("event_type"), col("ts"))
       .write.mode("overwrite")
       .partitionBy("event_type")
       .parquet(out)

@@ -345,15 +345,19 @@ object Relational {
     */
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      // no-match regexp_extract yields "", and under ANSI mode (Spark 4
+      // default) "".cast(int) THROWS — nullif makes a props row without
+      // "k" contribute null (which sum/max skip) instead of failing the query
+      .withColumn("k",
+        nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit("")).cast("int"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
   private val qEventsJsonSql =
     """SELECT event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
-      |  MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS max_k
+      |  CAST(SUM(CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INTEGER)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INTEGER)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Gap-based sessionization (30-min inactivity) — lag window + grouped
@@ -507,15 +511,20 @@ object Relational {
     * hinges on a float ulp; the oracle uses the decorrelated join form.
     */
   def qSqlCorrSubquery(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
-    s.sql(
-      """SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders_v o
-        |WHERE CAST(o_totalprice AS DECIMAL(18,2))
-        |        * (SELECT COUNT(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey) * 2
-        |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-        |         FROM orders_v i WHERE i.o_custkey = o.o_custkey) * 3
-        |ORDER BY o_orderkey""".stripMargin)
+    // Namespaced internal view, dropped after spark.sql's EAGER analysis
+    // resolves it (the returned DataFrame keeps the resolved relation) —
+    // no lingering session state and no clobbering of a user's view name.
+    val view = "graft_internal_orders_corr"
+    Tables.orders(s, dir).createOrReplaceTempView(view)
+    try s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM $view o
+         |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+         |        * (SELECT COUNT(*) FROM $view i WHERE i.o_custkey = o.o_custkey) * 2
+         |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         |         FROM $view i WHERE i.o_custkey = o.o_custkey) * 3
+         |ORDER BY o_orderkey""".stripMargin)
+    finally s.catalog.dropTempView(view)
   }
 
   private val qSqlCorrSubquerySql =

@@ -72,21 +72,22 @@ object TextAnalysis {
         TextFns.countIn(toks, stopwords).as("n_stop"))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
       .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_tokens"))
-      .withColumn("score",
-        (col("n_uniq").cast("double") / col("n_tokens")) *
-          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")))
+      .withColumn("score", col("uniq_ratio") * (lit(1.0) - col("stop_ratio")))
       .orderBy(col("doc_id"))
   }
+
+  // single source of truth for the oracle's stopword membership test
+  private val stopSql = stopwords.map(w => s"'$w'").mkString("t -> t IN (", ", ", ")")
 
   private val textQualitySql =
     s"""$docsCte
        |SELECT doc_id, len(toks) AS n_tokens,
        |  len(list_distinct(toks)) AS n_uniq,
-       |  len(list_filter(toks, t -> t IN ('the', 'a', 'value', 'data'))) AS n_stop,
-       |  CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'value', 'data'))) AS DOUBLE) / len(toks) AS stop_ratio,
+       |  len(list_filter(toks, $stopSql)) AS n_stop,
+       |  CAST(len(list_filter(toks, $stopSql)) AS DOUBLE) / len(toks) AS stop_ratio,
        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
        |  (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) *
-       |        (1.0 - CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'value', 'data'))) AS DOUBLE) / len(toks)) AS score
+       |        (1.0 - CAST(len(list_filter(toks, $stopSql)) AS DOUBLE) / len(toks)) AS score
        |FROM docs ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ lang id
@@ -131,7 +132,7 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
-        md5(array_join(TextFns.tokens(col("text")), " ")).as("fp"),
+        TextFns.fingerprint(col("text")).as("fp"),
         size(TextFns.tokens(col("text"))).as("n_tokens"))
       .orderBy(col("doc_id"))
 
