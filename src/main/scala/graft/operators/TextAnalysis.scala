@@ -141,6 +141,54 @@ object TextAnalysis {
        |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp, len(toks) AS n_tokens
        |FROM docs ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- tf-idf
+  /** Top-3 characteristic terms per document by tf·(N/df) — the tf-idf
+    * family with the RAW inverse document frequency instead of its log:
+    * ln() is not bit-reproducible across engines (Java vs C runtime
+    * libms), while tf·N is an exact integer and one IEEE division is —
+    * and the log is monotone in N/df, so for fixed tf the per-term
+    * RANKING the query publishes is unchanged. Deterministic total order
+    * via (score desc, term asc).
+    *
+    * Plan shape: one explode → (doc, term) count, df derived FROM the tf
+    * aggregate (no second corpus scan), N broadcast in-plan, one window
+    * by doc — two shuffles total at any scale.
+    */
+  def textTfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  private val textTfidfTopkSql =
+    s"""$docsCte,
+       |terms AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+       |         CAST(tf.tf * n.n AS DOUBLE) / dft.df AS score
+       |  FROM tf JOIN dft USING (term), n),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                               ORDER BY score DESC, term ASC) AS rn
+       |  FROM scored)
+       |SELECT doc_id, rn, term, tf, df, score
+       |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   // ------------------------------------------------------- fuzzy match
   /** Edit-distance fuzzy matching over a bounded sample (doc_id < 30
     * pairwise on 60-char prefixes): the string-similarity complement to
@@ -173,12 +221,14 @@ object TextAnalysis {
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_tfidf_topk" -> (textTfidfTopk _))
 
   val oracles: Map[String, String] = Map(
     "text_fuzzy_sample" -> textFuzzySampleSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_tfidf_topk" -> textTfidfTopkSql)
 }
