@@ -23,7 +23,8 @@ object SparkEntry {
     cdc.CdcQueries.queries ++ operators.Relational.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.Similarity.queries ++ multimodal.Multimodal.queries ++
-      operators.Skew.queries ++ operators.AsofJoin.queries
+      operators.Skew.queries ++ operators.AsofJoin.queries ++
+      operators.RangeJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
@@ -33,5 +34,6 @@ object SparkEntry {
     cdc.CdcQueries.oracles ++ operators.Relational.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
       operators.Similarity.oracles ++ multimodal.Multimodal.oracles ++
-      operators.Skew.oracles ++ operators.AsofJoin.oracles
+      operators.Skew.oracles ++ operators.AsofJoin.oracles ++
+      operators.RangeJoin.oracles
 }
