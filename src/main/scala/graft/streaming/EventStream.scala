@@ -48,4 +48,36 @@ object EventStream {
     */
   def dedupByEventId(events: DataFrame): DataFrame =
     events.dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Stream-stream interval join: each purchase paired with the same
+    * user's view events from the preceding hour (view_ts ∈
+    * [purchase_ts − 1h, purchase_ts]).
+    *
+    * Takes the RAW stream — each side declares its OWN watermark (the
+    * two-watermark shape stream-stream joins require; do not pre-apply
+    * [[watermarked]]). The watermarks plus the bounded time-range
+    * condition let Spark GC both join buffers: a view older than
+    * (watermark − 1h) can never match a future purchase and its state is
+    * dropped, so state stays O(time window × arrival rate) on an
+    * unbounded stream. Inner join: a pair emits as soon as both sides
+    * have arrived. Batch mode runs the identical plan (watermarks are
+    * no-ops), so the semantics are oracle-checkable offline — the as-of
+    * variant of this attribution is `q_asof_join`.
+    */
+  def purchaseViewJoin(events: DataFrame, delay: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", delay)
+    purchases.join(views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
+        col("view_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"))
+  }
 }

@@ -73,6 +73,44 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding views") {
+    val in = Files.createTempDirectory("evt4").toString
+    // batch 1: views arrive first (their buffer must persist across batches)
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      line(1, "2024-01-01 10:00:00", 1, "view", 0.0),
+      line(2, "2024-01-01 10:30:00", 1, "view", 0.0),
+      line(3, "2024-01-01 08:00:00", 2, "view", 0.0)).mkString("\n").getBytes)
+    val q = EventStream.purchaseViewJoin(streamFrom(in, Some(1)))
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: purchases — user 1 inside the 1h window of both views;
+      // user 2's only view is 2h30 old (outside the window, no match)
+      Files.write(Paths.get(s"$in/b2.json"), Seq(
+        line(10, "2024-01-01 10:45:00", 1, "purchase", 9.0),
+        line(11, "2024-01-01 10:30:00", 2, "purchase", 9.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val pairs = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).sorted
+      assert(pairs.toSeq === Seq((10L, 1L), (10L, 2L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream join in batch mode runs the identical plan") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (10L, java.sql.Timestamp.valueOf("2024-01-01 10:45:00"), 1L, "purchase", 9.0),
+      (11L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "purchase", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val pairs = EventStream.purchaseViewJoin(batch).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    // 10:45 purchase matches the 10:00 view; the 12:00 purchase is > 1h after
+    assert(pairs.toSeq === Seq((10L, 1L)))
+  }
+
   test("dropDuplicatesWithinWatermark keeps first arrival per event_id") {
     val in = Files.createTempDirectory("evt3").toString
     Files.write(Paths.get(s"$in/a.json"), Seq(
