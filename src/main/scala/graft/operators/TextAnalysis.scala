@@ -150,20 +150,23 @@ object TextAnalysis {
     * RANKING the query publishes is unchanged. Deterministic total order
     * via (score desc, term asc).
     *
-    * Plan shape: one explode → (doc, term) count, df derived FROM the tf
-    * aggregate (no second corpus scan), N broadcast in-plan, one window
-    * by doc — two shuffles total at any scale.
+    * Plan shape: ONE corpus scan → (doc, term) count; df as a
+    * term-partitioned window count over the tf rows (a tf-derived
+    * `groupBy(term)` + join would recompute the whole tf subtree — Spark
+    * reuses exchanges, not divergent aggregates — i.e. a second full
+    * corpus explode at scale); N broadcast in-plan; doc-keyed ranking
+    * window with Spark's WindowGroupLimit pushing the top-3.
     */
   def textTfidfTopk(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
       .withColumn("rn", row_number().over(w))
