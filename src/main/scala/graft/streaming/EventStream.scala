@@ -49,6 +49,26 @@ object EventStream {
   def dedupByEventId(events: DataFrame): DataFrame =
     events.dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Session-window aggregation: per-user sessions closed by `gap` of
+    * inactivity, via the native `session_window` — Spark's merging window
+    * state (sessions extend/merge as events arrive; a session emits in
+    * append mode once the watermark passes its close). The relational
+    * formulation of the same semantics is `q_events_sessionize`
+    * (lag + cumulative flag), oracle-checked in batch; this is its
+    * streaming-native form with state bounded by the watermark. Input
+    * must be [[watermarked]].
+    */
+  def sessionsByUser(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Stream-stream interval join: each purchase paired with the same
     * user's view events from the preceding hour (view_ts ∈
     * [purchase_ts − 1h, purchase_ts]).

@@ -73,6 +73,34 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows merge by inactivity gap and emit past the watermark") {
+    val in = Files.createTempDirectory("evt5").toString
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      line(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      line(2, "2024-01-01 10:10:00", 1, "click", 2.0), // merges into session 1
+      line(3, "2024-01-01 11:30:00", 1, "click", 4.0), // > 30min gap: new session
+      line(4, "2024-01-01 10:05:00", 2, "view", 8.0)).mkString("\n").getBytes)
+    val q = EventStream.sessionsByUser(EventStream.watermarked(streamFrom(in, Some(1))))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark (2h delay) past every session's close
+      Files.write(Paths.get(s"$in/b2.json"), Seq(
+        line(9, "2024-01-01 15:00:00", 3, "click", 0.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+          r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._3, t._1))
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 1L, 2L, 3.0),
+        ("2024-01-01 11:30:00.0", "2024-01-01 12:00:00.0", 1L, 1L, 4.0),
+        ("2024-01-01 10:05:00.0", "2024-01-01 10:35:00.0", 2L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with preceding views") {
     val in = Files.createTempDirectory("evt4").toString
     // batch 1: views arrive first (their buffer must persist across batches)
