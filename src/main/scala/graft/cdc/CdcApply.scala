@@ -112,7 +112,11 @@ object CdcApply {
     * hash-shuffle on (db, table, key) — adding tables adds keys, not
     * stages.
     */
-  def snapshotByTable(changelog: DataFrame): DataFrame = {
+  /** Generic multi-table fold, parameterized like [[snapshotFor]]; output
+    * is (db, table, spec columns) in natural types, (db, table, key)
+    * ordered.
+    */
+  def snapshotByTableFor(changelog: DataFrame, spec: CdcSchema.CdcTableSpec): DataFrame = {
     val horizons = changelog
       .filter(col("before").isNull && col("after").isNull)
       .groupBy(col("db"), col("table"))
@@ -121,15 +125,22 @@ object CdcApply {
       .filter(!(col("before").isNull && col("after").isNull))
       .join(broadcast(horizons), Seq("db", "table"), "left")
       .filter(col("h").isNull || col("pos") > col("h"))
-      .withColumn("key", coalesce(col("after.order_id"), col("before.order_id")))
+      .withColumn("key",
+        coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}")))
       .groupBy(col("db"), col("table"), col("key"))
       .agg(max_by(struct(col("after").as("after")), col("pos")).as("last"))
       .filter(col("last.after").isNotNull)
-      .select(col("db"), col("table"),
-        col("last.after.order_id").cast("long").as("order_id"),
-        col("last.after.invoice_number").cast("long").as("invoice_number"))
-      .orderBy(col("db"), col("table"), col("order_id"))
+      .select(col("db") +: col("table") +:
+        spec.allCols.map(c => col(s"last.after.$c").as(c)): _*)
+      .orderBy(col("db"), col("table"), col(spec.key))
   }
+
+  /** Invoice-table multi-table fold with the sink's UInt64 widening. */
+  def snapshotByTable(changelog: DataFrame): DataFrame =
+    snapshotByTableFor(changelog, CdcSchema.invoiceSpec)
+      .select(col("db"), col("table"),
+        col("order_id").cast("long").as("order_id"),
+        col("invoice_number").cast("long").as("invoice_number"))
 
   /** Time-travel: the replica as of binlog position `pos` (inclusive).
     * Because the fold is a pure function of the event set, "as of" is just

@@ -44,8 +44,45 @@ object Skew {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Skew-resistant join: salt the (skewed) probe side deterministically,
+    * REPLICATE the build side once per salt, and equi-join on
+    * (key, salt) — each hot key's rows spread over `nSalts` reducers
+    * instead of one. Build-side cost is |build| × nSalts rows, which is
+    * the explicit trade when the build side is too big to broadcast but
+    * the probe's key distribution is pathological (AQE's skew-join split
+    * handles moderate skew; replication is the heavy-hammer form for a
+    * single dominant key). Results are identical to the plain join —
+    * every probe row meets exactly one replica of its build row.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 nSalts: Int, probeIdCols: Seq[Column]): DataFrame = {
+    val salted = probe.withColumn("_salt", salt(nSalts, probeIdCols: _*))
+    val replicated = build.withColumn("_salt",
+      explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** lineitem ⋈ a per-returnflag dimension — 3 distinct keys over the
+    * whole fact table is maximal join skew; the oracle is the plain
+    * (unsalted) join + GROUP BY.
+    */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val dim = Tables.lineitem(s, dir).select(col("l_returnflag")).distinct()
+      .withColumn("flag_label", concat(lit("flag_"), col("l_returnflag")))
+    saltedJoin(facts, dim, "l_returnflag", 32,
+      Seq(col("l_orderkey"), col("l_linenumber")))
+      .groupBy(col("flag_label"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("flag_label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_salted_agg" -> (qSaltedAgg _))
+    Map("q_salted_agg" -> (qSaltedAgg _), "q_salted_join" -> (qSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_salted_agg" ->
@@ -53,5 +90,13 @@ object Skew {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_salted_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT l_returnflag, 'flag_' || l_returnflag AS flag_label
+        |  FROM lineitem)
+        |SELECT flag_label, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN dim USING (l_returnflag)
+        |GROUP BY flag_label ORDER BY flag_label""".stripMargin)
 }
