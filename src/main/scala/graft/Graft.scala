@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSession
   *    local mode; on a real cluster set to 2–3× total executor cores);
   *  - AQE on (runtime coalescing + skew-join splitting at bench SF and up);
   *  - UTC session timezone (oracle/cross-engine parity);
-  *  - the engine's native SQL functions (`cosine_fx`) registered.
+  *  - the engine's native SQL functions (`cosine_fx`) registered;
+  *  - the engine's Catalyst extensions (`plans.GraftExtensions`: the
+  *    range-join bin rewrite) injected at build time.
   */
 object Graft {
 
@@ -29,6 +31,7 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", classOf[plans.GraftExtensions].getName)
       .getOrCreate()
     functions.CosineFxExpr.register(spark)
     spark

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The range-join rewrite rule: a naive BETWEEN-style join plans as
+  * BroadcastNestedLoopJoin without the rule and as a hash equi-join (bin
+  * key) with it, with identical results. The shared test session was
+  * built without extensions, so the rule is injected via
+  * `spark.experimental.extraOptimizations` — the dynamic registration
+  * path; `GraftExtensions` covers the `spark.sql.extensions` build-time
+  * path (wiring sanity-checked below).
+  */
+class BinJoinRuleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def points = {
+    import spark.implicits._
+    Seq((1L, "p0"), (10L, "p1"), (19L, "p2"), (20L, "p3"), (35L, "p4"))
+      .toDF("ms", "tag")
+  }
+  private def intervals = {
+    import spark.implicits._
+    Seq((0L, 20L, "a"), (10L, 30L, "b"), (30L, 31L, "c"))
+      .toDF("lo", "hi", "iv")
+  }
+
+  private def naiveJoin =
+    points.join(intervals, col("ms") >= col("lo") && col("ms") < col("hi"))
+
+  private def withRule[A](width: Long)(body: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BinJoinRewrite
+    spark.conf.set(BinJoinRewrite.WidthConf, width.toString)
+    try body
+    finally {
+      spark.conf.unset(BinJoinRewrite.WidthConf)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq BinJoinRewrite)
+    }
+  }
+
+  test("without the rule: nested loop; with it: equi-join, same results") {
+    val before = naiveJoin.queryExecution.executedPlan.toString
+    assert(before.contains("BroadcastNestedLoopJoin"), before)
+    val expected = naiveJoin.collect()
+      .map(r => (r.getString(1), r.getString(4))).sorted.toSeq
+
+    withRule(10L) {
+      val df = naiveJoin
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      val got = df.collect().map(r => (r.getString(1), r.getString(4))).sorted.toSeq
+      assert(got === expected)
+      assert(df.columns.toSeq === Seq("ms", "tag", "lo", "hi", "iv")) // bins internal
+    }
+  }
+
+  test("rule is a no-op when the width conf is unset") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BinJoinRewrite
+    try {
+      val plan = naiveJoin.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq BinJoinRewrite)
+  }
+
+  test("equi-keyed or non-range joins are left untouched") {
+    withRule(10L) {
+      // an equi-join must not be rewritten (condition shape differs)
+      val eq = points.join(intervals, col("ms") === col("lo"))
+      assert(eq.count() === 1) // ms=10 matches lo=10
+      // half-open the other way (<=) is not the supported shape: untouched
+      val other = points.join(intervals, col("ms") > col("lo") && col("ms") < col("hi"))
+      assert(other.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("GraftExtensions is instantiable by name, as spark.sql.extensions does") {
+    // the builder path: zero-arg reflective construction + injection call
+    val inst = Class.forName("graft.plans.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    inst(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
+  }
+}
