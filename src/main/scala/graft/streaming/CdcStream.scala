@@ -91,11 +91,10 @@ object CdcStream {
     * idempotent and insensitive to batch boundaries (proven by
     * CdcPropertySpec: any split of the changelog folds to the same state).
     */
-  def mergeBatch(state: DataFrame, batch: DataFrame): DataFrame =
-    mergeBatch(state, batch, tombstoneGcBelow = None)
-
-  /** [[mergeBatch]] with tombstone GC: delete markers whose pos is below
-    * `tombstoneGcBelow` are dropped from the merged state. Without GC the
+  /** Optional knobs of [[mergeBatch]]:
+    *
+    * `tombstoneGcBelow` — tombstone GC: delete markers whose pos is below
+    * the given watermark are dropped from the merged state. Without GC the
     * marker set grows monotonically with every key ever deleted — at scale
     * it eventually dominates the state. The caller supplies a redelivery
     * watermark (a position at-or-below which the source can no longer
@@ -103,9 +102,17 @@ object CdcStream {
     * max redelivery window); GC'ing above that watermark re-opens the
     * resurrection window idempotency closes, so the default keeps all
     * markers.
+    *
+    * `spec` — the table shape (like `CdcApply.snapshotFor`): key column
+    * read from the spec, image type inferred from the batch's `after`
+    * column, so the same fold maintains any table.
     */
   def mergeBatch(state: DataFrame, batch: DataFrame,
-                 tombstoneGcBelow: Option[Long]): DataFrame = {
+                 tombstoneGcBelow: Option[Long] = None,
+                 spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec): DataFrame = {
+    val imageType = batch.schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val keyType = imageType(spec.key).dataType
     val newHorizon = batch
       .filter(col("before").isNull && col("after").isNull)
       .agg(coalesce(max(col("pos")), lit(Long.MinValue)).as("bh"))
@@ -119,7 +126,7 @@ object CdcStream {
     val batchEvents = batch
       .filter(!(col("before").isNull && col("after").isNull))
       .select(
-        coalesce(col("after.order_id"), col("before.order_id")).as("key"),
+        coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}")).as("key"),
         col("pos"), col("after"))
       // key IS NULL is reserved for the horizon row; the ingress gate
       // (Changelog.isValidEnvelope) already rejects keyless events, this
@@ -140,29 +147,40 @@ object CdcStream {
       case None => merged
     }
     val horizonRow = horizon.select(
-      lit(null).cast("int").as("key"), col("h").as("pos"),
-      lit(null).cast(CdcSchema.invoiceType).as("after"))
+      lit(null).cast(keyType).as("key"), col("h").as("pos"),
+      lit(null).cast(imageType).as("after"))
     gced.unionByName(horizonRow)
   }
 
-  /** Empty state (schema only). */
-  def emptyState(spark: SparkSession): DataFrame =
+  /** Empty state (schema only) for an arbitrary table shape. */
+  def emptyStateFor(spark: SparkSession, spec: CdcSchema.CdcTableSpec,
+                    imageType: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("key",
-          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("key", imageType(spec.key).dataType),
         org.apache.spark.sql.types.StructField("pos",
           org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("after", CdcSchema.invoiceType))))
+        org.apache.spark.sql.types.StructField("after", imageType))))
 
-  /** Replica view of a state: live keys, reference column shape. */
-  def snapshotOf(state: DataFrame): DataFrame =
+  /** Empty state for the reference's invoice table. */
+  def emptyState(spark: SparkSession): DataFrame =
+    emptyStateFor(spark, CdcSchema.invoiceSpec, CdcSchema.invoiceType)
+
+  /** Replica view of a state for an arbitrary spec: live keys, natural
+    * column types, key-ordered.
+    */
+  def snapshotOfFor(state: DataFrame, spec: CdcSchema.CdcTableSpec): DataFrame =
     state.filter(col("key").isNotNull && col("after").isNotNull)
+      .select(spec.allCols.map(c => col(s"after.$c").as(c)): _*)
+      .orderBy(col(spec.key))
+
+  /** Replica view of an invoice state (the sink's UInt64 widening). */
+  def snapshotOf(state: DataFrame): DataFrame =
+    snapshotOfFor(state, CdcSchema.invoiceSpec)
       .select(
-        col("after.order_id").cast("long").as("order_id"),
-        col("after.invoice_number").cast("long").as("invoice_number"))
-      .orderBy(col("order_id"))
+        col("order_id").cast("long").as("order_id"),
+        col("invoice_number").cast("long").as("invoice_number"))
 
   /** Run a changelog stream to a versioned parquet state + audit log.
     *
@@ -177,7 +195,8 @@ object CdcStream {
     * mid-write of v=n+1 still recovers from v=n.
     */
   def run(changelog: DataFrame, auditDir: String, stateDir: String,
-          checkpointDir: String, retainVersions: Int = 3): StreamingQuery = {
+          checkpointDir: String, retainVersions: Int = 3,
+          spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec): StreamingQuery = {
     require(retainVersions >= 2, "retainVersions must be >= 2 (current + recovery)")
     changelog.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -196,9 +215,10 @@ object CdcStream {
                 s"stateDir has version v=$v but the stream is at batch $batchId: " +
                   "checkpointDir and stateDir must be retained (or cleared) together")
               df
-            case None => emptyState(spark)
+            case None => emptyStateFor(spark, spec, batch.schema("after").dataType
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
           }
-          mergeBatch(prev, batch)
+          mergeBatch(prev, batch, None, spec)
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$stateDir/v=${batchId + 1}")
           pruneVersions(spark, stateDir, keep = retainVersions)

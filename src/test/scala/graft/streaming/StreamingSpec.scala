@@ -81,6 +81,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap === (1 to 4).map(i => (i.toLong, i * 10L)))
   }
 
+  test("generic merge maintains the 4-column wide table, batch-split insensitive") {
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    val spark2 = spark
+    val sf = graft.TestSpark.sf0001
+    val spec = graft.cdc.CdcSchema.wideSpec
+    val log = graft.cdc.Changelog.syntheticWide(spark2, sf).localCheckpoint()
+    // split the changelog at its midpoint pos and fold the halves as two
+    // micro-batches through the SPEC-GENERIC merge
+    val mid = graft.Tables.orders(spark2, sf)
+      .agg(expr("(max(cast(o_orderkey as bigint)) * 10) div 2").as("m"))
+    val half1 = log.crossJoin(broadcast(mid)).filter(col("pos") <= col("m")).drop("m")
+    val half2 = log.crossJoin(broadcast(mid)).filter(col("pos") > col("m")).drop("m")
+    val imageType = graft.cdc.CdcSchema.wideType
+    val s0 = CdcStream.emptyStateFor(spark2, spec, imageType)
+    val s1 = CdcStream.mergeBatch(s0, half1, None, spec).localCheckpoint()
+    val s2 = CdcStream.mergeBatch(s1, half2, None, spec).localCheckpoint()
+    val streamed = CdcStream.snapshotOfFor(s2, spec)
+    val expected = graft.cdc.CdcApply.snapshotFor(log, spec)
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+    assert(streamed.count() === expected.count() && expected.count() > 0)
+  }
+
   test("tombstone GC drops old delete markers but keeps the at-least-once window") {
     import org.apache.spark.sql.functions.col
     val batch1 = Changelog.fromEnvelopeJson(
