@@ -52,20 +52,45 @@ object BinJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** cond is exactly `pt >= lo && pt < hi` with pt from one side and
-    * lo/hi from the other; returns (pt, lo, hi) normalized so pt comes
-    * from `left`.
+  /** cond is exactly a lower-bound conjunct and an upper-bound conjunct
+    * on the same point expression (`pt >= lo` / `pt > lo` paired with
+    * `pt < hi` / `pt <= hi`, in either conjunct order), pt from one side,
+    * bounds from the other. Returns (pt, lo', hi') normalized to the
+    * half-open `[lo', hi')` form — exact for LongType: `pt > lo ⇔
+    * pt >= lo+1` and `pt <= hi ⇔ pt < hi+1` over integers.
     */
   private def matchRange(cond: Expression, left: LogicalPlan, right: LogicalPlan)
       : Option[(Expression, Expression, Expression)] = {
     def from(e: Expression, side: LogicalPlan) =
       e.references.nonEmpty && e.references.subsetOf(side.outputSet)
     def isLong(e: Expression) = e.dataType == LongType
+    // a conjunct as (pt, inclusive-lower-bound) if it bounds pt from below
+    def lower(e: Expression): Option[(Expression, Expression)] = e match {
+      case GreaterThanOrEqual(pt, lo) => Some((pt, lo))
+      case GreaterThan(pt, lo) => Some((pt, Add(lo, Literal(1L))))
+      case LessThanOrEqual(lo, pt) => Some((pt, lo))
+      case LessThan(lo, pt) => Some((pt, Add(lo, Literal(1L))))
+      case _ => None
+    }
+    // a conjunct as (pt, exclusive-upper-bound) if it bounds pt from above
+    def upper(e: Expression): Option[(Expression, Expression)] = e match {
+      case LessThan(pt, hi) => Some((pt, hi))
+      case LessThanOrEqual(pt, hi) => Some((pt, Add(hi, Literal(1L))))
+      case GreaterThan(hi, pt) => Some((pt, hi))
+      case GreaterThanOrEqual(hi, pt) => Some((pt, Add(hi, Literal(1L))))
+      case _ => None
+    }
     cond match {
-      case And(GreaterThanOrEqual(pt1, lo), LessThan(pt2, hi))
-          if pt1.semanticEquals(pt2) && Seq(pt1, lo, hi).forall(isLong) =>
-        if (from(pt1, left) && from(lo, right) && from(hi, right)) Some((pt1, lo, hi))
-        else None
+      case And(a, b) =>
+        val pairs = Seq((a, b), (b, a))
+        pairs.flatMap { case (lc, uc) =>
+          for {
+            (pt1, lo) <- lower(lc)
+            (pt2, hi) <- upper(uc)
+            if pt1.semanticEquals(pt2) && Seq(pt1, lo, hi).forall(isLong) &&
+              from(pt1, left) && from(lo, right) && from(hi, right)
+          } yield (pt1, lo, hi)
+        }.headOption
       case _ => None
     }
   }

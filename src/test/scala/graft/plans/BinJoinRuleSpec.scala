@@ -68,15 +68,28 @@ class BinJoinRuleSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations.filterNot(_ eq BinJoinRewrite)
   }
 
-  test("equi-keyed or non-range joins are left untouched") {
+  test("all four bound shapes rewrite; open/closed integer semantics exact") {
+    for ((cond, name) <- Seq(
+      (col("ms") > col("lo") && col("ms") < col("hi"), "open-open"),
+      (col("ms") >= col("lo") && col("ms") <= col("hi"), "closed-closed"),
+      (col("ms") <= col("hi") && col("ms") >= col("lo"), "swapped conjuncts"),
+      (col("lo") <= col("ms") && col("hi") > col("ms"), "mirrored operands"))) {
+      val naive = points.join(intervals, cond)
+      val expected = naive.collect().map(r => (r.getString(1), r.getString(4))).sorted.toSeq
+      withRule(10L) {
+        val df = points.join(intervals, cond)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name not rewritten:\n$plan")
+        val got = df.collect().map(r => (r.getString(1), r.getString(4))).sorted.toSeq
+        assert(got === expected, name)
+      }
+    }
+  }
+
+  test("equi-keyed joins are left untouched") {
     withRule(10L) {
-      // an equi-join must not be rewritten (condition shape differs)
       val eq = points.join(intervals, col("ms") === col("lo"))
       assert(eq.count() === 1) // ms=10 matches lo=10
-      // half-open the other way (<=) is not the supported shape: untouched
-      val other = points.join(intervals, col("ms") > col("lo") && col("ms") < col("hi"))
-      assert(other.queryExecution.executedPlan.toString
-        .contains("BroadcastNestedLoopJoin"))
     }
   }
 
