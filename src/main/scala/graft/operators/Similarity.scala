@@ -211,6 +211,31 @@ object Similarity {
       .limit(10)
   }
 
+  /** IVF index at rest: write the k-means-assigned corpus Hive-partitioned
+    * by cell, so probing nProbe cells is partition-pruned I/O (directory
+    * listing + the probed cells' files only) instead of a corpus scan —
+    * the materialized form of [[annIvfTopk]]'s in-memory assignment.
+    * Deterministic under the fixed seed.
+    */
+  def writeIvfIndex(s: SparkSession, dir: String, out: String, k: Int = 16): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs)
+    model.transform(vecs)
+      .select(col("vec_id"), col("cell"),
+        fixedPoint(org.apache.spark.ml.functions.vector_to_array(col("features"))).as("v"))
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+  }
+
+  /** Partition-pruned read of the probed cells. */
+  def readIvfCells(s: SparkSession, out: String, cells: Seq[Int]): DataFrame =
+    s.read.parquet(out).filter(col("cell").isin(cells.map(Int.box): _*))
+
   // -------------------------------------------- embedding-cosine near-dup
   /** Embedding near-duplicate pairs: exact pairwise cosine ≥ 0.3 over a
     * deterministic 20% sample (vec_id % 5 = 0). The sample bounds the

@@ -219,6 +219,23 @@ class IvfSpec extends AnyFunSuite {
     info(s"recall@10: ivf=$ivfRecall lsh=$lshRecall")
     assert(ivfRecall >= 2)
   }
+
+  test("IVF index at rest: probing cells is partition-pruned I/O") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    Similarity.writeIvfIndex(spark, sf, out)
+    // hive-style cell dirs on disk
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("cell=")) >= 2, dirs.mkString(","))
+    val probed = Similarity.readIvfCells(spark, out, Seq(0, 1))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), s"no partition pruning:\n$plan")
+    // pruned read returns exactly the probed cells' rows, nothing else
+    val full = spark.read.parquet(out)
+    val expected = full.filter(col("cell").isin(0, 1)).count()
+    assert(probed.count() === expected && expected > 0)
+    assert(probed.select("cell").distinct().collect().map(_.getInt(0)).toSet === Set(0, 1))
+  }
 }
 
 /** Winnowing fingerprints: near-dups overlap heavily, unrelated docs don't. */
