@@ -19,22 +19,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The blocks are deliberately NOT released by per-query cache cleanup
   * ([[releaseTransient]] spares them): they are bounded, data-proportional
   * index state (a changelog and a shingle index), not per-query scratch.
-  * Keyed by session identity — a new session rebuilds; entries of stopped
-  * sessions are small driver-side plan objects, never executor memory.
+  * Keyed by `sessionUUID` — collision-free across session restarts (an
+  * identity-hash key could alias a stopped session's entry onto a new
+  * session and hand out a DataFrame bound to a dead SparkContext).
+  * Entries of stopped sessions are small driver-side plan objects, never
+  * executor memory.
   */
 object Shared {
-  private val memo = TrieMap.empty[(Int, String, String), DataFrame]
+  private val memo = TrieMap.empty[(String, String, String), (SparkSession, DataFrame)]
   private val shared = TrieMap.empty[Int, Unit]
+
+  /** Session identity: applicationId (changes across context restarts) +
+    * identity hash. Identity hashes are not unique, so hits additionally
+    * require the SAME session object (`eq`) — a collision with a stopped
+    * session's entry rebuilds instead of handing out a DataFrame bound to
+    * a dead SparkContext.
+    */
+  private def sessionKey(s: SparkSession): String =
+    s.sparkContext.applicationId + "#" + System.identityHashCode(s)
 
   /** Memoized `build.localCheckpoint()` for (session, dir, key). */
   def materialize(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(s), dir, key), {
-      val before = s.sparkContext.getPersistentRDDs.keySet
-      val ck = build.localCheckpoint() // eager: blocks exist when this returns
-      (s.sparkContext.getPersistentRDDs.keySet -- before)
-        .foreach(id => shared.put(id, ()))
-      ck
-    })
+    synchronized {
+      val k = (sessionKey(s), dir, key)
+      memo.get(k) match {
+        case Some((sess, df)) if sess eq s => df
+        case _ =>
+          val ck = build.localCheckpoint() // eager: blocks exist when this returns
+          // The checkpointed Dataset's plan IS a LogicalRDD over the
+          // persisted RDD — read its id directly instead of diffing
+          // getPersistentRDDs around the build (a diff would misclassify
+          // any RDD a CONCURRENT query happens to persist in the window,
+          // pinning per-query scratch for the session's lifetime).
+          ck.queryExecution.analyzed.collect {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+          }.foreach(id => shared.put(id, ()))
+          memo.put(k, (s, ck))
+          ck
+      }
+    }
 
   /** Unpersist every persistent RDD except the shared materializations.
     *

@@ -120,11 +120,12 @@ object CdcQueries {
         |  FROM orders
         |), ev AS (
         |  SELECT CAST(k AS BIGINT)*10+1 AS pos, k AS key, v AS inv,
-        |         (k*7) % 1000 AS amount,
+        |         CAST((CAST(k AS BIGINT)*7) % 1000 AS INTEGER) AS amount,
         |         CASE WHEN k % 2 = 0 THEN 'open' ELSE 'closed' END AS status,
         |         FALSE AS is_del, FALSE AS is_trunc FROM base
         |  UNION ALL
-        |  SELECT CAST(k AS BIGINT)*10+2, k, v, (k*7) % 1000 + 5000, 'paid',
+        |  SELECT CAST(k AS BIGINT)*10+2, k, v,
+        |         CAST((CAST(k AS BIGINT)*7) % 1000 AS INTEGER) + 5000, 'paid',
         |         FALSE, FALSE FROM base WHERE k % 4 = 0
         |  UNION ALL
         |  SELECT CAST(k AS BIGINT)*10+3, k, NULL, NULL, NULL, TRUE, FALSE

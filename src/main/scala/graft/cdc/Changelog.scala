@@ -200,7 +200,9 @@ object Changelog {
             amt: org.apache.spark.sql.Column, st: org.apache.spark.sql.Column) =
       struct(id.as("order_id"), inv.as("invoice_number"), amt.as("amount"), st.as("status"))
     val nullImg = lit(null).cast(CdcSchema.wideType)
-    val amt0 = (col("k") * 7) % 1000
+    // widen before multiplying: k*7 overflows Int at sf100 (k up to 6e8)
+    // and ANSI mode makes that a crash, not a wrap
+    val amt0 = ((col("k").cast("long") * 7) % 1000).cast("int")
     val st0 = when(col("k") % 2 === 0, "open").otherwise("closed")
     val inserts = base.select(
       (col("k").cast("long") * 10 + 1).as("pos"), lit("c").as("op"),

@@ -37,80 +37,117 @@ object BinJoinRewrite extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.binjoin.width"
 
+  /** Runtime guard: an interval spanning more than this many bins raises
+    * a clear error naming this conf instead of letting the bin explode
+    * run into the array-size limit (a sentinel interval like
+    * `[0, Long.MaxValue)` would produce ~1e11 bins per row). Bounds are
+    * join-side attributes, so the span is only known at runtime; enabling
+    * the (opt-in) rule asserts intervals are bounded, and violating that
+    * yields an actionable error, not a Sequence overflow deep in a task.
+    */
+  val MaxBinsConf = "spark.graft.binjoin.maxBinsPerInterval"
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // a malformed conf must not take down every query in the session —
+    // warn once per invocation and no-op instead
     val width = conf.getConfString(WidthConf, "")
-    if (width.isEmpty || width.toLong <= 0) plan
-    else {
-      val w = width.toLong
-      plan transform {
-        case j @ Join(left, right, Inner, Some(cond), hint) =>
-          matchRange(cond, left, right) match {
-            case Some((pt, lo, hi)) => rewrite(j, left, right, pt, lo, hi, w, hint)
-            case None => j
-          }
-      }
+    width.toLongOption match {
+      case _ if width.isEmpty => plan
+      case None =>
+        logWarning(s"$WidthConf='$width' is not a long; bin-join rewrite disabled")
+        plan
+      case Some(w) if w <= 0 => plan
+      case Some(w) =>
+        val maxBins = conf.getConfString(MaxBinsConf, "1048576").toLongOption
+          .getOrElse(1048576L)
+        plan transform {
+          case j @ Join(left, right, Inner, Some(cond), hint) =>
+            matchRange(cond, left, right) match {
+              case Some((pt, lo, hi, ptOnLeft)) =>
+                rewrite(j, pt, lo, hi, w, maxBins, hint, ptOnLeft)
+              case _ => j
+            }
+        }
     }
   }
 
   /** cond is exactly a lower-bound conjunct and an upper-bound conjunct
     * on the same point expression (`pt >= lo` / `pt > lo` paired with
     * `pt < hi` / `pt <= hi`, in either conjunct order), pt from one side,
-    * bounds from the other. Returns (pt, lo', hi') normalized to the
-    * half-open `[lo', hi')` form — exact for LongType: `pt > lo ⇔
-    * pt >= lo+1` and `pt <= hi ⇔ pt < hi+1` over integers.
+    * bounds from the other (either assignment of sides). Returns
+    * (pt, lo', hi', ptOnLeft) normalized to the half-open `[lo', hi')`
+    * form — exact for LongType: `pt > lo ⇔ pt >= lo+1` and `pt <= hi ⇔
+    * pt < hi+1` over integers.
     */
   private def matchRange(cond: Expression, left: LogicalPlan, right: LogicalPlan)
-      : Option[(Expression, Expression, Expression)] = {
+      : Option[(Expression, Expression, Expression, Boolean)] = {
     def from(e: Expression, side: LogicalPlan) =
       e.references.nonEmpty && e.references.subsetOf(side.outputSet)
     def isLong(e: Expression) = e.dataType == LongType
     // a conjunct as (pt, inclusive-lower-bound) if it bounds pt from below
-    def lower(e: Expression): Option[(Expression, Expression)] = e match {
-      case GreaterThanOrEqual(pt, lo) => Some((pt, lo))
-      case GreaterThan(pt, lo) => Some((pt, Add(lo, Literal(1L))))
-      case LessThanOrEqual(lo, pt) => Some((pt, lo))
-      case LessThan(lo, pt) => Some((pt, Add(lo, Literal(1L))))
-      case _ => None
+    def lower(e: Expression): Seq[(Expression, Expression)] = e match {
+      case GreaterThanOrEqual(pt, lo) => Seq((pt, lo))
+      case GreaterThan(pt, lo) => Seq((pt, Add(lo, Literal(1L))))
+      case LessThanOrEqual(lo, pt) => Seq((pt, lo))
+      case LessThan(lo, pt) => Seq((pt, Add(lo, Literal(1L))))
+      case _ => Seq.empty
     }
     // a conjunct as (pt, exclusive-upper-bound) if it bounds pt from above
-    def upper(e: Expression): Option[(Expression, Expression)] = e match {
-      case LessThan(pt, hi) => Some((pt, hi))
-      case LessThanOrEqual(pt, hi) => Some((pt, Add(hi, Literal(1L))))
-      case GreaterThan(hi, pt) => Some((pt, hi))
-      case GreaterThanOrEqual(hi, pt) => Some((pt, Add(hi, Literal(1L))))
-      case _ => None
+    def upper(e: Expression): Seq[(Expression, Expression)] = e match {
+      case LessThan(pt, hi) => Seq((pt, hi))
+      case LessThanOrEqual(pt, hi) => Seq((pt, Add(hi, Literal(1L))))
+      case GreaterThan(hi, pt) => Seq((pt, hi))
+      case GreaterThanOrEqual(hi, pt) => Seq((pt, Add(hi, Literal(1L))))
+      case _ => Seq.empty
     }
     cond match {
       case And(a, b) =>
-        val pairs = Seq((a, b), (b, a))
-        pairs.flatMap { case (lc, uc) =>
-          for {
-            (pt1, lo) <- lower(lc)
-            (pt2, hi) <- upper(uc)
-            if pt1.semanticEquals(pt2) && Seq(pt1, lo, hi).forall(isLong) &&
-              from(pt1, left) && from(lo, right) && from(hi, right)
-          } yield (pt1, lo, hi)
-        }.headOption
+        (for {
+          (lc, uc) <- Seq((a, b), (b, a))
+          (pt1, lo) <- lower(lc)
+          (pt2, hi) <- upper(uc)
+          if pt1.semanticEquals(pt2) && Seq(pt1, lo, hi).forall(isLong)
+          // the mirror: point may come from either child
+          ptOnLeft <- Seq(true, false)
+          (ptSide, boundSide) = if (ptOnLeft) (left, right) else (right, left)
+          if from(pt1, ptSide) && from(lo, boundSide) && from(hi, boundSide)
+        } yield (pt1, lo, hi, ptOnLeft)).headOption
       case _ => None
     }
   }
 
-  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-                      pt: Expression, lo: Expression, hi: Expression,
-                      w: Long, hint: JoinHint): LogicalPlan = {
+  private def rewrite(j: Join, pt: Expression, lo: Expression, hi: Expression,
+                      w: Long, maxBins: Long, hint: JoinHint,
+                      ptOnLeft: Boolean): LogicalPlan = {
     def divW(e: Expression) = IntegralDivide(e, Literal(w))
-    // left: project the point's bin
-    val binL = Alias(divW(pt), "__bin_l")()
-    val newLeft = Project(left.output :+ binL, left)
-    // right: explode each interval into the bins it covers
+    val ptSide = if (ptOnLeft) j.left else j.right
+    val boundSide = if (ptOnLeft) j.right else j.left
+    // point side: project the point's bin
+    val binP = Alias(divW(pt), "__bin_p")()
+    val newPtSide = Project(ptSide.output :+ binP, ptSide)
+    // bounds side: explode each interval into the bins it covers; an
+    // empty/inverted interval ([hi,lo) with hi <= lo) yields ZERO bins —
+    // without the guard Sequence's default -1 step would enumerate
+    // downward and generate garbage rows the residual filter then drops
     val seqExpr = Sequence(divW(lo), divW(Subtract(hi, Literal(1L))), None,
       Some(conf.sessionLocalTimeZone))
-    val gen = Explode(seqExpr)
-    val binR = AttributeReference("__bin_r", LongType,
+    val span = Subtract(divW(Subtract(hi, Literal(1L))), divW(lo))
+    val guarded = If(GreaterThan(span, Literal(maxBins - 1)),
+      Cast(RaiseError(Literal(
+        s"bin-join interval spans more than $maxBins bins " +
+          s"($MaxBinsConf); raise it, widen $WidthConf, or unset the rule")),
+        seqExpr.dataType),
+      seqExpr)
+    val bins = If(LessThanOrEqual(hi, lo),
+      Literal.create(Array.empty[Long], seqExpr.dataType), guarded)
+    val gen = Explode(bins)
+    val binB = AttributeReference("__bin_b", LongType,
       nullable = gen.elementSchema.head.nullable)()
-    val newRight = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(binR), child = right)
-    val newCond = And(EqualTo(binL.toAttribute, binR), j.condition.get)
+    val newBoundSide = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(binB), child = boundSide)
+    val newCond = And(EqualTo(binP.toAttribute, binB), j.condition.get)
+    val (newLeft, newRight) =
+      if (ptOnLeft) (newPtSide, newBoundSide) else (newBoundSide, newPtSide)
     // restore the original output (the bin columns are internal)
     Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
   }

@@ -206,15 +206,19 @@ object CdcStream {
         val batch = rawBatch.persist() // the body runs several actions; scan once
         try {
           writeAudit(batch, auditDir, batchId)
-          val prev = latestStateVersion(spark, stateDir) match {
-            case Some((v, df)) =>
-              // A state version newer than this batch means the checkpoint was
-              // reset against a retained stateDir — reading max(v) would then
-              // silently freeze the fold. Fail loudly instead.
-              require(v <= batchId + 1,
-                s"stateDir has version v=$v but the stream is at batch $batchId: " +
-                  "checkpointDir and stateDir must be retained (or cleared) together")
-              df
+          val versions = listVersions(spark, stateDir)
+          // A state version newer than this batch's own output means the
+          // checkpoint was reset against a retained stateDir — the fold
+          // would silently freeze. Fail loudly instead.
+          versions.headOption.foreach(v => require(v <= batchId + 1,
+            s"stateDir has version v=$v but the stream is at batch $batchId: " +
+              "checkpointDir and stateDir must be retained (or cleared) together"))
+          // Replay correctness: prev is the newest version AT OR BELOW
+          // batchId — NEVER v=batchId+1, which is this replay's own
+          // (possibly partial) crashed output and also the path the write
+          // below overwrites (read-and-overwrite would fail or corrupt).
+          val prev = versions.find(_ <= batchId) match {
+            case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
             case None => emptyStateFor(spark, spec, batch.schema("after").dataType
               .asInstanceOf[org.apache.spark.sql.types.StructType])
           }
@@ -228,17 +232,22 @@ object CdcStream {
       .start()
   }
 
+  /** Version numbers under `stateDir`, newest first. */
+  private def listVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val fs = hadoopFs(spark, stateDir)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted(Ordering[Long].reverse)
+  }
+
   /** Delete `v=<n>` dirs older than the newest `keep` (post-commit GC). */
   private def pruneVersions(spark: SparkSession, stateDir: String, keep: Int): Unit = {
     val fs = hadoopFs(spark, stateDir)
-    val root = new org.apache.hadoop.fs.Path(stateDir)
-    if (fs.exists(root)) {
-      fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-        .sortBy(-_.getPath.getName.stripPrefix("v=").toLong)
-        .drop(keep)
-        .foreach(s => fs.delete(s.getPath, true))
-    }
+    listVersions(spark, stateDir).drop(keep)
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true))
   }
 
   /** Idempotent audit append: each micro-batch owns the partition dir
@@ -339,6 +348,29 @@ object CdcStream {
           .collect().map(_.getLong(0))
 
         val manifest = readManifest(spark, stateDir)
+        val newVersion0 = batchId + 1
+        // Stale-checkpoint guard (same hazard run() checks): a manifest
+        // referencing a version beyond this batch's own means checkpointDir
+        // was reset against a retained stateDir — fail loudly, don't fold
+        // new offsets onto unrelated state.
+        manifest.values.reduceOption(_ max _).foreach(v =>
+          require(v <= newVersion0,
+            s"state manifest references v=$v but the stream is at batch $batchId: " +
+              "checkpointDir and stateDir must be retained (or cleared) together"))
+        if (manifest.values.exists(_ == newVersion0)) {
+          // Replay of an ALREADY-COMMITTED batch (crash landed between the
+          // manifest rename and the checkpoint commit). The batch's effect
+          // is durable — re-merging would read bucket dirs under
+          // v=newVersion while overwriting that very dir (the files would
+          // be deleted under the lazy plan). The audit rewrite above is
+          // idempotent; just redo the GC the crash may have skipped.
+          val live0 = manifest.values.toSet
+          val fs0 = hadoopFs(spark, stateDir)
+          fs0.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+            .filterNot(s => live0.contains(s.getPath.getName.stripPrefix("v=").toLong))
+            .foreach(s => fs0.delete(s.getPath, true))
+        } else {
         val touched = (batchBuckets :+ -1L).toSet
         val prev =
           if (manifest.isEmpty) emptyState(spark).withColumn("p", lit(-1L))
@@ -352,11 +384,12 @@ object CdcStream {
           }
 
         // (1) Stage this batch's buckets under its OWN version dir — never
-        // read by `prev` (old versions are immutable), so no
-        // overwrite-what-you-read hazard and no extra staging copy.
-        // repartition by p: one file per bucket dir, not buckets×partitions
-        // slivers.
-        val newVersion = batchId + 1
+        // read by `prev` (the replay-after-commit case above is the one
+        // path where the manifest could reference this version; here old
+        // versions are immutable), so no overwrite-what-you-read hazard
+        // and no extra staging copy. repartition by p: one file per bucket
+        // dir, not buckets×partitions slivers.
+        val newVersion = newVersion0
         mergeBatch(prev.drop("p"), batch)
           .withColumn("p",
             when(col("key").isNull, lit(-1L))
@@ -381,6 +414,7 @@ object CdcStream {
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
           .filterNot(s => live.contains(s.getPath.getName.stripPrefix("v=").toLong))
           .foreach(s => fs.delete(s.getPath, true))
+        }
         } finally batch.unpersist()
         ()
       }

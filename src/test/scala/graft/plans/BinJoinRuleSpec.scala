@@ -93,6 +93,55 @@ class BinJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("mirrored plan sides (intervals on the left) also rewrite") {
+    val naive = intervals.join(points, col("ms") >= col("lo") && col("ms") < col("hi"))
+    val expected = naive.collect().map(r => (r.getString(2), r.getString(4))).sorted.toSeq
+    withRule(10L) {
+      val df = intervals.join(points, col("ms") >= col("lo") && col("ms") < col("hi"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(df.collect().map(r => (r.getString(2), r.getString(4))).sorted.toSeq === expected)
+      assert(df.columns.toSeq === Seq("lo", "hi", "iv", "ms", "tag"))
+    }
+  }
+
+  test("a malformed width conf disables the rule instead of failing queries") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BinJoinRewrite
+    spark.conf.set(BinJoinRewrite.WidthConf, "not-a-number")
+    try assert(naiveJoin.count() === 6) // still runs (as a nested loop)
+    finally {
+      spark.conf.unset(BinJoinRewrite.WidthConf)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq BinJoinRewrite)
+    }
+  }
+
+  test("a sentinel interval raises an actionable error naming the conf") {
+    import spark.implicits._
+    withRule(10L) {
+      // [0, Long.MaxValue) spans ~1e18 bins: the runtime guard must name
+      // the knob instead of dying on the Sequence array-size limit
+      val sentinel = Seq((0L, Long.MaxValue, "all")).toDF("lo", "hi", "iv")
+      val df = points.join(sentinel, col("ms") >= col("lo") && col("ms") < col("hi"))
+      val e = intercept[Exception](df.count())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains(BinJoinRewrite.MaxBinsConf)),
+        s"unhelpful error: ${messages(e).mkString(" | ")}")
+    }
+  }
+
+  test("empty/inverted intervals match nothing and generate no bin rows") {
+    import spark.implicits._
+    withRule(10L) {
+      val weird = Seq((20L, 20L, "empty"), (30L, 10L, "inverted")).toDF("lo", "hi", "iv")
+      val df = points.join(weird, col("ms") >= col("lo") && col("ms") < col("hi"))
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(df.count() === 0)
+    }
+  }
+
   test("GraftExtensions is instantiable by name, as spark.sql.extensions does") {
     // the builder path: zero-arg reflective construction + injection call
     val inst = Class.forName("graft.plans.GraftExtensions")

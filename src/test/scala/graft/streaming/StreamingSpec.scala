@@ -60,6 +60,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(audit.columns.sorted.toSeq === Seq("batch", "kafka_message", "timestamp"))
   }
 
+  test("replay never reads its own crashed output version") {
+    val base = Files.createTempDirectory("graft-replay").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/b1.json"), lines1.mkString("\n").getBytes("UTF-8"))
+    val q1 = CdcStream.run(CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt")
+    q1.awaitTermination(120000) // batch 0 committed -> v=1
+    // Simulate batch 1 crashing mid-state-write: a garbage v=2 dir exists
+    // but the checkpoint never committed. The replay of batch 1 must fold
+    // v=1 + batch, NOT read the garbage it is about to overwrite.
+    Files.createDirectories(Paths.get(s"$base/state/v=2"))
+    Files.write(Paths.get(s"$base/state/v=2/part-corrupt.parquet"),
+      "not parquet".getBytes("UTF-8"))
+    Files.write(Paths.get(s"$in/b2.json"), lines2.mkString("\n").getBytes("UTF-8"))
+    val q2 = CdcStream.run(CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt")
+    q2.awaitTermination(120000)
+    val Some((v, state)) = CdcStream.latestStateVersion(spark, s"$base/state")
+    assert(v === 2)
+    val snap = CdcStream.snapshotOf(state).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap === Seq((1L, 10L), (2L, 21L), (4L, 40L)))
+  }
+
   test("version pruning keeps the newest retainVersions dirs only") {
     val base = Files.createTempDirectory("graft-retain").toString
     val in = s"$base/in"; Files.createDirectories(Paths.get(in))
@@ -223,6 +247,37 @@ class PartitionedStateSpec extends org.scalatest.funsuite.AnyFunSuite {
     val snap = graft.streaming.CdcStream.partitionedSnapshot(spark, s"$base/state")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(snap === Seq((0L, 5L), (1L, 10L), (2L, 20L)))
+  }
+
+  test("replay of an already-committed batch is a no-op, not a self-overwrite") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("pstate4").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      env("null", """{"order_id":1,"invoice_number":10}""", "c", 1),
+      env("null", """{"order_id":2,"invoice_number":20}""", "c", 2)).mkString("\n").getBytes)
+    val q1 = graft.streaming.CdcStream.runPartitioned(
+      graft.streaming.CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt", 8)
+    q1.awaitTermination(120000)
+    val committed = graft.streaming.CdcStream.partitionedSnapshot(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(committed === Seq((1L, 10L), (2L, 20L)))
+    // Crash landed AFTER the manifest commit but BEFORE the streaming
+    // checkpoint commit: batch 0 re-runs against a manifest that already
+    // references its own output version (v=1). Simulated with a fresh
+    // checkpoint dir over the same input + state (Spark 4's checkpoint
+    // manager rejects direct commit-marker surgery as a concurrent run) —
+    // the foreachBatch sees the identical (batchId=0, manifest→v=1)
+    // state either way and must take the no-op branch, not
+    // read-and-overwrite v=1.
+    val q2 = graft.streaming.CdcStream.runPartitioned(
+      graft.streaming.CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt2", 8)
+    q2.awaitTermination(120000)
+    val replayed = graft.streaming.CdcStream.partitionedSnapshot(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(replayed === committed, "replay of a committed batch changed state")
   }
 
   test("crash between stage and manifest commit loses no bucket; GC reclaims") {
