@@ -192,6 +192,54 @@ object TextAnalysis {
        |SELECT doc_id, rn, term, tf, df, score
        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  // ------------------------------------------- corpus-curation pipeline
+  /** The composed curation pass a training-data pipeline runs end to end:
+    * quality-gate (stopword/diversity score), exact-dedup survivors
+    * (min doc_id per content fingerprint), then per-language corpus
+    * stats. One declarative plan — Catalyst fuses the gate into the scan
+    * and the dedup group carries only gated rows; at 100 TB this is one
+    * filtered scan + one fingerprint shuffle + one tiny agg.
+    */
+  def textCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val gated = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq"),
+        TextFns.countIn(toks, stopwords).as("n_stop"),
+        TextFns.fingerprint(col("text")).as("fp"))
+      .withColumn("score",
+        (col("n_uniq").cast("double") / col("n_tokens")) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")))
+      .filter(col("score") >= 0.5 && col("n_tokens") >= 20)
+    val kept = gated
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    gated.join(kept, Seq("fp", "doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      // exact integer sum ÷ count — identical IEEE division both engines
+      .withColumn("avg_tokens", col("n_tokens").cast("double") / col("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  private val textCurationPipelineSql =
+    s"""$docsCte,
+       |gated AS (
+       |  SELECT doc_id, lang, len(toks) AS n_tokens,
+       |         md5(array_to_string(toks, ' ')) AS fp,
+       |         (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) *
+       |           (1.0 - CAST(len(list_filter(toks, $stopSql)) AS DOUBLE) / len(toks)) AS score
+       |  FROM docs),
+       |g AS (SELECT * FROM gated WHERE score >= 0.5 AND n_tokens >= 20),
+       |kept AS (SELECT fp, MIN(doc_id) AS doc_id FROM g GROUP BY fp)
+       |SELECT g.lang, COUNT(*) AS n_docs, SUM(g.n_tokens) AS n_tokens,
+       |       CAST(SUM(g.n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+       |FROM g JOIN kept ON g.fp = kept.fp AND g.doc_id = kept.doc_id
+       |GROUP BY g.lang ORDER BY g.lang""".stripMargin
+
   // ------------------------------------------------------- fuzzy match
   /** Edit-distance fuzzy matching over a bounded sample (doc_id < 30
     * pairwise on 60-char prefixes): the string-similarity complement to
@@ -225,7 +273,8 @@ object TextAnalysis {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_tfidf_topk" -> (textTfidfTopk _))
+    "text_tfidf_topk" -> (textTfidfTopk _),
+    "text_curation_pipeline" -> (textCurationPipeline _))
 
   val oracles: Map[String, String] = Map(
     "text_fuzzy_sample" -> textFuzzySampleSql,
@@ -233,5 +282,6 @@ object TextAnalysis {
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_tfidf_topk" -> textTfidfTopkSql)
+    "text_tfidf_topk" -> textTfidfTopkSql,
+    "text_curation_pipeline" -> textCurationPipelineSql)
 }
