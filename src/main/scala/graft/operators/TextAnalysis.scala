@@ -240,6 +240,36 @@ object TextAnalysis {
        |FROM g JOIN kept ON g.fp = kept.fp AND g.doc_id = kept.doc_id
        |GROUP BY g.lang ORDER BY g.lang""".stripMargin
 
+  // ------------------------------------------- deterministic sampling
+  /** Reproducible stratified sampling — the way a pipeline carves
+    * training subsets that can be re-derived bit-for-bit later: a
+    * document is sampled iff the md5 hex of its id starts below a
+    * threshold character. Hex digits are uniform, so `< "4"` keeps
+    * 4/16 = 25% in expectation, per stratum, with no RNG and no state;
+    * membership is a pure function of the id, so the sample is stable
+    * under re-runs, retries, and engine changes (md5 is the oracle-exact
+    * hash; see the winnowing note). Reports per-language sampled/total
+    * counts and the realized rate.
+    */
+  def textSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        (md5(col("doc_id").cast("string")) < "4").as("sampled"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("rate",
+        col("n_sampled").cast("double") / col("n_total"))
+      .orderBy(col("lang"))
+
+  private val textSampleStratifiedSql =
+    """SELECT lang, COUNT(*) AS n_total,
+      |  SUM(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '4' THEN 1 ELSE 0 END) AS n_sampled,
+      |  CAST(SUM(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '4' THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS rate
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------- fuzzy match
   /** Edit-distance fuzzy matching over a bounded sample (doc_id < 30
     * pairwise on 60-char prefixes): the string-similarity complement to
@@ -274,7 +304,8 @@ object TextAnalysis {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_tfidf_topk" -> (textTfidfTopk _),
-    "text_curation_pipeline" -> (textCurationPipeline _))
+    "text_curation_pipeline" -> (textCurationPipeline _),
+    "text_sample_stratified" -> (textSampleStratified _))
 
   val oracles: Map[String, String] = Map(
     "text_fuzzy_sample" -> textFuzzySampleSql,
@@ -283,5 +314,6 @@ object TextAnalysis {
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_tfidf_topk" -> textTfidfTopkSql,
-    "text_curation_pipeline" -> textCurationPipelineSql)
+    "text_curation_pipeline" -> textCurationPipelineSql,
+    "text_sample_stratified" -> textSampleStratifiedSql)
 }
