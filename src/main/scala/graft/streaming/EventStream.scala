@@ -84,7 +84,8 @@ object EventStream {
     * no-ops), so the semantics are oracle-checkable offline — the as-of
     * variant of this attribution is `q_asof_join`.
     */
-  def purchaseViewJoin(events: DataFrame, delay: String = "2 hours"): DataFrame = {
+  def purchaseViewJoin(events: DataFrame, delay: String = "2 hours",
+                       joinType: String = "inner"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"))
@@ -93,10 +94,16 @@ object EventStream {
       .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
         col("ts").as("view_ts"))
       .withWatermark("view_ts", delay)
+    // joinType = "left_outer": an unmatched purchase emits with null view
+    // columns, but only once the watermark proves no matching view can
+    // still arrive (purchase_ts + 1h + delay) — the emission is correct
+    // BY CONSTRUCTION late, the price of outer semantics on unbounded
+    // streams. Inner pairs emit as soon as both sides arrive.
     purchases.join(views,
       col("user_id") === col("view_user") &&
         col("view_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
-        col("view_ts") <= col("purchase_ts"))
+        col("view_ts") <= col("purchase_ts"),
+      joinType)
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("view_id"), col("view_ts"))
   }

@@ -126,6 +126,48 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched purchases after the watermark") {
+    val in = Files.createTempDirectory("evt6").toString
+    // user 2 purchases with NO view in the preceding hour
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      line(1, "2024-01-01 10:00:00", 1, "view", 0.0),
+      line(10, "2024-01-01 10:30:00", 1, "purchase", 9.0),
+      line(11, "2024-01-01 10:30:00", 2, "purchase", 9.0)).mkString("\n").getBytes)
+    val q = EventStream.purchaseViewJoin(streamFrom(in, Some(1)), "10 minutes", "left_outer")
+      .writeStream.format("memory").queryName("ssjoin_outer")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // watermark has not passed purchase_ts + 1h yet: the unmatched row
+      // must NOT have been emitted prematurely (it could still match)
+      val early = spark.table("ssjoin_outer").collect()
+        .filter(_.isNullAt(3)).map(_.getLong(0))
+      assert(early.isEmpty, s"premature outer emission: ${early.toSeq}")
+      // Advance event time far past 11:30 + 1h + 10min delay ON BOTH
+      // STREAMS: the global watermark is the MIN over every watermark
+      // operator, and each side's operator only sees its own event type —
+      // a view-only advancer would leave the purchase watermark at 10:20
+      // and nothing would ever evict. The bump also takes effect at the
+      // START of the next micro-batch (Spark's update rule), so b3
+      // triggers the eviction pass that emits the unmatched outer row.
+      Files.write(Paths.get(s"$in/b2.json"), Seq(
+        line(98, "2024-01-01 18:00:00", 3, "purchase", 0.0),
+        line(99, "2024-01-01 18:00:00", 4, "view", 0.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      Files.write(Paths.get(s"$in/b3.json"), Seq(
+        line(100, "2024-01-01 18:05:00", 5, "purchase", 0.0),
+        line(101, "2024-01-01 18:05:00", 6, "view", 0.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      // late purchases (98/100) stay buffered unemitted — the watermark
+      // never passes their own horizon — so only 10 and 11 have emitted
+      val rows = spark.table("ssjoin_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .sortBy(_._1)
+      assert(rows.toSeq === Seq((10L, Some(1L)), (11L, None)))
+    } finally q.stop()
+  }
+
   test("stream-stream join in batch mode runs the identical plan") {
     import spark.implicits._
     val batch = Seq(
