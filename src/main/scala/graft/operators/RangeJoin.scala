@@ -38,10 +38,11 @@ object RangeJoin {
     */
   def binJoin(points: DataFrame, intervals: DataFrame,
               pt: String, lo: String, hi: String, binWidth: Long): DataFrame = {
-    // integer `div`, not `/` (Column `/` on longs returns double)
+    // integer `div`, not `/` (Column `/` on longs returns double);
+    // backticked names survive non-identifier column names
     val binned = intervals.withColumn("__bin",
-      explode(sequence(expr(s"$lo div $binWidth"), expr(s"($hi - 1) div $binWidth"))))
-    points.withColumn("__bin", expr(s"$pt div $binWidth"))
+      explode(sequence(expr(s"`$lo` div $binWidth"), expr(s"(`$hi` - 1) div $binWidth"))))
+    points.withColumn("__bin", expr(s"`$pt` div $binWidth"))
       .join(binned, "__bin")
       .filter(col(pt) >= col(lo) && col(pt) < col(hi))
       .drop("__bin")
