@@ -196,36 +196,85 @@ object CdcStream {
     */
   def run(changelog: DataFrame, auditDir: String, stateDir: String,
           checkpointDir: String, retainVersions: Int = 3,
-          spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec): StreamingQuery = {
+          spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+          tombstoneGcBelow: Option[Long] = None): StreamingQuery = {
     require(retainVersions >= 2, "retainVersions must be >= 2 (current + recovery)")
     changelog.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
-        val spark = rawBatch.sparkSession
         val batch = rawBatch.persist() // the body runs several actions; scan once
+        try applyVersionedBatch(batch, batchId, auditDir, stateDir,
+          retainVersions, spec, tombstoneGcBelow)
+        finally batch.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of the versioned writer: audit append + merge into
+    * `v=<batchId+1>` + retention pruning. Shared by [[run]] and
+    * [[runRouted]].
+    */
+  private def applyVersionedBatch(batch: DataFrame, batchId: Long,
+                                  auditDir: String, stateDir: String,
+                                  retainVersions: Int,
+                                  spec: CdcSchema.CdcTableSpec,
+                                  tombstoneGcBelow: Option[Long]): Unit = {
+    val spark = batch.sparkSession
+    writeAudit(batch, auditDir, batchId)
+    val versions = listVersions(spark, stateDir)
+    // A state version newer than this batch's own output means the
+    // checkpoint was reset against a retained stateDir — the fold
+    // would silently freeze. Fail loudly instead.
+    versions.headOption.foreach(v => require(v <= batchId + 1,
+      s"stateDir has version v=$v but the stream is at batch $batchId: " +
+        "checkpointDir and stateDir must be retained (or cleared) together"))
+    // Replay correctness: prev is the newest version AT OR BELOW
+    // batchId — NEVER v=batchId+1, which is this replay's own
+    // (possibly partial) crashed output and also the path the write
+    // below overwrites (read-and-overwrite would fail or corrupt).
+    val prev = versions.find(_ <= batchId) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
+      case None => emptyStateFor(spark, spec, batch.schema("after").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+    mergeBatch(prev, batch, tombstoneGcBelow, spec)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/v=${batchId + 1}")
+    pruneVersions(spark, stateDir, keep = retainVersions)
+  }
+
+  /** The COMPLETE live ingress topology in one stream, from raw envelope
+    * values (Kafka record values / file lines): each micro-batch routes
+    * the raw stream three ways — malformed envelopes → dead-letter
+    * quarantine, Debezium schema-change events → schema-history log, data
+    * envelopes → audit + versioned state merge — off a single persisted
+    * scan. Every sink is idempotent under checkpoint replay (per-batch
+    * partition dirs for quarantine/history/audit, idempotent merge for
+    * state), so the whole topology keeps the exactly-once argument.
+    */
+  def runRouted(raw: DataFrame, valueCol: String,
+                deadLetterDir: String, schemaHistoryDir: String,
+                auditDir: String, stateDir: String, checkpointDir: String,
+                retainVersions: Int = 3,
+                spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                tombstoneGcBelow: Option[Long] = None): StreamingQuery = {
+    require(retainVersions >= 2, "retainVersions must be >= 2 (current + recovery)")
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val batch = rawBatch.persist() // four sinks below; scan the source once
         try {
-          writeAudit(batch, auditDir, batchId)
-          val versions = listVersions(spark, stateDir)
-          // A state version newer than this batch's own output means the
-          // checkpoint was reset against a retained stateDir — the fold
-          // would silently freeze. Fail loudly instead.
-          versions.headOption.foreach(v => require(v <= batchId + 1,
-            s"stateDir has version v=$v but the stream is at batch $batchId: " +
-              "checkpointDir and stateDir must be retained (or cleared) together"))
-          // Replay correctness: prev is the newest version AT OR BELOW
-          // batchId — NEVER v=batchId+1, which is this replay's own
-          // (possibly partial) crashed output and also the path the write
-          // below overwrites (read-and-overwrite would fail or corrupt).
-          val prev = versions.find(_ <= batchId) match {
-            case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
-            case None => emptyStateFor(spark, spec, batch.schema("after").dataType
-              .asInstanceOf[org.apache.spark.sql.types.StructType])
-          }
-          mergeBatch(prev, batch, None, spec)
-            .coalesce(1)
-            .write.mode("overwrite").parquet(s"$stateDir/v=${batchId + 1}")
-          pruneVersions(spark, stateDir, keep = retainVersions)
+          Changelog.deadLetters(batch, valueCol)
+            .write.mode("overwrite").parquet(s"$deadLetterDir/batch=$batchId")
+          Changelog.schemaHistory(batch, valueCol)
+            .write.mode("overwrite").parquet(s"$schemaHistoryDir/batch=$batchId")
+          val changelog = Changelog.fromEnvelopeJson(batch, valueCol).persist()
+          try applyVersionedBatch(changelog, batchId, auditDir, stateDir,
+            retainVersions, spec, tombstoneGcBelow)
+          finally changelog.unpersist()
         } finally batch.unpersist()
         ()
       }

@@ -105,6 +105,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap === (1 to 4).map(i => (i.toLong, i * 10L)))
   }
 
+  test("runRouted: one stream feeds quarantine, schema history, audit, and state") {
+    val base = Files.createTempDirectory("graft-routed").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    val ddl =
+      """{"payload":{"source":{"ts_ms":9,"pos":999,"db":"dev"},"databaseName":"dev","ddl":"ALTER TABLE dev.invoice ADD COLUMN note VARCHAR(64)","ts_ms":9}}"""
+    val garbage = """{"not":"an envelope"}"""
+    Files.write(Paths.get(s"$in/b1.json"),
+      (lines1 ++ Seq(ddl, garbage)).mkString("\n").getBytes("UTF-8"))
+    val q = CdcStream.runRouted(
+      spark.readStream.text(in).withColumnRenamed("value", "raw"), "raw",
+      s"$base/dead", s"$base/schema", s"$base/audit", s"$base/state", s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    // data events folded into state; DDL did NOT act as a truncate
+    val Some((_, state)) = CdcStream.latestStateVersion(spark, s"$base/state")
+    val snap = CdcStream.snapshotOf(state).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // audit carries exactly the data envelopes
+    assert(spark.read.parquet(s"$base/audit").count() === 3)
+    // quarantine holds the garbage line with raw bytes
+    val dead = spark.read.parquet(s"$base/dead").collect()
+    assert(dead.length === 1 && dead.head.getString(0) === garbage)
+    // schema history holds the DDL event, typed
+    val hist = spark.read.parquet(s"$base/schema").collect()
+    assert(hist.length === 1 && hist.head.getString(3).startsWith("ALTER TABLE"))
+  }
+
   test("generic merge maintains the 4-column wide table, batch-split insensitive") {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
     val spark2 = spark
