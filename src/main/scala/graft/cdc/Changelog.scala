@@ -67,16 +67,25 @@ object Changelog {
       e.getField("payload").getField("ddl").isNotNull
 
   def fromEnvelopeJson(df: DataFrame, valueCol: String = "value",
-                       kafkaTsCol: Option[String] = None): DataFrame = {
-    val parsed = parsedEnvelopes(df, valueCol)
-      .filter(isValidEnvelope(col("e")))                    // dead letters excluded
+                       kafkaTsCol: Option[String] = None): DataFrame =
+    changelogOfParsed(parsedEnvelopes(df, valueCol), kafkaTsCol)
+
+  /** The three routing heads over an ALREADY-PARSED envelope frame (from
+    * [[parsedEnvelopes]]) — `runRouted` parses each micro-batch once and
+    * routes with three filters; the JSON parse is the dominant ingress
+    * cost at scale (CdcSchema's narrow-schema rationale), so it must not
+    * run once per sink.
+    */
+  private[graft] def changelogOfParsed(parsed: DataFrame,
+                                       kafkaTsCol: Option[String] = None): DataFrame = {
     val ts = kafkaTsCol.map(col).getOrElse(col("e.payload.ts_ms"))
-    parsed.select(
-      col("e.payload.source.pos").as("pos"),
-      col("e.payload.op").as("op"),
-      col("e.payload.before").as("before"),
-      col("e.payload.after").as("after"),
-      ts.as("ts_ms"))
+    parsed.filter(isValidEnvelope(col("e")))                // dead letters excluded
+      .select(
+        col("e.payload.source.pos").as("pos"),
+        col("e.payload.op").as("op"),
+        col("e.payload.before").as("before"),
+        col("e.payload.after").as("after"),
+        ts.as("ts_ms"))
   }
 
   /** Multi-table variant of [[fromEnvelopeJson]]: keeps the wire's
@@ -104,7 +113,10 @@ object Changelog {
     * monitored, not a log line.
     */
   def deadLetters(df: DataFrame, valueCol: String = "value"): DataFrame =
-    parsedEnvelopes(df, valueCol)
+    deadLettersOfParsed(parsedEnvelopes(df, valueCol), valueCol)
+
+  private[graft] def deadLettersOfParsed(parsed: DataFrame, valueCol: String): DataFrame =
+    parsed
       .filter(!isValidEnvelope(col("e")) && !isSchemaChange(col("e")))
       .select(col(valueCol).as("raw"), lit("unparseable_envelope").as("reason"))
 
@@ -118,7 +130,10 @@ object Changelog {
     * the non-tombstone stream.
     */
   def schemaHistory(df: DataFrame, valueCol: String = "value"): DataFrame =
-    parsedEnvelopes(df, valueCol)
+    schemaHistoryOfParsed(parsedEnvelopes(df, valueCol))
+
+  private[graft] def schemaHistoryOfParsed(parsed: DataFrame): DataFrame =
+    parsed
       .filter(isSchemaChange(col("e")))
       .select(
         col("e.payload.databaseName").as("db"),
@@ -126,7 +141,7 @@ object Changelog {
         col("e.payload.ts_ms").as("ts_ms"),
         col("e.payload.ddl").as("ddl"))
 
-  private def parsedEnvelopes(df: DataFrame, valueCol: String): DataFrame =
+  private[graft] def parsedEnvelopes(df: DataFrame, valueCol: String): DataFrame =
     df.filter(col(valueCol).isNotNull)                      // P1 tombstone filter
       .withColumn("e", from_json(col(valueCol), CdcSchema.envelopeType))
 

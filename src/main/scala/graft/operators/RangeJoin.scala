@@ -37,14 +37,27 @@ object RangeJoin {
     * columns of both inputs.
     */
   def binJoin(points: DataFrame, intervals: DataFrame,
-              pt: String, lo: String, hi: String, binWidth: Long): DataFrame = {
-    // integer `div`, not `/` (Column `/` on longs returns double);
-    // backticked names survive non-identifier column names
-    val binned = intervals.withColumn("__bin",
-      explode(sequence(expr(s"`$lo` div $binWidth"), expr(s"(`$hi` - 1) div $binWidth"))))
+              pt: String, lo: String, hi: String, binWidth: Long,
+              maxBinsPerInterval: Long = 1L << 20): DataFrame = {
+    // Backticked names everywhere (expr AND col would otherwise read a
+    // dot as struct access). Integer `div`, not `/` (Column `/` on longs
+    // returns double).
+    def c(name: String) = col(s"`$name`")
+    // Same guards as the optimizer-rule twin (plans.BinJoinRewrite): an
+    // empty/inverted interval yields ZERO bins (sequence would step -1
+    // and enumerate garbage), and a sentinel interval raises an
+    // actionable error instead of dying on the array-size limit.
+    val seqBins = sequence(expr(s"`$lo` div $binWidth"), expr(s"(`$hi` - 1) div $binWidth"))
+    val span = expr(s"(`$hi` - 1) div $binWidth - `$lo` div $binWidth")
+    val bins = when(c(hi) <= c(lo), typedLit(Array.empty[Long]))
+      .when(span > lit(maxBinsPerInterval - 1),
+        raise_error(lit(s"binJoin interval spans more than $maxBinsPerInterval bins " +
+          "(maxBinsPerInterval); raise it or widen binWidth")).cast("array<bigint>"))
+      .otherwise(seqBins)
+    val binned = intervals.withColumn("__bin", explode(bins))
     points.withColumn("__bin", expr(s"`$pt` div $binWidth"))
       .join(binned, "__bin")
-      .filter(col(pt) >= col(lo) && col(pt) < col(hi))
+      .filter(c(pt) >= c(lo) && c(pt) < c(hi))
       .drop("__bin")
   }
 

@@ -196,9 +196,10 @@ object TextAnalysis {
   /** The composed curation pass a training-data pipeline runs end to end:
     * quality-gate (stopword/diversity score), exact-dedup survivors
     * (min doc_id per content fingerprint), then per-language corpus
-    * stats. One declarative plan — Catalyst fuses the gate into the scan
-    * and the dedup group carries only gated rows; at 100 TB this is one
-    * filtered scan + one fingerprint shuffle + one tiny agg.
+    * stats. One declarative plan — Catalyst fuses the gate into the scan,
+    * and the dedup survivor comes from a fingerprint window over the same
+    * subtree; at 100 TB this is ONE filtered scan + one fingerprint
+    * shuffle + one tiny agg.
     */
   def textCurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val toks = TextFns.tokens(col("text"))
@@ -212,10 +213,13 @@ object TextAnalysis {
         (col("n_uniq").cast("double") / col("n_tokens")) *
           (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")))
       .filter(col("score") >= 0.5 && col("n_tokens") >= 20)
-    val kept = gated
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    gated.join(kept, Seq("fp", "doc_id"), "left_semi")
+    // dedup survivor via a fingerprint window, NOT groupBy(fp)+semi-join:
+    // divergent aggregates over one subtree are not exchange-reused, so
+    // the join form would tokenize the corpus twice (the tf-idf lesson)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    gated
+      .withColumn("min_doc", min(col("doc_id")).over(wFp))
+      .filter(col("doc_id") === col("min_doc"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),

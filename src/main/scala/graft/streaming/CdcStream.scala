@@ -246,36 +246,47 @@ object CdcStream {
   }
 
   /** The COMPLETE live ingress topology in one stream, from raw envelope
-    * values (Kafka record values / file lines): each micro-batch routes
-    * the raw stream three ways — malformed envelopes → dead-letter
+    * values (Kafka record values / file lines): each micro-batch parses
+    * the envelopes ONCE (the JSON parse is the dominant ingress cost at
+    * scale — persisting the raw strings alone would re-parse per sink)
+    * and routes three ways — malformed envelopes → dead-letter
     * quarantine, Debezium schema-change events → schema-history log, data
-    * envelopes → audit + versioned state merge — off a single persisted
-    * scan. Every sink is idempotent under checkpoint replay (per-batch
-    * partition dirs for quarantine/history/audit, idempotent merge for
-    * state), so the whole topology keeps the exactly-once argument.
+    * envelopes → audit + versioned state merge. Every sink is idempotent
+    * under checkpoint replay (per-batch partition dirs for
+    * quarantine/history/audit, idempotent merge for state), so the whole
+    * topology keeps the exactly-once argument.
+    *
+    * Fixed to the invoice wire format: the envelope parse schema and the
+    * ingress validity gate are invoice-shaped, so this runner does not
+    * take a `CdcTableSpec` (a spec parameter here could not actually
+    * change the parsed image shape — columns would silently drop at
+    * parse time). Generic table shapes enter via [[run]] with a
+    * caller-built changelog. `kafkaTsCol` (e.g. from
+    * `fromKafkaRelation`-style ingress) keeps the audit log on Kafka
+    * ingest time per the reference contract.
     */
   def runRouted(raw: DataFrame, valueCol: String,
                 deadLetterDir: String, schemaHistoryDir: String,
                 auditDir: String, stateDir: String, checkpointDir: String,
                 retainVersions: Int = 3,
-                spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                kafkaTsCol: Option[String] = None,
                 tombstoneGcBelow: Option[Long] = None): StreamingQuery = {
     require(retainVersions >= 2, "retainVersions must be >= 2 (current + recovery)")
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
-        val batch = rawBatch.persist() // four sinks below; scan the source once
+        // parse once, route with three filters over the cached parse
+        val parsed = Changelog.parsedEnvelopes(rawBatch, valueCol).persist()
         try {
-          Changelog.deadLetters(batch, valueCol)
+          Changelog.deadLettersOfParsed(parsed, valueCol)
             .write.mode("overwrite").parquet(s"$deadLetterDir/batch=$batchId")
-          Changelog.schemaHistory(batch, valueCol)
+          Changelog.schemaHistoryOfParsed(parsed)
             .write.mode("overwrite").parquet(s"$schemaHistoryDir/batch=$batchId")
-          val changelog = Changelog.fromEnvelopeJson(batch, valueCol).persist()
-          try applyVersionedBatch(changelog, batchId, auditDir, stateDir,
-            retainVersions, spec, tombstoneGcBelow)
-          finally changelog.unpersist()
-        } finally batch.unpersist()
+          val changelog = Changelog.changelogOfParsed(parsed, kafkaTsCol)
+          applyVersionedBatch(changelog, batchId, auditDir, stateDir,
+            retainVersions, CdcSchema.invoiceSpec, tombstoneGcBelow)
+        } finally parsed.unpersist()
         ()
       }
       .start()

@@ -49,17 +49,19 @@ object JoinPropertySpec extends Properties("CustomJoins") {
         val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i) }
           .toDF("k", "ms", "lid")
         val right = rUnique.toDF("k", "ms", "price")
-        val got = AsofJoin.asofJoin(left, right, "k", "ms", Seq("price"))
+        val rows = AsofJoin.asofJoin(left, right, "k", "ms", Seq("price"))
           .select(col("lid"), col("asof.price"))
           .collect()
           .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
-          .toMap
+        // cardinality first: toMap alone would mask duplicate emissions
+        val got = rows.toMap
+        val cardinalityOk = rows.length == ls.size
         // reference: for each left row, the right row of the same key with
         // the greatest ms <= left.ms
         val want = ls.zipWithIndex.map { case ((k, t), i) =>
           i -> rUnique.filter(r => r._1 == k && r._2 <= t)
             .sortBy(_._2).lastOption.map(_._3)
         }.toMap
-        got == want
+        cardinalityOk && got == want
     }
 }
