@@ -65,10 +65,12 @@ object Soak {
     val batchRows = batchSnap.count()
     val batchSec = (System.nanoTime() - t1) / 1e9
 
-    // ---- streaming: the full production path, 10 files → micro-batches
+    // ---- streaming: the full production path; 2 files per trigger → 5
+    // micro-batches, so the manifest-committed O(delta) merge actually
+    // runs incrementally instead of as one replay-sized batch
     val t0 = System.nanoTime()
     val q = streaming.CdcStream.runPartitioned(
-      streaming.CdcStream.fromFiles(spark, in),
+      streaming.CdcStream.fromFiles(spark, in, maxFilesPerTrigger = Some(2)),
       s"$base/audit", s"$base/state", s"$base/ckpt")
     q.awaitTermination(1200000)
     val streamSec = (System.nanoTime() - t0) / 1e9

@@ -66,10 +66,19 @@ object CdcStream {
     Changelog.fromEnvelopeJson(vals, "value", Some("kafka_ts"))
   }
 
-  /** File ingress (tests / replay): one envelope JSON per line. */
-  def fromFiles(spark: SparkSession, dir: String): DataFrame =
+  /** File ingress (tests / replay): one envelope JSON per line.
+    * `maxFilesPerTrigger` bounds each micro-batch (AvailableNow otherwise
+    * swallows the whole backlog in one batch — fine for replay, but
+    * incremental-merge behavior only shows under multiple batches).
+    */
+  def fromFiles(spark: SparkSession, dir: String,
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+    val withOpt = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
     Changelog.fromEnvelopeJson(
-      spark.readStream.text(dir).withColumnRenamed("value", "raw"), "raw")
+      withOpt.text(dir).withColumnRenamed("value", "raw"), "raw")
+  }
 
   /** Audit-log projection of the raw stream — every non-tombstone message,
     * truncates included, re-serialized (reference P4: `to_json` of the
