@@ -239,7 +239,7 @@ object TextAnalysis {
        |  FROM docs),
        |g AS (SELECT * FROM gated WHERE score >= 0.5 AND n_tokens >= 20),
        |kept AS (SELECT fp, MIN(doc_id) AS doc_id FROM g GROUP BY fp)
-       |SELECT g.lang, COUNT(*) AS n_docs, SUM(g.n_tokens) AS n_tokens,
+       |SELECT g.lang, COUNT(*) AS n_docs, CAST(SUM(g.n_tokens) AS BIGINT) AS n_tokens,
        |       CAST(SUM(g.n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
        |FROM g JOIN kept ON g.fp = kept.fp AND g.doc_id = kept.doc_id
        |GROUP BY g.lang ORDER BY g.lang""".stripMargin
@@ -269,7 +269,7 @@ object TextAnalysis {
 
   private val textSampleStratifiedSql =
     """SELECT lang, COUNT(*) AS n_total,
-      |  SUM(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '4' THEN 1 ELSE 0 END) AS n_sampled,
+      |  CAST(SUM(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '4' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
       |  CAST(SUM(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '4' THEN 1 ELSE 0 END) AS DOUBLE)
       |    / COUNT(*) AS rate
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin

@@ -13,6 +13,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# The driver hashes TYPED results. Empirically (CORRECTNESS_r02) it
+# normalizes signed int widths <= 64 bit (Spark INT parquet vs DuckDB BIGINT
+# aggregates hash equal) but NOT int128: a DuckDB HUGEINT from SUM(<int>)
+# hash-mismatches a value-equal Spark BIGINT. Canonicalize exactly what the
+# driver proved it tolerates; everything else (HUGEINT, DECIMAL, unsigned,
+# FLOAT vs DOUBLE) stays strict.
+_INT64_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+
+
+def type_map(rel):
+    """name -> canonical DuckDB type string (see width note above)."""
+    return {c: ("INT64" if str(t) in _INT64_WIDTHS else str(t))
+            for c, t in zip(rel.columns, rel.types)}
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -47,6 +62,13 @@ def main(sf_dir, out_dir):
             continue
         if s_cols != o_cols:
             print(f"FAIL {name}: columns spark={s_cols} oracle={o_cols}")
+            failures += 1
+            continue
+        s_types, o_types = type_map(spark_rel), type_map(o_rel)
+        drift = {c: (s_types[c], o_types[c]) for c in s_types
+                 if s_types[c] != o_types[c]}
+        if drift:
+            print(f"FAIL {name}: type drift (spark, oracle): {drift}")
             failures += 1
             continue
         if len(s_rows) != len(o_rows):
