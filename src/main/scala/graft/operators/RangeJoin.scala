@@ -48,7 +48,12 @@ object RangeJoin {
     // and enumerate garbage), and a sentinel interval raises an
     // actionable error instead of dying on the array-size limit.
     val seqBins = sequence(expr(s"`$lo` div $binWidth"), expr(s"(`$hi` - 1) div $binWidth"))
-    val span = expr(s"(`$hi` - 1) div $binWidth - `$lo` div $binWidth")
+    // span in DOUBLE: a long subtraction overflows for extreme
+    // opposite-sign bounds (e.g. lo=Long.MinValue, hi=Long.MaxValue at
+    // width 1), turning the intended guard error into ARITHMETIC_OVERFLOW
+    // under ANSI; double imprecision (~2^11 at that magnitude) is
+    // irrelevant for a threshold test against ~2^20.
+    val span = expr(s"CAST((`$hi` - 1) div $binWidth AS DOUBLE) - CAST(`$lo` div $binWidth AS DOUBLE)")
     val bins = when(c(hi) <= c(lo), typedLit(Array.empty[Long]))
       .when(span > lit(maxBinsPerInterval - 1),
         raise_error(lit(s"binJoin interval spans more than $maxBinsPerInterval bins " +

@@ -25,9 +25,15 @@ import org.apache.spark.sql.types.LongType
   * left, bounds from the right (or the mirror). The rewritten join gains
   * an equality conjunct, so the rule cannot re-fire on its own output.
   * Correctness under truncating division (`div`, negatives included):
-  * trunc-div is monotone, so lo ≤ pt ≤ hi−1 implies
-  * trunc(lo/w) ≤ trunc(pt/w) ≤ trunc((hi−1)/w) — the point's bin always
-  * lands inside the interval's enumerated bin range.
+  * trunc-div is monotone, so lo ≤ pt ≤ hi implies
+  * trunc(lo/w) ≤ trunc(pt/w) ≤ trunc(hi/w) — the point's bin always
+  * lands inside `[bin(lo), bin(hi)]`, enumerated INCLUSIVE of both raw
+  * bounds regardless of the conjuncts' strictness. Strict bounds are NOT
+  * normalized with ±1 arithmetic: `Add(hi, 1)` overflows when a bound
+  * column carries the common `Long.MaxValue` "unbounded" sentinel (ANSI
+  * mode throws ARITHMETIC_OVERFLOW; legacy mode wraps to an inverted
+  * interval and silently drops matches). A superset of bins is always
+  * safe because the original predicate is kept as the residual filter.
   *
   * Registered by [[GraftExtensions]] (`spark.sql.extensions`) — the
   * `SparkSessionExtensions` path — or dynamically via
@@ -74,30 +80,30 @@ object BinJoinRewrite extends Rule[LogicalPlan] {
   /** cond is exactly a lower-bound conjunct and an upper-bound conjunct
     * on the same point expression (`pt >= lo` / `pt > lo` paired with
     * `pt < hi` / `pt <= hi`, in either conjunct order), pt from one side,
-    * bounds from the other (either assignment of sides). Returns
-    * (pt, lo', hi', ptOnLeft) normalized to the half-open `[lo', hi')`
-    * form — exact for LongType: `pt > lo ⇔ pt >= lo+1` and `pt <= hi ⇔
-    * pt < hi+1` over integers.
+    * bounds from the other (either assignment of sides). Returns the RAW
+    * bound expressions — strictness is deliberately discarded (see the
+    * object doc: inclusive bin enumeration over raw bounds is a safe
+    * superset, and ±1 normalization overflows on sentinel bounds).
     */
   private def matchRange(cond: Expression, left: LogicalPlan, right: LogicalPlan)
       : Option[(Expression, Expression, Expression, Boolean)] = {
     def from(e: Expression, side: LogicalPlan) =
       e.references.nonEmpty && e.references.subsetOf(side.outputSet)
     def isLong(e: Expression) = e.dataType == LongType
-    // a conjunct as (pt, inclusive-lower-bound) if it bounds pt from below
+    // a conjunct as (pt, raw-lower-bound) if it bounds pt from below
     def lower(e: Expression): Seq[(Expression, Expression)] = e match {
       case GreaterThanOrEqual(pt, lo) => Seq((pt, lo))
-      case GreaterThan(pt, lo) => Seq((pt, Add(lo, Literal(1L))))
+      case GreaterThan(pt, lo) => Seq((pt, lo))
       case LessThanOrEqual(lo, pt) => Seq((pt, lo))
-      case LessThan(lo, pt) => Seq((pt, Add(lo, Literal(1L))))
+      case LessThan(lo, pt) => Seq((pt, lo))
       case _ => Seq.empty
     }
-    // a conjunct as (pt, exclusive-upper-bound) if it bounds pt from above
+    // a conjunct as (pt, raw-upper-bound) if it bounds pt from above
     def upper(e: Expression): Seq[(Expression, Expression)] = e match {
       case LessThan(pt, hi) => Seq((pt, hi))
-      case LessThanOrEqual(pt, hi) => Seq((pt, Add(hi, Literal(1L))))
+      case LessThanOrEqual(pt, hi) => Seq((pt, hi))
       case GreaterThan(hi, pt) => Seq((pt, hi))
-      case GreaterThanOrEqual(hi, pt) => Seq((pt, Add(hi, Literal(1L))))
+      case GreaterThanOrEqual(hi, pt) => Seq((pt, hi))
       case _ => Seq.empty
     }
     cond match {
@@ -125,20 +131,28 @@ object BinJoinRewrite extends Rule[LogicalPlan] {
     // point side: project the point's bin
     val binP = Alias(divW(pt), "__bin_p")()
     val newPtSide = Project(ptSide.output :+ binP, ptSide)
-    // bounds side: explode each interval into the bins it covers; an
-    // empty/inverted interval ([hi,lo) with hi <= lo) yields ZERO bins —
-    // without the guard Sequence's default -1 step would enumerate
-    // downward and generate garbage rows the residual filter then drops
-    val seqExpr = Sequence(divW(lo), divW(Subtract(hi, Literal(1L))), None,
+    // bounds side: explode each interval into the bins [bin(lo), bin(hi)]
+    // it can touch (inclusive of both raw bounds — a superset when a
+    // conjunct was strict; the residual filter is exact). An inverted
+    // interval (hi < lo) yields ZERO bins — without the guard Sequence's
+    // default -1 step would enumerate downward and generate garbage rows.
+    // No ±1 on the bounds anywhere: it overflows on sentinel values.
+    val seqExpr = Sequence(divW(lo), divW(hi), None,
       Some(conf.sessionLocalTimeZone))
-    val span = Subtract(divW(Subtract(hi, Literal(1L))), divW(lo))
-    val guarded = If(GreaterThan(span, Literal(maxBins - 1)),
+    // span measured in DOUBLE: a long subtraction overflows for extreme
+    // opposite-sign bins (e.g. [Long.MinValue, Long.MaxValue] at width 1),
+    // turning the intended "too many bins" error into ARITHMETIC_OVERFLOW
+    // (ANSI) or a silent wrap (legacy). The ~2^11-ulp imprecision at that
+    // magnitude is irrelevant for a >= maxBins threshold test.
+    val span = Subtract(Cast(divW(hi), org.apache.spark.sql.types.DoubleType),
+      Cast(divW(lo), org.apache.spark.sql.types.DoubleType))
+    val guarded = If(GreaterThan(span, Literal((maxBins - 1).toDouble)),
       Cast(RaiseError(Literal(
         s"bin-join interval spans more than $maxBins bins " +
           s"($MaxBinsConf); raise it, widen $WidthConf, or unset the rule")),
         seqExpr.dataType),
       seqExpr)
-    val bins = If(LessThanOrEqual(hi, lo),
+    val bins = If(LessThan(hi, lo),
       Literal.create(Array.empty[Long], seqExpr.dataType), guarded)
     val gen = Explode(bins)
     val binB = AttributeReference("__bin_b", LongType,

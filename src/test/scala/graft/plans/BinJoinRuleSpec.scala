@@ -132,6 +132,23 @@ class BinJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("closed Long.MaxValue sentinel bound rewrites without overflow") {
+    import spark.implicits._
+    // `pt <= hi` with hi = Long.MaxValue ("unbounded" sentinel): the old
+    // half-open normalization computed Add(hi, 1), which throws
+    // ARITHMETIC_OVERFLOW under ANSI (and silently dropped all matches
+    // with ANSI off). Bin width Long.MaxValue keeps the span within the
+    // maxBins guard so the join must actually RUN and match everything.
+    val sentinel = Seq((0L, Long.MaxValue, "all")).toDF("lo", "hi", "iv")
+    val cond = col("ms") >= col("lo") && col("ms") <= col("hi")
+    withRule(Long.MaxValue) {
+      val df = points.join(sentinel, cond)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(df.count() === points.count())
+    }
+  }
+
   test("empty/inverted intervals match nothing and generate no bin rows") {
     import spark.implicits._
     withRule(10L) {
