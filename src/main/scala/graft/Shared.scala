@@ -22,12 +22,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Keyed by `sessionUUID` — collision-free across session restarts (an
   * identity-hash key could alias a stopped session's entry onto a new
   * session and hand out a DataFrame bound to a dead SparkContext).
-  * Entries of stopped sessions are small driver-side plan objects, never
-  * executor memory.
+  *
+  * Lifecycle hygiene (long-lived JVMs hosting many contexts):
+  *  - entries of STOPPED contexts are evicted on every [[materialize]]
+  *    call — neither the memo nor the spared-RDD set grows across context
+  *    restarts;
+  *  - spared RDD ids are keyed by `(applicationId, rddId)` — RDD ids
+  *    restart from 0 per SparkContext, so a bare id from a previous
+  *    context would spare an unrelated transient block in the next one;
+  *  - the registry lock covers only map bookkeeping; the eager
+  *    `localCheckpoint` job runs outside it (per-entry lazy cell), so one
+  *    session's build does not serialize unrelated sessions.
   */
 object Shared {
-  private val memo = TrieMap.empty[(String, String, String), (SparkSession, DataFrame)]
-  private val shared = TrieMap.empty[Int, Unit]
+
+  /** One memo entry: the owning session and a lazily-built checkpoint.
+    * `lazy val` gives exactly-once build per cell with the monitor scoped
+    * to THIS cell — concurrent materialize calls for different keys build
+    * in parallel.
+    */
+  private final class Cell(val session: SparkSession, build: () => DataFrame) {
+    lazy val df: DataFrame = {
+      val ck = build().localCheckpoint() // eager: blocks exist when this returns
+      // The checkpointed Dataset's plan IS a LogicalRDD over the
+      // persisted RDD — read its id directly instead of diffing
+      // getPersistentRDDs around the build (a diff would misclassify
+      // any RDD a CONCURRENT query happens to persist in the window,
+      // pinning per-query scratch for the session's lifetime).
+      val appId = session.sparkContext.applicationId
+      ck.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.foreach(id => shared.put((appId, id), ()))
+      ck
+    }
+  }
+
+  private val memo = TrieMap.empty[(String, String, String), Cell]
+  private val shared = TrieMap.empty[(String, Int), Unit]
 
   /** Session identity: applicationId (changes across context restarts) +
     * identity hash. Identity hashes are not unique, so hits additionally
@@ -38,26 +69,32 @@ object Shared {
   private def sessionKey(s: SparkSession): String =
     s.sparkContext.applicationId + "#" + System.identityHashCode(s)
 
+  /** Drop memo entries whose context is stopped, then spared ids whose
+    * applicationId no longer has any live memo entry (a spared id is only
+    * ever registered by a memo build, so a live registrant implies a live
+    * memo entry — see [[Cell.df]]).
+    */
+  private def evictStopped(): Unit = {
+    memo.filterInPlace { case (_, c) => !c.session.sparkContext.isStopped }
+    val liveApps = memo.values.map(_.session.sparkContext.applicationId).toSet
+    shared.filterInPlace { case ((app, _), _) => liveApps.contains(app) }
+  }
+
   /** Memoized `build.localCheckpoint()` for (session, dir, key). */
-  def materialize(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    synchronized {
+  def materialize(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    val cell = synchronized {
+      evictStopped()
       val k = (sessionKey(s), dir, key)
       memo.get(k) match {
-        case Some((sess, df)) if sess eq s => df
+        case Some(c) if c.session eq s => c
         case _ =>
-          val ck = build.localCheckpoint() // eager: blocks exist when this returns
-          // The checkpointed Dataset's plan IS a LogicalRDD over the
-          // persisted RDD — read its id directly instead of diffing
-          // getPersistentRDDs around the build (a diff would misclassify
-          // any RDD a CONCURRENT query happens to persist in the window,
-          // pinning per-query scratch for the session's lifetime).
-          ck.queryExecution.analyzed.collect {
-            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
-          }.foreach(id => shared.put(id, ()))
-          memo.put(k, (s, ck))
-          ck
+          val fresh = new Cell(s, () => build)
+          memo.put(k, fresh)
+          fresh
       }
     }
+    cell.df // builds outside the registry lock; per-cell exactly-once
+  }
 
   /** Unpersist every persistent RDD except the shared materializations.
     *
@@ -68,8 +105,10 @@ object Shared {
     * AFTER the query's result has been consumed — a localCheckpoint's
     * lineage is truncated, so its blocks must outlive its readers.
     */
-  def releaseTransient(s: SparkSession): Unit =
+  def releaseTransient(s: SparkSession): Unit = {
+    val appId = s.sparkContext.applicationId
     s.sparkContext.getPersistentRDDs.valuesIterator
-      .filter(r => !shared.contains(r.id))
+      .filter(r => !shared.contains((appId, r.id)))
       .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -61,8 +61,12 @@ object CdcStream {
     * `main.py:35` pairs each message with its Kafka ingest timestamp).
     */
   def fromKafkaRelation(raw: DataFrame): DataFrame = {
+    // unix_millis is an exact integer conversion; a double round-trip
+    // (cast(ts as double) * 1000) can land 1ms low when the double
+    // representation of the epoch rounds down, making the audit log
+    // disagree with the Kafka record timestamp
     val vals = raw.select(col("value").cast("string").as("value"),
-      (col("timestamp").cast("double") * 1000).cast("long").as("kafka_ts"))
+      unix_millis(col("timestamp")).as("kafka_ts"))
     Changelog.fromEnvelopeJson(vals, "value", Some("kafka_ts"))
   }
 
@@ -416,8 +420,10 @@ object CdcStream {
           .filter(col("p").isNotNull).distinct()
           .collect().map(_.getLong(0))
 
-        val manifest = readManifest(spark, stateDir)
+        val m = readManifest(spark, stateDir)
+        val manifest = m.buckets
         val newVersion0 = batchId + 1
+        val batchFp = inputFingerprint(batch)
         // Stale-checkpoint guard (same hazard run() checks): a manifest
         // referencing a version beyond this batch's own means checkpointDir
         // was reset against a retained stateDir — fail loudly, don't fold
@@ -431,8 +437,20 @@ object CdcStream {
           // manifest rename and the checkpoint commit). The batch's effect
           // is durable — re-merging would read bucket dirs under
           // v=newVersion while overwriting that very dir (the files would
-          // be deleted under the lazy plan). The audit rewrite above is
-          // idempotent; just redo the GC the crash may have skipped.
+          // be deleted under the lazy plan). But "manifest references my
+          // version" alone is ambiguous when exactly one batch had
+          // committed: a reset checkpointDir over a retained stateDir
+          // produces the same (batchId=0, manifest→v=1) picture with
+          // POSSIBLY DIFFERENT DATA, and a silent no-op would lose those
+          // events forever. The commit recorded the batch's input
+          // fingerprint — require it to match before no-op'ing.
+          require(m.fp.contains(newVersion0 -> batchFp),
+            s"state manifest already references v=$newVersion0 but its recorded input " +
+              s"fingerprint ${m.fp} does not match this batch's $batchFp: checkpointDir " +
+              "appears to have been reset against a retained stateDir — retain (or clear) " +
+              "both together")
+          // Genuine crash-replay: the audit rewrite above is idempotent;
+          // just redo the GC the crash may have skipped.
           val live0 = manifest.values.toSet
           val fs0 = hadoopFs(spark, stateDir)
           fs0.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
@@ -474,7 +492,7 @@ object CdcStream {
         val next = (base -- touched) ++ outBuckets.map(_ -> newVersion)
 
         // (2) THE commit point: atomic rename over _CURRENT.
-        commitManifest(spark, stateDir, next)
+        commitManifest(spark, stateDir, next, newVersion -> batchFp)
 
         // (3) GC version dirs nothing references anymore.
         val live = next.values.toSet + newVersion
@@ -490,31 +508,58 @@ object CdcStream {
       .start()
   }
 
-  /** `_CURRENT` manifest: one `bucket,version` line per bucket. Empty map
-    * = no committed state.
+  /** Parsed `_CURRENT` manifest: the bucket → version map plus the
+    * committing batch's (version, input fingerprint) — the fingerprint is
+    * what lets a replay distinguish "this exact batch already committed"
+    * from "checkpointDir was reset against a retained stateDir" (the two
+    * cases are otherwise identical when exactly one batch had committed).
     */
-  private def readManifest(spark: SparkSession, stateDir: String): Map[Long, Long] = {
+  private final case class StateManifest(buckets: Map[Long, Long],
+                                         fp: Option[(Long, Long)])
+
+  /** `_CURRENT` manifest: one `bucket,version` line per bucket plus one
+    * `fp,version,hash` line for the committing batch. Empty = no
+    * committed state.
+    */
+  private def readManifest(spark: SparkSession, stateDir: String): StateManifest = {
     val fs = hadoopFs(spark, stateDir)
     val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
-    if (!fs.exists(cur)) Map.empty
+    if (!fs.exists(cur)) StateManifest(Map.empty, None)
     else {
       val in = fs.open(cur)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty)
-        .map { l => val Array(b, v) = l.split(","); b.toLong -> v.toLong }
-        .toMap
-      finally in.close()
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map(_.split(",")).toSeq
+        StateManifest(
+          lines.collect { case Array(b, v) => b.toLong -> v.toLong }.toMap,
+          lines.collectFirst { case Array("fp", v, h) => v.toLong -> h.toLong })
+      } finally in.close()
     }
   }
 
+  /** Order-independent fingerprint of a micro-batch's input rows (xor of
+    * per-row xxhash64, count mixed in so duplicate pairs cannot cancel to
+    * an empty-batch fingerprint). Recorded in the manifest at commit and
+    * required to MATCH before the replay-of-committed-batch branch treats
+    * a batch as already applied.
+    */
+  private def inputFingerprint(batch: DataFrame): Long = {
+    val colList = batch.columns.sorted.map(c => s"`$c`").mkString(", ")
+    val r = batch.selectExpr(
+      s"coalesce(bit_xor(xxhash64(struct($colList))), 0L)", "count(*)").collect()(0)
+    r.getLong(0) ^ java.lang.Long.rotateLeft(r.getLong(1), 32)
+  }
+
   private def commitManifest(spark: SparkSession, stateDir: String,
-                             manifest: Map[Long, Long]): Unit = {
+                             manifest: Map[Long, Long],
+                             fp: (Long, Long)): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT.tmp")
     val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
     val fs = hadoopFs(spark, stateDir)
     val out = fs.create(tmp, true)
     try out.write(
-      manifest.toSeq.sorted.map { case (b, v) => s"$b,$v" }.mkString("\n").getBytes("UTF-8"))
+      (manifest.toSeq.sorted.map { case (b, v) => s"$b,$v" }
+        :+ s"fp,${fp._1},${fp._2}").mkString("\n").getBytes("UTF-8"))
     finally out.close()
     // FileContext.rename(OVERWRITE) is the atomic-replace primitive
     // (plain FileSystem.rename won't clobber on local/HDFS). On stores
@@ -556,7 +601,7 @@ object CdcStream {
     * `_CURRENT` manifest — readers never see an uncommitted version dir.
     */
   def partitionedSnapshot(spark: SparkSession, stateDir: String): DataFrame =
-    snapshotOf(readBuckets(spark, stateDir, readManifest(spark, stateDir)).drop("p"))
+    snapshotOf(readBuckets(spark, stateDir, readManifest(spark, stateDir).buckets).drop("p"))
 
   /** Newest state version under `stateDir`, if any. */
   def latestStateVersion(spark: SparkSession, stateDir: String): Option[(Long, DataFrame)] = {

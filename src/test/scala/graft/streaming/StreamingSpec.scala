@@ -308,6 +308,37 @@ class PartitionedStateSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(replayed === committed, "replay of a committed batch changed state")
   }
 
+  test("checkpoint reset over retained state with DIFFERENT data fails loudly") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("pstate5").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      env("null", """{"order_id":1,"invoice_number":10}""", "c", 1)).mkString("\n").getBytes)
+    val q1 = graft.streaming.CdcStream.runPartitioned(
+      graft.streaming.CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt", 8)
+    q1.awaitTermination(120000)
+    // A fresh checkpoint over the SAME manifest picture (batchId=0,
+    // manifest→v=1) but NEW input is indistinguishable from crash-replay
+    // by version alone — only the recorded input fingerprint tells them
+    // apart. A silent no-op here would lose the new events forever.
+    val in2 = s"$base/in2"; Files.createDirectories(Paths.get(in2))
+    Files.write(Paths.get(s"$in2/c1.json"), Seq(
+      env("null", """{"order_id":7,"invoice_number":70}""", "c", 9)).mkString("\n").getBytes)
+    val q2 = graft.streaming.CdcStream.runPartitioned(
+      graft.streaming.CdcStream.fromFiles(spark, in2),
+      s"$base/audit2", s"$base/state", s"$base/ckpt_reset", 8)
+    val e = intercept[Exception](q2.awaitTermination(120000))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("fingerprint")),
+      s"expected the fingerprint guard, got: ${messages(e).mkString(" | ")}")
+    // the guarded state is untouched
+    val snap = graft.streaming.CdcStream.partitionedSnapshot(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap === Seq((1L, 10L)))
+  }
+
   test("crash between stage and manifest commit loses no bucket; GC reclaims") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("pstate3").toString
