@@ -175,8 +175,29 @@ object Similarity {
     * (k-means assignment is engine-side); recall vs brute force pinned in
     * SimilaritySpec.
     */
+  /** K-means coarse quantizer fitted on a DETERMINISTIC BOUNDED SAMPLE of
+    * the corpus, never the whole of it: `fit` is an iterative driver-
+    * coordinated job (maxIter full passes with a driver sync each round) —
+    * at 100 TB it dominates the query by orders of magnitude, while
+    * centroid quality only needs a representative sample (standard IVF
+    * practice trains the quantizer on ~256·k vectors). The sample is a
+    * modulus on vec_id — reproducible across runs and engines, no RNG —
+    * sized from the parquet row count (metadata-cheap) to ~max(256·k, 4k)
+    * vectors. Assignment of the FULL corpus stays a single map-only
+    * `model.transform` pass, which scales.
+    */
+  private def ivfFit(vecs: DataFrame, k: Int) = {
+    val n = vecs.count()
+    val target = math.max(256L * k, 4096L)
+    val every = math.max(1L, n / target)
+    val train = vecs.filter(pmod(col("vec_id"), lit(every)) === 0)
+    new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(train)
+  }
+
   def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.vector_to_array
     val k = 16
     val nProbe = 4
@@ -184,9 +205,7 @@ object Similarity {
       .select(col("vec_id"),
         org.apache.spark.ml.functions.array_to_vector(
           col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(vecs)
+    val model = ivfFit(vecs, k)
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("cell"),
         fixedPoint(vector_to_array(col("features"))).as("v"))
@@ -218,14 +237,11 @@ object Similarity {
     * Deterministic under the fixed seed.
     */
   def writeIvfIndex(s: SparkSession, dir: String, out: String, k: Int = 16): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id"),
         org.apache.spark.ml.functions.array_to_vector(
           col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(vecs)
+    val model = ivfFit(vecs, k)
     model.transform(vecs)
       .select(col("vec_id"), col("cell"),
         fixedPoint(org.apache.spark.ml.functions.vector_to_array(col("features"))).as("v"))
