@@ -75,13 +75,19 @@ object TextFns {
     // per-bit-position lambdas call the SQL functions (column-typed args).
     def shr(x: Column, b: Column) = call_function("shiftright", x, b)
     def shl(x: Column, b: Column) = call_function("shiftleft", x, b)
+    // 64 token-hash bits from two 32-bit md5 truncations — the
+    // DuckDB-reproducible hash the hot-path formulation uses (Dedup
+    // .simhashSignatures); the parity spec pins the two bit-for-bit.
+    def hi(t: Column) = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    def lo(t: Column) = conv(substring(md5(t), 9, 8), 16, 10).cast("long")
     val bitVotes = aggregate(
       toks,
       array_repeat(lit(0L), 64),
       (acc, t) => zip_with(
         acc,
         transform(sequence(lit(0), lit(63)),
-          b => shr(xxhash64(t), b).bitwiseAND(lit(1L)) * 2 - 1),
+          b => when(b < 32, shr(lo(t), b)).otherwise(shr(hi(t), b - 32))
+            .bitwiseAND(lit(1L)) * 2 - 1),
         (a, v) => a + v))
     aggregate(
       zip_with(bitVotes, sequence(lit(0), lit(63)),
