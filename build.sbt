@@ -9,6 +9,14 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// The DuckDB JDBC driver already present in the pre-warmed cache backs the
+// JdbcSinkSpec (test classpath only — the adapter itself is pure java.sql,
+// no compile-time dependency). Guarded: if the jar is absent the build is
+// unaffected and the spec cancels itself via assume().
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").get.headOption.toSeq.map(Attributed.blank)
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cdc.CdcSchema
+
+/** External JDBC replica sink — the engine's adapter for the reference's
+  * terminal-sink topology (a ClickHouse table mutated over the network,
+  * `/root/reference/kafka-consumer-service/main.py:14-17,32`), expressed
+  * as the SAME merge contract the parquet state uses instead of generated
+  * DML strings:
+  *
+  *  - the external table holds `(key PRIMARY KEY, pos, valueCols…)` —
+  *    last-writer-wins by binlog position, enforced IN the upsert
+  *    (`ON CONFLICT … DO UPDATE … WHERE excluded.pos > t.pos`), so
+  *    at-least-once redelivery and out-of-order batches converge exactly
+  *    like `CdcStream.mergeBatch`;
+  *  - deletes keep a NULL-valued marker row (pos-guarded), so a late
+  *    redelivered older event cannot resurrect a deleted key; the replica
+  *    view is `WHERE <values> IS NOT NULL`;
+  *  - truncate is a position horizon: rows at-or-below it are deleted and
+  *    the horizon is persisted in `<table>_meta`, filtering later
+  *    stragglers — C4's generation semantics, not a TRUNCATE statement.
+  *
+  * Per micro-batch the batch is folded to its net per-key effect FIRST
+  * (`mergeBatch` against empty state — one row per key), then applied with
+  * one prepared upsert per key from `foreachPartition`: work and SQL
+  * round-trips are O(|delta|), connections are per-partition (the standard
+  * executor-side JDBC pattern; `numPartitions` bounds the fan-in for
+  * stores that dislike many writers). The upsert dialect is ANSI
+  * `ON CONFLICT` (DuckDB/Postgres/SQLite); a ClickHouse deployment swaps
+  * [[upsertSql]] for a ReplacingMergeTree insert — the contract (keyed
+  * last-writer-wins by pos) is what this object fixes, not the dialect.
+  *
+  * Everything here is plain `java.sql` — no driver classes referenced; the
+  * driver jar on the executor classpath is discovered by DriverManager.
+  */
+object JdbcSink {
+
+  /** SQL type for the narrow set of image column types the envelope
+    * carries (SURVEY §1.2: int32/int64/string).
+    */
+  private def sqlType(dt: DataType): String = dt match {
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case StringType => "VARCHAR"
+    case other => throw new IllegalArgumentException(
+      s"unsupported image column type $other (envelope carries int32/int64/string)")
+  }
+
+  private def jdbcType(dt: DataType): Int = dt match {
+    case IntegerType => java.sql.Types.INTEGER
+    case LongType => java.sql.Types.BIGINT
+    case StringType => java.sql.Types.VARCHAR
+    case other => throw new IllegalArgumentException(s"unsupported $other")
+  }
+
+  /** Idempotent DDL: replica table + single-row horizon meta table. */
+  def ensureTable(conn: Connection, table: String,
+                  spec: CdcSchema.CdcTableSpec, imageType: StructType): Unit = {
+    val valueDdl = spec.valueCols
+      .map(c => s"$c ${sqlType(imageType(c).dataType)}").mkString(", ")
+    val st = conn.createStatement()
+    try {
+      st.execute(
+        s"""CREATE TABLE IF NOT EXISTS $table (
+           |  ${spec.key} ${sqlType(imageType(spec.key).dataType)} PRIMARY KEY,
+           |  pos BIGINT NOT NULL, $valueDdl)""".stripMargin)
+      st.execute(s"CREATE TABLE IF NOT EXISTS ${table}_meta (horizon BIGINT NOT NULL)")
+      val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${table}_meta")
+      rs.next()
+      if (rs.getLong(1) == 0)
+        st.execute(s"INSERT INTO ${table}_meta VALUES (${Long.MinValue})")
+    } finally st.close()
+  }
+
+  /** The conditional upsert implementing last-writer-wins by pos. */
+  private def upsertSql(table: String, spec: CdcSchema.CdcTableSpec): String = {
+    val cols = (Seq(spec.key, "pos") ++ spec.valueCols).mkString(", ")
+    val marks = (Seq(spec.key, "pos") ++ spec.valueCols).map(_ => "?").mkString(", ")
+    val sets = ("pos" +: spec.valueCols)
+      .map(c => s"$c = excluded.$c").mkString(", ")
+    s"""INSERT INTO $table ($cols) VALUES ($marks)
+       |ON CONFLICT (${spec.key}) DO UPDATE SET $sets
+       |WHERE excluded.pos > $table.pos""".stripMargin
+  }
+
+  private def readHorizon(conn: Connection, table: String): Long = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(s"SELECT MAX(horizon) FROM ${table}_meta")
+      rs.next(); rs.getLong(1)
+    } finally st.close()
+  }
+
+  /** Apply one micro-batch of changelog events (the normalized
+    * `Changelog.fromEnvelopeJson` shape) to the JDBC replica. Idempotent:
+    * re-applying any batch — or any interleaving of already-applied
+    * batches — leaves the table unchanged.
+    */
+  def applyBatch(batch: DataFrame, url: String, table: String,
+                 spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                 numPartitions: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val imageType = batch.schema("after").dataType.asInstanceOf[StructType]
+    val keyJdbc = jdbcType(imageType(spec.key).dataType)
+    val valueJdbc = spec.valueCols.map(c => jdbcType(imageType(c).dataType))
+
+    // net per-key effect of THIS batch (one row per key + the horizon row)
+    val folded = CdcStream.mergeBatch(
+      CdcStream.emptyStateFor(spark, spec, imageType), batch, spec = spec).persist()
+    try {
+      val batchHorizon = folded.filter(col("key").isNull)
+        .select(max(col("pos"))).collect()(0).getLong(0)
+
+      val conn = DriverManager.getConnection(url)
+      val storedHorizon =
+        try {
+          ensureTable(conn, table, spec, imageType)
+          val stored = readHorizon(conn, table)
+          if (batchHorizon > stored) {
+            val st = conn.createStatement()
+            try {
+              // C4: erase everything at-or-below the horizon, then persist
+              // it so stragglers in LATER batches are filtered too
+              st.execute(s"DELETE FROM $table WHERE pos <= $batchHorizon")
+              st.execute(s"UPDATE ${table}_meta SET horizon = $batchHorizon")
+            } finally st.close()
+          }
+          math.max(stored, batchHorizon)
+        } finally conn.close()
+
+      val sql = upsertSql(table, spec)
+      val valueCols = spec.valueCols
+      folded
+        .filter(col("key").isNotNull && col("pos") > storedHorizon)
+        .repartition(numPartitions, col("key"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          if (rows.hasNext) {
+            val c = DriverManager.getConnection(url)
+            try {
+              val ps = c.prepareStatement(sql)
+              try rows.foreach { r =>
+                ps.setObject(1, r.getAs[Any]("key"), keyJdbc)
+                ps.setLong(2, r.getAs[Long]("pos"))
+                val after = r.getAs[org.apache.spark.sql.Row]("after")
+                valueCols.zip(valueJdbc).zipWithIndex.foreach { case ((vc, jt), i) =>
+                  val v = if (after == null) null else after.getAs[Any](vc)
+                  if (v == null) ps.setNull(3 + i, jt) else ps.setObject(3 + i, v, jt)
+                }
+                ps.executeUpdate()
+              } finally ps.close()
+            } finally c.close()
+          }
+        }
+    } finally folded.unpersist()
+    ()
+  }
+
+  /** `writeStream.foreachBatch` adapter: the reference topology's terminal
+    * sink as one line of wiring.
+    */
+  def foreachBatchWriter(url: String, table: String,
+                         spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                         numPartitions: Int = 8): (DataFrame, Long) => Unit =
+    (batch, _) => applyBatch(batch, url, table, spec, numPartitions)
+}

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.sql.DriverManager
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The external JDBC replica sink, backed by a real JDBC engine (DuckDB's
+  * driver from the test classpath — the adapter itself is pure java.sql).
+  * Asserts the reference sink semantics (insert/update/delete/truncate,
+  * `main.py:49-90`) land correctly, plus the engine's stronger contract:
+  * idempotent re-apply, out-of-order convergence, and equality with the
+  * parquet-state fold on identical input.
+  */
+class JdbcSinkSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private lazy val driverAvailable =
+    try { Class.forName("org.duckdb.DuckDBDriver"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  private def env(before: String, after: String, op: String, pos: Long) =
+    s"""{"payload":{"before":$before,"after":$after,"source":{"ts_ms":${1000 + pos},"pos":$pos,"db":"dev","table":"invoice"},"op":"$op","ts_ms":${1000 + pos}}}"""
+
+  private def batchOf(lines: String*) = {
+    import spark.implicits._
+    graft.cdc.Changelog.fromEnvelopeJson(lines.toDF("raw"), "raw")
+  }
+
+  private def freshDb(): String =
+    "jdbc:duckdb:" + java.nio.file.Files.createTempDirectory("jdbcsink") + "/db"
+
+  private def replica(url: String): Seq[(Int, Option[Int])] = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT order_id, invoice_number FROM invoice WHERE invoice_number IS NOT NULL ORDER BY order_id")
+      val buf = scala.collection.mutable.ListBuffer.empty[(Int, Option[Int])]
+      while (rs.next()) buf += ((rs.getInt(1), Some(rs.getInt(2))))
+      buf.toList
+    } finally c.close()
+  }
+
+  test("insert/update/delete/truncate land correctly") {
+    assume(driverAvailable, "duckdb jdbc driver not on test classpath")
+    val url = freshDb()
+    JdbcSink.applyBatch(batchOf(
+      env("null", """{"order_id":1,"invoice_number":10}""", "c", 1),
+      env("null", """{"order_id":2,"invoice_number":20}""", "c", 2),
+      env("null", """{"order_id":3,"invoice_number":30}""", "c", 3)), url, "invoice")
+    assert(replica(url) === Seq((1, Some(10)), (2, Some(20)), (3, Some(30))))
+
+    JdbcSink.applyBatch(batchOf(
+      env("""{"order_id":1,"invoice_number":10}""",
+        """{"order_id":1,"invoice_number":11}""", "u", 4),
+      env("""{"order_id":2,"invoice_number":20}""", "null", "d", 5)), url, "invoice")
+    assert(replica(url) === Seq((1, Some(11)), (3, Some(30))))
+
+    // truncate erases all state at-or-below its position...
+    JdbcSink.applyBatch(batchOf(
+      env("null", "null", "t", 6),
+      env("null", """{"order_id":9,"invoice_number":90}""", "c", 7)), url, "invoice")
+    assert(replica(url) === Seq((9, Some(90))))
+
+    // ...and the persisted horizon filters stragglers in LATER batches
+    JdbcSink.applyBatch(batchOf(
+      env("null", """{"order_id":4,"invoice_number":40}""", "c", 5)), url, "invoice")
+    assert(replica(url) === Seq((9, Some(90))))
+  }
+
+  test("idempotent re-apply and out-of-order batches converge (pos guard)") {
+    assume(driverAvailable, "duckdb jdbc driver not on test classpath")
+    val b1 = Seq(
+      env("null", """{"order_id":1,"invoice_number":10}""", "c", 1),
+      env("null", """{"order_id":2,"invoice_number":20}""", "c", 2))
+    val b2 = Seq(
+      env("""{"order_id":1,"invoice_number":10}""",
+        """{"order_id":1,"invoice_number":11}""", "u", 3),
+      env("""{"order_id":2,"invoice_number":20}""", "null", "d", 4))
+    val expected = Seq((1, Some(11)))
+
+    val inOrder = freshDb()
+    JdbcSink.applyBatch(batchOf(b1: _*), inOrder, "invoice")
+    JdbcSink.applyBatch(batchOf(b2: _*), inOrder, "invoice")
+    assert(replica(inOrder) === expected)
+    // at-least-once redelivery of an old batch: the pos guard rejects every
+    // stale image, and the delete MARKER (kept, not removed) blocks
+    // resurrection of key 2
+    JdbcSink.applyBatch(batchOf(b1: _*), inOrder, "invoice")
+    assert(replica(inOrder) === expected)
+
+    val reversed = freshDb()
+    JdbcSink.applyBatch(batchOf(b2: _*), reversed, "invoice")
+    JdbcSink.applyBatch(batchOf(b1: _*), reversed, "invoice")
+    assert(replica(reversed) === expected)
+  }
+
+  test("JDBC replica equals the parquet-state fold on identical input") {
+    assume(driverAvailable, "duckdb jdbc driver not on test classpath")
+    // deterministic mixed workload: inserts, overwrites, deletes, one
+    // truncate mid-stream, stragglers below the horizon
+    val events = (1 to 60).map { i =>
+      val key = i % 17
+      i % 7 match {
+        case 0 => env(s"""{"order_id":$key,"invoice_number":${i * 10}}""", "null", "d", i)
+        case 3 if i == 24 => env("null", "null", "t", i)
+        case _ => env("null", s"""{"order_id":$key,"invoice_number":${i * 10}}""", "c", i)
+      }
+    }
+    val batches = events.grouped(20).toSeq
+
+    val url = freshDb()
+    var state = CdcStream.emptyState(spark)
+    batches.foreach { b =>
+      JdbcSink.applyBatch(batchOf(b: _*), url, "invoice")
+      state = CdcStream.mergeBatch(state, batchOf(b: _*)).localCheckpoint()
+    }
+    val viaParquetFold = CdcStream.snapshotOf(state).collect()
+      .map(r => (r.getLong(0).toInt, Some(r.getLong(1).toInt))).toSeq
+    assert(replica(url) === viaParquetFold)
+  }
+
+  test("streaming integration: foreachBatchWriter as the terminal sink") {
+    assume(driverAvailable, "duckdb jdbc driver not on test classpath")
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("jdbcstream").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      env("null", """{"order_id":1,"invoice_number":10}""", "c", 1),
+      env("""{"order_id":1,"invoice_number":10}""",
+        """{"order_id":1,"invoice_number":12}""", "u", 2),
+      env("null", """{"order_id":5,"invoice_number":50}""", "c", 3))
+      .mkString("\n").getBytes)
+    val url = freshDb()
+    val q = CdcStream.fromFiles(spark, in).writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(JdbcSink.foreachBatchWriter(url, "invoice"))
+      .start()
+    q.awaitTermination(120000)
+    assert(replica(url) === Seq((1, Some(12)), (5, Some(50))))
+  }
+}
