@@ -46,20 +46,26 @@ object CdcSchema {
     * otherwise read as a TRUNCATE — a DDL event must never move the
     * truncate horizon.
     */
-  val payloadType: StructType = StructType(Seq(
-    StructField("before", invoiceType, nullable = true),
-    StructField("after", invoiceType, nullable = true),
+  def payloadTypeFor(imageType: StructType): StructType = StructType(Seq(
+    StructField("before", imageType, nullable = true),
+    StructField("after", imageType, nullable = true),
     StructField("source", sourceType, nullable = true),
     StructField("op", StringType, nullable = true),
     StructField("ts_ms", LongType, nullable = true),
     StructField("ddl", StringType, nullable = true),
     StructField("databaseName", StringType, nullable = true)))
 
+  val payloadType: StructType = payloadTypeFor(invoiceType)
+
   /** Narrow envelope: only `payload` is parsed; the Connect `schema` block is
-    * pruned by omission.
+    * pruned by omission. [[envelopeTypeFor]] is the same narrow parse for an
+    * arbitrary table's row-image type — the streaming ingress is
+    * parameterized by it, not hard-wired to the invoice shape.
     */
-  val envelopeType: StructType = StructType(Seq(
-    StructField("payload", payloadType, nullable = true)))
+  def envelopeTypeFor(imageType: StructType): StructType = StructType(Seq(
+    StructField("payload", payloadTypeFor(imageType), nullable = true)))
+
+  val envelopeType: StructType = envelopeTypeFor(invoiceType)
 
   /** Flat, engine-internal changelog schema — the normalized form every CDC
     * ingress (Kafka envelope, file fixture, synthesized batch changelog)

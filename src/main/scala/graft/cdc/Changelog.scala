@@ -46,11 +46,13 @@ object Changelog {
     * a null `invoice_number` would kill the typed (`Dataset[CdcEvent]`)
     * path at decode. One gate, both hazards closed.
     */
-  private def isValidEnvelope(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private def isValidEnvelope(e: org.apache.spark.sql.Column,
+                              spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec)
+      : org.apache.spark.sql.Column = {
     // Image completeness is derived from the table spec (absent or every
     // spec column present), not a hard-coded column pair.
     def completeImage(img: org.apache.spark.sql.Column) =
-      img.isNull || CdcSchema.invoiceSpec.allCols
+      img.isNull || spec.allCols
         .map(c => img.getField(c).isNotNull).reduce(_ && _)
     // A schema-change event is NOT a data event: it has source.pos and no
     // row images, so without the ddl exclusion the nullity dispatch would
@@ -70,6 +72,16 @@ object Changelog {
                        kafkaTsCol: Option[String] = None): DataFrame =
     changelogOfParsed(parsedEnvelopes(df, valueCol), kafkaTsCol)
 
+  /** [[fromEnvelopeJson]] for an arbitrary table shape: the narrow parse
+    * schema embeds `imageType` and image completeness derives from `spec` —
+    * the whole ingress, not just the fold, is generic over the table.
+    */
+  def fromEnvelopeJsonFor(df: DataFrame, spec: CdcSchema.CdcTableSpec,
+                          imageType: org.apache.spark.sql.types.StructType,
+                          valueCol: String = "value",
+                          kafkaTsCol: Option[String] = None): DataFrame =
+    changelogOfParsed(parsedEnvelopes(df, valueCol, imageType), kafkaTsCol, spec)
+
   /** The three routing heads over an ALREADY-PARSED envelope frame (from
     * [[parsedEnvelopes]]) — `runRouted` parses each micro-batch once and
     * routes with three filters; the JSON parse is the dominant ingress
@@ -77,9 +89,11 @@ object Changelog {
     * run once per sink.
     */
   private[graft] def changelogOfParsed(parsed: DataFrame,
-                                       kafkaTsCol: Option[String] = None): DataFrame = {
+                                       kafkaTsCol: Option[String] = None,
+                                       spec: CdcSchema.CdcTableSpec =
+                                         CdcSchema.invoiceSpec): DataFrame = {
     val ts = kafkaTsCol.map(col).getOrElse(col("e.payload.ts_ms"))
-    parsed.filter(isValidEnvelope(col("e")))                // dead letters excluded
+    parsed.filter(isValidEnvelope(col("e"), spec))          // dead letters excluded
       .select(
         col("e.payload.source.pos").as("pos"),
         col("e.payload.op").as("op"),
@@ -141,9 +155,11 @@ object Changelog {
         col("e.payload.ts_ms").as("ts_ms"),
         col("e.payload.ddl").as("ddl"))
 
-  private[graft] def parsedEnvelopes(df: DataFrame, valueCol: String): DataFrame =
+  private[graft] def parsedEnvelopes(df: DataFrame, valueCol: String,
+                                     imageType: org.apache.spark.sql.types.StructType =
+                                       CdcSchema.invoiceType): DataFrame =
     df.filter(col(valueCol).isNotNull)                      // P1 tombstone filter
-      .withColumn("e", from_json(col(valueCol), CdcSchema.envelopeType))
+      .withColumn("e", from_json(col(valueCol), CdcSchema.envelopeTypeFor(imageType)))
 
   /** Deterministic synthetic changelog over the `orders` fixture (see object
     * doc). Emits the normalized schema. The unions are narrow (no shuffle);

@@ -371,8 +371,9 @@ object CdcStream {
     *
     * [[run]] rewrites the whole state per micro-batch — O(|state|), fine
     * for small replicas, wrong at scale. Here the state lives as parquet
-    * hash-partitioned by `p = pmod(key, nBuckets)` (horizon row in
-    * `p = -1`); each micro-batch:
+    * hash-partitioned by `p = pmod(key, nBuckets)` for integral keys,
+    * `p = pmod(xxhash64(key), nBuckets)` otherwise (horizon row in
+    * `p = -1`), generic over the table via `spec`; each micro-batch:
     *
     *  1. computes the touched buckets from the batch's keys (a ≤ nBuckets
     *     driver-side collect);
@@ -402,7 +403,21 @@ object CdcStream {
     * after (2) leaves garbage dirs that the next batch's GC removes.
     */
   def runPartitioned(changelog: DataFrame, auditDir: String, stateDir: String,
-                     checkpointDir: String, nBuckets: Int = 64): StreamingQuery = {
+                     checkpointDir: String, nBuckets: Int = 64,
+                     spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec): StreamingQuery = {
+    // Bucket function by key type: integral keys bucket by value modulus
+    // (deterministic, human-inspectable `p=` dirs, and the layout the
+    // partition specs pin); any other key type hashes first. Both are pure
+    // functions of the key, so batch-side and state-side bucketing agree.
+    def bucketOf(key: org.apache.spark.sql.Column,
+                 keyType: org.apache.spark.sql.types.DataType) = {
+      import org.apache.spark.sql.types._
+      keyType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          pmod(key.cast("long"), lit(nBuckets.toLong))
+        case _ => pmod(xxhash64(key.cast("string")), lit(nBuckets.toLong))
+      }
+    }
     changelog.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -410,13 +425,17 @@ object CdcStream {
         val spark = rawBatch.sparkSession
         val batch = rawBatch.persist() // 3 more actions below; scan the source once
         try {
+        val imageType = batch.schema("after").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val keyType = imageType(spec.key).dataType
         writeAudit(batch, auditDir, batchId)
 
         val hasTruncate = batch
           .filter(col("before").isNull && col("after").isNull).limit(1).count() > 0
         val batchBuckets = batch
-          .select(pmod(coalesce(col("after.order_id"), col("before.order_id"))
-            .cast("long"), lit(nBuckets.toLong)).as("p"))
+          .select(bucketOf(
+            coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}")),
+            keyType).as("p"))
           .filter(col("p").isNotNull).distinct()
           .collect().map(_.getLong(0))
 
@@ -446,7 +465,8 @@ object CdcStream {
           // fingerprint — require it to match before no-op'ing.
           require(m.fp.contains(newVersion0 -> batchFp),
             s"state manifest already references v=$newVersion0 but its recorded input " +
-              s"fingerprint ${m.fp} does not match this batch's $batchFp: checkpointDir " +
+              s"fingerprint ${m.fp.fold("(none — manifest predates fingerprints)")(_.toString())} " +
+              s"does not match this batch's ($newVersion0,$batchFp): checkpointDir " +
               "appears to have been reset against a retained stateDir — retain (or clear) " +
               "both together")
           // Genuine crash-replay: the audit rewrite above is idempotent;
@@ -460,7 +480,8 @@ object CdcStream {
         } else {
         val touched = (batchBuckets :+ -1L).toSet
         val prev =
-          if (manifest.isEmpty) emptyState(spark).withColumn("p", lit(-1L))
+          if (manifest.isEmpty)
+            emptyStateFor(spark, spec, imageType).withColumn("p", lit(-1L))
           else {
             // horizon moved ⇒ every bucket is affected; otherwise read
             // only the touched buckets (partition-pruned per version dir)
@@ -477,10 +498,10 @@ object CdcStream {
         // and no extra staging copy. repartition by p: one file per bucket
         // dir, not buckets×partitions slivers.
         val newVersion = newVersion0
-        mergeBatch(prev.drop("p"), batch)
+        mergeBatch(prev.drop("p"), batch, spec = spec)
           .withColumn("p",
             when(col("key").isNull, lit(-1L))
-              .otherwise(pmod(col("key").cast("long"), lit(nBuckets.toLong))))
+              .otherwise(bucketOf(col("key"), keyType)))
           .repartition(col("p"))
           .write.mode("overwrite").partitionBy("p").parquet(s"$stateDir/v=$newVersion")
 
@@ -602,6 +623,14 @@ object CdcStream {
     */
   def partitionedSnapshot(spark: SparkSession, stateDir: String): DataFrame =
     snapshotOf(readBuckets(spark, stateDir, readManifest(spark, stateDir).buckets).drop("p"))
+
+  /** [[partitionedSnapshot]] for an arbitrary table spec (no UInt64
+    * widening — natural column types).
+    */
+  def partitionedSnapshotFor(spark: SparkSession, stateDir: String,
+                             spec: CdcSchema.CdcTableSpec): DataFrame =
+    snapshotOfFor(
+      readBuckets(spark, stateDir, readManifest(spark, stateDir).buckets).drop("p"), spec)
 
   /** Newest state version under `stateDir`, if any. */
   def latestStateVersion(spark: SparkSession, stateDir: String): Option[(Long, DataFrame)] = {

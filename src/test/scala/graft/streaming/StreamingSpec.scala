@@ -308,6 +308,42 @@ class PartitionedStateSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(replayed === committed, "replay of a committed batch changed state")
   }
 
+  test("string-keyed table: generic ingress parse + hash bucketing end-to-end") {
+    import java.nio.file.{Files, Paths}
+    import graft.cdc.{CdcSchema, Changelog}
+    val skuType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sku",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("qty",
+        org.apache.spark.sql.types.IntegerType)))
+    val skuSpec = CdcSchema.CdcTableSpec("sku", Seq("qty"))
+    def skuEnv(before: String, after: String, op: String, pos: Long) =
+      s"""{"payload":{"before":$before,"after":$after,"source":{"ts_ms":${1000 + pos},"pos":$pos,"db":"dev","table":"sku"},"op":"$op","ts_ms":${1000 + pos}}}"""
+    val base = Files.createTempDirectory("pstate_str").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      skuEnv("null", """{"sku":"ab-1","qty":5}""", "c", 1),
+      skuEnv("null", """{"sku":"zz-9","qty":7}""", "c", 2),
+      skuEnv("""{"sku":"ab-1","qty":5}""", """{"sku":"ab-1","qty":6}""", "u", 3))
+      .mkString("\n").getBytes)
+    val stream = Changelog.fromEnvelopeJsonFor(
+      spark.readStream.text(in).withColumnRenamed("value", "raw"),
+      skuSpec, skuType, "raw")
+    val q = graft.streaming.CdcStream.runPartitioned(
+      stream, s"$base/audit", s"$base/state", s"$base/ckpt", 8, skuSpec)
+    q.awaitTermination(120000)
+    // hash-bucketed dirs (never a cast of the string key), horizon in p=-1
+    val dirs = new java.io.File(s"$base/state/v=1").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.contains("p=-1") && dirs.exists(_ != "p=-1"), dirs.mkString(","))
+    assert(dirs.forall(d => d.stripPrefix("p=").toLong >= -1L
+      && d.stripPrefix("p=").toLong < 8L), dirs.mkString(","))
+    val snap = graft.streaming.CdcStream
+      .partitionedSnapshotFor(spark, s"$base/state", skuSpec)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(snap === Seq(("ab-1", 6), ("zz-9", 7)))
+  }
+
   test("checkpoint reset over retained state with DIFFERENT data fails loudly") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("pstate5").toString
