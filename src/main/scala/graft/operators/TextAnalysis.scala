@@ -274,6 +274,129 @@ object TextAnalysis {
       |    / COUNT(*) AS rate
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------ n-gram stats
+  /** All (non-distinct) word bigrams of a token array, 1-based windows —
+    * the counting complement of `TextFns.shingles` (which dedups for
+    * set-similarity). HOF transform is per-row compute; the only shuffle
+    * downstream is the count aggregation.
+    */
+  private def bigramsOf(toks: org.apache.spark.sql.Column) =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Corpus-wide top-20 bigrams by frequency — the n-gram census a
+    * data-mixing pass runs to spot boilerplate and over-represented
+    * phrases. Plan shape: explode → partial+final hash agg (map-side
+    * combine absorbs the heavy hitters) → TakeOrderedAndProject; the
+    * global rank window runs AFTER the limit, over 20 rows, so no
+    * single-partition stage ever sees more than k rows.
+    */
+  def textNgramTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("bigram").asc)
+    Tables.documents(s, dir)
+      .select(explode(bigramsOf(TextFns.tokens(col("text")))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(20)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("bigram"), col("cnt"))
+  }
+
+  private val textNgramTopkSql =
+    s"""$docsCte,
+       |idx AS (SELECT doc_id, toks,
+       |               unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM docs),
+       |b AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM idx),
+       |c AS (SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY 1),
+       |top AS (SELECT * FROM c ORDER BY cnt DESC, bigram LIMIT 20)
+       |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rank, bigram, cnt
+       |FROM top ORDER BY rank""".stripMargin
+
+  // ----------------------------------------------------- repetition
+  /** Repetition-based quality gate (the Gopher-rules family): per-doc
+    * duplicate-word fraction (1 − uniq/total) and top-bigram fraction
+    * (most frequent bigram ÷ bigram count). Highly repetitive docs are
+    * the classic low-quality signature that length/stopword filters miss.
+    * One scan: token stats ride the groupBy keys through the bigram
+    * count, so the doc subtree is never recomputed (divergent aggregates
+    * are not exchange-reused — the tf-idf lesson).
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq"),
+        explode(bigramsOf(toks)).as("bigram"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_uniq"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_uniq"))
+      .agg(max(col("c")).as("max_bg"))
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_uniq").cast("double") / col("n_tokens"))
+          .as("dup_word_ratio"),
+        (col("max_bg").cast("double") / (col("n_tokens") - 1))
+          .as("top_bigram_ratio"))
+      .withColumn("repetitive",
+        col("dup_word_ratio") > 0.8 || col("top_bigram_ratio") > 0.1)
+      .orderBy(col("doc_id"))
+  }
+
+  private val textRepetitionSql =
+    s"""$docsCte,
+       |idx AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nu,
+       |               toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM docs),
+       |c AS (SELECT doc_id, n, nu, toks[i] || ' ' || toks[i + 1] AS bigram,
+       |             COUNT(*) AS c
+       |      FROM idx GROUP BY 1, 2, 3, 4),
+       |a AS (SELECT doc_id, n, nu, MAX(c) AS max_bg FROM c GROUP BY 1, 2, 3)
+       |SELECT doc_id, n AS n_tokens,
+       |  1.0 - CAST(nu AS DOUBLE) / n AS dup_word_ratio,
+       |  CAST(max_bg AS DOUBLE) / (n - 1) AS top_bigram_ratio,
+       |  (1.0 - CAST(nu AS DOUBLE) / n > 0.8)
+       |    OR (CAST(max_bg AS DOUBLE) / (n - 1) > 0.1) AS repetitive
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- domain report
+  /** Corpus composition report per (source, lang): the mixing table a
+    * training run is provisioned from. Share-of-corpus comes from an
+    * unpartitioned window over the ALREADY-AGGREGATED result (|sources| ×
+    * |langs| rows), so the single-partition stage is O(groups), never
+    * O(corpus).
+    */
+  def corpusDomainReport(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"), size(toks).as("n_toks"),
+        col("n_chars"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("avg_chars", col("n_chars").cast("double") / col("n_docs"))
+      .withColumn("doc_share", col("n_docs").cast("double") /
+        sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val corpusDomainReportSql =
+    """WITH g AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, lang, n_docs, n_tokens, n_chars,
+      |  CAST(n_chars AS DOUBLE) / n_docs AS avg_chars,
+      |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS BIGINT) AS doc_share
+      |FROM g ORDER BY source, lang""".stripMargin
+
   // ------------------------------------------------------- fuzzy match
   /** Edit-distance fuzzy matching over a bounded sample (doc_id < 30
     * pairwise on 60-char prefixes): the string-similarity complement to
@@ -309,7 +432,10 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "text_curation_pipeline" -> (textCurationPipeline _),
-    "text_sample_stratified" -> (textSampleStratified _))
+    "text_sample_stratified" -> (textSampleStratified _),
+    "text_ngram_topk" -> (textNgramTopk _),
+    "text_repetition" -> (textRepetition _),
+    "corpus_domain_report" -> (corpusDomainReport _))
 
   val oracles: Map[String, String] = Map(
     "text_fuzzy_sample" -> textFuzzySampleSql,
@@ -319,5 +445,8 @@ object TextAnalysis {
     "text_fingerprint" -> textFingerprintSql,
     "text_tfidf_topk" -> textTfidfTopkSql,
     "text_curation_pipeline" -> textCurationPipelineSql,
-    "text_sample_stratified" -> textSampleStratifiedSql)
+    "text_sample_stratified" -> textSampleStratifiedSql,
+    "text_ngram_topk" -> textNgramTopkSql,
+    "text_repetition" -> textRepetitionSql,
+    "corpus_domain_report" -> corpusDomainReportSql)
 }

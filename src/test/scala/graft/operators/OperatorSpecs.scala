@@ -334,3 +334,34 @@ class SqlViewsSpec extends AnyFunSuite {
     assert(t.typeName === "timestamp")
   }
 }
+
+class TextCensusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("ngram topk: exactly k rows, counts non-increasing, rank dense from 1") {
+    val rows = TextAnalysis.textNgramTopk(spark, sf).collect()
+    assert(rows.length === 20)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to 20))
+  }
+
+  test("repetition: ratios in [0,1], every doc with >=2 tokens present") {
+    val rows = TextAnalysis.textRepetition(spark, sf).collect()
+    assert(rows.length === graft.Tables.documents(spark, sf).count())
+    assert(rows.forall { r =>
+      val d = r.getAs[Double]("dup_word_ratio")
+      val t = r.getAs[Double]("top_bigram_ratio")
+      d >= 0.0 && d <= 1.0 && t > 0.0 && t <= 1.0
+    })
+  }
+
+  test("domain report: doc_share sums to 1 and n_docs to the corpus size") {
+    val rows = TextAnalysis.corpusDomainReport(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    val share = rows.map(_.getAs[Double]("doc_share")).sum
+    assert(math.abs(share - 1.0) < 1e-9)
+  }
+}
