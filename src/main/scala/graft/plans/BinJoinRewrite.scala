@@ -20,10 +20,15 @@ import org.apache.spark.sql.types.LongType
   * optimizer can infer without column statistics, so the default is off
   * and the rule is a no-op.
   *
-  * Scope is deliberately strict: INNER join whose condition is EXACTLY
-  * the two range conjuncts over LongType expressions, point from the
-  * left, bounds from the right (or the mirror). The rewritten join gains
-  * an equality conjunct, so the rule cannot re-fire on its own output.
+  * Scope: INNER join whose condition CONTAINS a lower-bound and an
+  * upper-bound conjunct on the same LongType point expression (point
+  * from one side, both bounds from the other); any extra conjuncts ride
+  * along untouched inside the retained original condition (the exact
+  * residual filter). Two refusals keep the rewrite profitable: a
+  * cross-side equality conjunct means Spark already has a hash-join key
+  * — exploding bins there would only multiply rows — and the rewritten
+  * join gains an equality conjunct, so the rule cannot re-fire on its
+  * own output.
   * Correctness under truncating division (`div`, negatives included):
   * trunc-div is monotone, so lo ≤ pt ≤ hi implies
   * trunc(lo/w) ≤ trunc(pt/w) ≤ trunc(hi/w) — the point's bin always
@@ -39,7 +44,7 @@ import org.apache.spark.sql.types.LongType
   * `SparkSessionExtensions` path — or dynamically via
   * `spark.experimental.extraOptimizations`.
   */
-object BinJoinRewrite extends Rule[LogicalPlan] {
+object BinJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthConf = "spark.graft.binjoin.width"
 
@@ -77,19 +82,32 @@ object BinJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** cond is exactly a lower-bound conjunct and an upper-bound conjunct
-    * on the same point expression (`pt >= lo` / `pt > lo` paired with
-    * `pt < hi` / `pt <= hi`, in either conjunct order), pt from one side,
-    * bounds from the other (either assignment of sides). Returns the RAW
-    * bound expressions — strictness is deliberately discarded (see the
-    * object doc: inclusive bin enumeration over raw bounds is a safe
-    * superset, and ±1 normalization overflows on sentinel bounds).
+  /** cond contains (among arbitrary conjuncts) a lower-bound conjunct and
+    * an upper-bound conjunct on the same point expression (`pt >= lo` /
+    * `pt > lo` paired with `pt < hi` / `pt <= hi`, in any conjunct
+    * positions), pt from one side, bounds from the other (either
+    * assignment of sides) — and NO cross-side equality conjunct (that
+    * already makes the join hash-plannable; bins would only add work).
+    * Returns the RAW bound expressions — strictness is deliberately
+    * discarded (see the object doc: inclusive bin enumeration over raw
+    * bounds is a safe superset, and ±1 normalization overflows on
+    * sentinel bounds). Extra conjuncts can only narrow the original
+    * predicate, so the bin-membership implication lo≤pt≤hi ⇒
+    * bin(lo)≤bin(pt)≤bin(hi) derived from the selected pair still covers
+    * every surviving row.
     */
   private def matchRange(cond: Expression, left: LogicalPlan, right: LogicalPlan)
       : Option[(Expression, Expression, Expression, Boolean)] = {
     def from(e: Expression, side: LogicalPlan) =
       e.references.nonEmpty && e.references.subsetOf(side.outputSet)
     def isLong(e: Expression) = e.dataType == LongType
+    def crossSide(a: Expression, b: Expression) =
+      (from(a, left) && from(b, right)) || (from(a, right) && from(b, left))
+    def isCrossEq(e: Expression) = e match {
+      case EqualTo(a, b) => crossSide(a, b)
+      case EqualNullSafe(a, b) => crossSide(a, b)
+      case _ => false
+    }
     // a conjunct as (pt, raw-lower-bound) if it bounds pt from below
     def lower(e: Expression): Seq[(Expression, Expression)] = e match {
       case GreaterThanOrEqual(pt, lo) => Seq((pt, lo))
@@ -106,20 +124,21 @@ object BinJoinRewrite extends Rule[LogicalPlan] {
       case GreaterThanOrEqual(hi, pt) => Seq((pt, hi))
       case _ => Seq.empty
     }
-    cond match {
-      case And(a, b) =>
-        (for {
-          (lc, uc) <- Seq((a, b), (b, a))
-          (pt1, lo) <- lower(lc)
-          (pt2, hi) <- upper(uc)
-          if pt1.semanticEquals(pt2) && Seq(pt1, lo, hi).forall(isLong)
-          // the mirror: point may come from either child
-          ptOnLeft <- Seq(true, false)
-          (ptSide, boundSide) = if (ptOnLeft) (left, right) else (right, left)
-          if from(pt1, ptSide) && from(lo, boundSide) && from(hi, boundSide)
-        } yield (pt1, lo, hi, ptOnLeft)).headOption
-      case _ => None
-    }
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (conjuncts.sizeIs < 2 || conjuncts.exists(isCrossEq)) None
+    else
+      (for {
+        (lc, li) <- conjuncts.zipWithIndex
+        (uc, ui) <- conjuncts.zipWithIndex
+        if li != ui
+        (pt1, lo) <- lower(lc)
+        (pt2, hi) <- upper(uc)
+        if pt1.semanticEquals(pt2) && Seq(pt1, lo, hi).forall(isLong)
+        // the mirror: point may come from either child
+        ptOnLeft <- Seq(true, false)
+        (ptSide, boundSide) = if (ptOnLeft) (left, right) else (right, left)
+        if from(pt1, ptSide) && from(lo, boundSide) && from(hi, boundSide)
+      } yield (pt1, lo, hi, ptOnLeft)).headOption
   }
 
   private def rewrite(j: Join, pt: Expression, lo: Expression, hi: Expression,

@@ -86,6 +86,40 @@ class BinJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("extra non-equi conjuncts ride along: rewrite fires, residual exact") {
+    // a cross-side inequality cannot be a hash key, so the range pair is
+    // still the only route out of the nested loop; the extra conjunct
+    // must survive in the residual filter
+    val cond = col("ms") >= col("lo") && col("ms") < col("hi") &&
+      col("tag") =!= col("iv")
+    val naive = points.join(intervals, cond)
+    val expected = naive.collect().map(r => (r.getString(1), r.getString(4))).sorted.toSeq
+    assert(expected.nonEmpty)
+    withRule(10L) {
+      val df = points.join(intervals, cond)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(df.collect().map(r => (r.getString(1), r.getString(4))).sorted.toSeq
+        === expected)
+    }
+  }
+
+  test("a cross-side equality conjunct suppresses the rewrite (hash key exists)") {
+    import spark.implicits._
+    val named = Seq((0L, 20L, "p1"), (10L, 30L, "p9")).toDF("lo", "hi", "iv")
+    val cond = col("ms") >= col("lo") && col("ms") < col("hi") &&
+      col("tag") === col("iv")
+    withRule(10L) {
+      val df = points.join(named, cond)
+      val plan = df.queryExecution.executedPlan.toString
+      // must plan as a plain hash/sort-merge equi-join on tag=iv — no bin
+      // explode anywhere
+      assert(!plan.contains("__bin"), plan)
+      assert(!plan.contains("Generate"), plan)
+      assert(df.collect().map(_.getString(1)).sorted.toSeq === Seq("p1"))
+    }
+  }
+
   test("equi-keyed joins are left untouched") {
     withRule(10L) {
       val eq = points.join(intervals, col("ms") === col("lo"))
