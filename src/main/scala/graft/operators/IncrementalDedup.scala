@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.functions.TextFns
+import graft.streaming.BucketState
+
+/** Incremental exact dedup against a PERSISTED fingerprint index — the
+  * ingest shape a training-data pipeline actually runs: the curated
+  * corpus already holds N fingerprints; a new crawl drop arrives; admit
+  * only never-seen content WITHOUT rescanning the corpus.
+  *
+  * The index is [[BucketState]] bucket-partitioned parquet
+  * (`p = pmod(xxhash64(fp), nBuckets)`): an incoming batch reads only the
+  * buckets its own fingerprints hash into (partition-pruned paths) and
+  * rewrites only those buckets into a fresh immutable version dir, so
+  * both I/O sides are O(batch) — at 100 TB of state a 1 GB drop touches
+  * ~every bucket but still reads just the fingerprint column store, never
+  * the corpus; at finer bucket counts a small drop prunes to a fraction
+  * of the index. The `_CURRENT` manifest rename is the single commit
+  * point; survivors are staged BEFORE it, so a crash-replay of a
+  * committed batch returns the identical survivor set (guarded by the
+  * recorded input fingerprint, exactly like the CDC replica's
+  * `runPartitioned`).
+  *
+  * One-shot equivalence: chunked ingest in ascending doc_id order lands
+  * on the same (fp → min doc_id) set as `Dedup`'s exact pass over the
+  * union — pinned by IncrementalDedupSpec.
+  */
+object IncrementalDedup {
+
+  private val survivorSchema = StructType(Seq(
+    StructField("fp", StringType), StructField("doc_id", LongType)))
+
+  private def bucketOf(fp: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(fp), lit(nBuckets.toLong))
+
+  /** Admit `docs` (columns `doc_id`, `text`) against the index at
+    * `indexDir`: returns the survivors — one `(fp, doc_id)` row per
+    * content fingerprint never seen before, min doc_id within the batch —
+    * and durably appends them to the index. `batchId` must be the
+    * caller's monotonically increasing batch sequence (a streaming
+    * foreachBatch id, or 0,1,2… for a batch backfill); replaying a
+    * committed batchId with identical input is an idempotent no-op that
+    * returns the same survivors, with different input it fails loudly.
+    */
+  def ingest(spark: SparkSession, indexDir: String, docs: DataFrame,
+             batchId: Long, nBuckets: Int = 64): DataFrame = {
+    val newVersion = batchId + 1
+    val survivorsDir = s"$indexDir/survivors/$newVersion"
+
+    // in-batch winners: min doc_id per fingerprint (window, not
+    // groupBy+self-join — one pass over the batch)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val batchFps = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        TextFns.fingerprint(col("text")).as("fp"))
+      .withColumn("min_doc", min(col("doc_id")).over(wFp))
+      .filter(col("doc_id") === col("min_doc"))
+      .select(col("fp"), col("doc_id"))
+      .persist()
+    try {
+      val batchFp = BucketState.inputFingerprint(batchFps)
+      val touched = batchFps.select(bucketOf(col("fp"), nBuckets).as("p"))
+        .distinct().collect().map(_.getLong(0)).toSet
+
+      val m = BucketState.readManifest(spark, indexDir)
+      m.buckets.values.reduceOption(_ max _).foreach(v =>
+        require(v <= newVersion,
+          s"index manifest references v=$v but ingest is at batch $batchId: " +
+            "the index dir and the caller's batch sequence must be retained " +
+            "(or cleared) together"))
+      if (m.buckets.values.exists(_ == newVersion)) {
+        // Replay of a committed batch: survivors were staged before the
+        // commit rename, so they are durable and identical — but only if
+        // this really IS the same batch (fingerprint check; a reset batch
+        // sequence over a retained index would otherwise silently drop
+        // this batch's docs).
+        require(m.fp.contains(newVersion -> batchFp),
+          s"index manifest already references v=$newVersion with a different " +
+            "recorded input fingerprint: the batch sequence appears to have " +
+            "been reset against a retained index dir")
+        BucketState.gcVersions(spark, indexDir, m.buckets.values.toSet)
+      } else {
+        val prev = BucketState.readBuckets(spark, indexDir,
+          m.buckets.view.filterKeys(touched).toMap,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            survivorSchema.add("p", LongType)))
+
+        val survivors = batchFps
+          .join(prev.select(col("fp")), Seq("fp"), "left_anti")
+
+        // stage survivors FIRST (they are part of the batch's durable
+        // effect), then the merged touched buckets, then commit
+        survivors.repartition(1)
+          .write.mode("overwrite").parquet(survivorsDir)
+        prev.drop("p").unionByName(
+            spark.read.schema(survivorSchema).parquet(survivorsDir))
+          .withColumn("p", bucketOf(col("fp"), nBuckets))
+          .repartition(col("p"))
+          .write.mode("overwrite").partitionBy("p")
+          .parquet(s"$indexDir/v=$newVersion")
+
+        val outBuckets = BucketState.listBuckets(spark, s"$indexDir/v=$newVersion")
+        val next = (m.buckets -- touched) ++ outBuckets.map(_ -> newVersion)
+        BucketState.commitManifest(spark, indexDir, next, newVersion -> batchFp)
+        BucketState.gcVersions(spark, indexDir, next.values.toSet + newVersion)
+      }
+    } finally batchFps.unpersist()
+    spark.read.schema(survivorSchema).parquet(survivorsDir)
+  }
+
+  /** Streaming ingress for the index: each micro-batch of documents is
+    * one [[ingest]] call keyed by the checkpoint's batchId — the replay
+    * guarantees above are exactly Structured Streaming's foreachBatch
+    * contract (a crash between the manifest commit and the checkpoint
+    * commit replays the batch; the fingerprint check makes it a no-op).
+    */
+  def runIngest(docs: DataFrame, indexDir: String,
+                checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingest(batch.sparkSession, indexDir, batch, batchId); ()
+      }
+      .start()
+
+  /** The full deduped corpus registry: every admitted (fp, doc_id),
+    * resolved through the committed manifest.
+    */
+  def snapshot(spark: SparkSession, indexDir: String): DataFrame =
+    BucketState.readBuckets(spark, indexDir,
+      BucketState.readManifest(spark, indexDir).buckets,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        survivorSchema.add("p", LongType)))
+      .drop("p")
+
+  // --------------------------------------------------- driver query
+  /** Driver-facing demonstration: ingest the documents table in two
+    * doc_id-ordered chunks through a fresh index, then publish the final
+    * registry. Chunking by ascending id makes the incremental result
+    * provably equal to a one-shot exact dedup (min doc_id per
+    * fingerprint), which is exactly what the DuckDB oracle computes —
+    * the equality IS the correctness statement for the incremental path.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-increm")
+      .toString
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+    val mid = (ids.getLong(0) + ids.getLong(1)) / 2
+    ingest(s, indexDir, docs.filter(col("doc_id") <= mid), batchId = 0).count()
+    ingest(s, indexDir, docs.filter(col("doc_id") > mid), batchId = 1).count()
+    snapshot(s, indexDir).orderBy(col("fp"))
+  }
+
+  private val dedupIncrementalSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents)
+      |SELECT md5(array_to_string(toks, ' ')) AS fp,
+      |       CAST(MIN(doc_id) AS BIGINT) AS doc_id
+      |FROM docs GROUP BY 1 ORDER BY fp""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_incremental" -> dedupIncrementalSql)
+}

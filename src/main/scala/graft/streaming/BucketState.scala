@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-committed, bucket-partitioned persistent state — the shared
+  * durability substrate under both the CDC replica ([[CdcStream]]
+  * `runPartitioned`) and incremental corpus dedup
+  * (`operators.IncrementalDedup`).
+  *
+  * Layout: `stateDir/v=<version>/p=<bucket>/` parquet files in immutable version
+  * dirs plus a `_CURRENT` manifest mapping each live bucket to the version
+  * that last rewrote it. A writer stages a new version dir, then commits
+  * with ONE atomic rename of `_CURRENT` — a crash before the rename leaves
+  * readers on complete pre-batch state; a crash after leaves garbage dirs
+  * the next batch's GC removes. The manifest also records the committing
+  * batch's input fingerprint so a replay can distinguish "this exact batch
+  * already committed" (idempotent no-op) from "checkpoint was reset
+  * against retained state" (fail loudly).
+  *
+  * At 100 TB this is the point: an incremental batch touches only the
+  * buckets its keys hash into, so both the pre-state read (partition-
+  * pruned paths) and the rewrite (one version dir holding only touched
+  * buckets) are O(batch), never O(state).
+  */
+private[graft] object BucketState {
+
+  /** Parsed `_CURRENT`: bucket → version, plus the committing batch's
+    * (version, input fingerprint).
+    */
+  final case class Manifest(buckets: Map[Long, Long], fp: Option[(Long, Long)])
+
+  /** FileSystem for a path via the session's Hadoop conf — works for
+    * local, HDFS, and object-store state dirs alike (java.io.File would
+    * silently see "no state" on any non-local URI and discard prior state).
+    */
+  def hadoopFs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** `_CURRENT` manifest: one `bucket,version` line per bucket plus one
+    * `fp,version,hash` line for the committing batch. Empty = no
+    * committed state.
+    */
+  def readManifest(spark: SparkSession, stateDir: String): Manifest = {
+    val fs = hadoopFs(spark, stateDir)
+    val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
+    if (!fs.exists(cur)) Manifest(Map.empty, None)
+    else {
+      val in = fs.open(cur)
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map(_.split(",")).toSeq
+        Manifest(
+          lines.collect { case Array(b, v) => b.toLong -> v.toLong }.toMap,
+          lines.collectFirst { case Array("fp", v, h) => v.toLong -> h.toLong })
+      } finally in.close()
+    }
+  }
+
+  /** Order-independent fingerprint of a batch's input rows (xor of
+    * per-row xxhash64, count mixed in so duplicate pairs cannot cancel to
+    * an empty-batch fingerprint). Recorded in the manifest at commit and
+    * required to MATCH before a replay treats the batch as already
+    * applied.
+    */
+  def inputFingerprint(batch: DataFrame): Long = {
+    val colList = batch.columns.sorted.map(c => s"`$c`").mkString(", ")
+    val r = batch.selectExpr(
+      s"coalesce(bit_xor(xxhash64(struct($colList))), 0L)", "count(*)").collect()(0)
+    r.getLong(0) ^ java.lang.Long.rotateLeft(r.getLong(1), 32)
+  }
+
+  def commitManifest(spark: SparkSession, stateDir: String,
+                     manifest: Map[Long, Long],
+                     fp: (Long, Long)): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT.tmp")
+    val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
+    val fs = hadoopFs(spark, stateDir)
+    val out = fs.create(tmp, true)
+    try out.write(
+      (manifest.toSeq.sorted.map { case (b, v) => s"$b,$v" }
+        :+ s"fp,${fp._1},${fp._2}").mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // FileContext.rename(OVERWRITE) is the atomic-replace primitive
+    // (plain FileSystem.rename won't clobber on local/HDFS). On stores
+    // without atomic rename the deployment pins the manifest elsewhere.
+    org.apache.hadoop.fs.FileContext.getFileContext(cur.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Union of each referenced version's bucket dirs, partition-pruned:
+    * group the (bucket → version) map by version, one pruned read per
+    * referenced version (bounded by nBuckets, typically 1-2 versions).
+    * `empty` supplies the schema-correct zero-state (must already carry
+    * the `p` column).
+    */
+  def readBuckets(spark: SparkSession, stateDir: String,
+                  manifest: Map[Long, Long], empty: => DataFrame): DataFrame = {
+    if (manifest.isEmpty) return empty
+    manifest.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, entries) =>
+      spark.read.option("basePath", s"$stateDir/v=$v")
+        .parquet(entries.keys.toSeq.sorted.map(b => s"$stateDir/v=$v/p=$b"): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Buckets actually present under one version dir. */
+  def listBuckets(spark: SparkSession, versionDir: String): Seq[Long] = {
+    val fs = hadoopFs(spark, versionDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(versionDir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p="))
+      .map(_.getPath.getName.stripPrefix("p=").toLong)
+  }
+
+  /** Delete `v=` dirs no manifest entry references anymore. */
+  def gcVersions(spark: SparkSession, stateDir: String, live: Set[Long]): Unit = {
+    val fs = hadoopFs(spark, stateDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filterNot(s => live.contains(s.getPath.getName.stripPrefix("v=").toLong))
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+}

@@ -471,12 +471,7 @@ object CdcStream {
               "both together")
           // Genuine crash-replay: the audit rewrite above is idempotent;
           // just redo the GC the crash may have skipped.
-          val live0 = manifest.values.toSet
-          val fs0 = hadoopFs(spark, stateDir)
-          fs0.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-            .filterNot(s => live0.contains(s.getPath.getName.stripPrefix("v=").toLong))
-            .foreach(s => fs0.delete(s.getPath, true))
+          BucketState.gcVersions(spark, stateDir, manifest.values.toSet)
         } else {
         val touched = (batchBuckets :+ -1L).toSet
         val prev =
@@ -516,12 +511,7 @@ object CdcStream {
         commitManifest(spark, stateDir, next, newVersion -> batchFp)
 
         // (3) GC version dirs nothing references anymore.
-        val live = next.values.toSet + newVersion
-        val fs = hadoopFs(spark, stateDir)
-        fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-          .filterNot(s => live.contains(s.getPath.getName.stripPrefix("v=").toLong))
-          .foreach(s => fs.delete(s.getPath, true))
+        BucketState.gcVersions(spark, stateDir, next.values.toSet + newVersion)
         }
         } finally batch.unpersist()
         ()
@@ -529,94 +519,30 @@ object CdcStream {
       .start()
   }
 
-  /** Parsed `_CURRENT` manifest: the bucket → version map plus the
-    * committing batch's (version, input fingerprint) — the fingerprint is
-    * what lets a replay distinguish "this exact batch already committed"
-    * from "checkpointDir was reset against a retained stateDir" (the two
-    * cases are otherwise identical when exactly one batch had committed).
-    */
-  private final case class StateManifest(buckets: Map[Long, Long],
-                                         fp: Option[(Long, Long)])
+  // Manifest-committed bucket-state plumbing lives in [[BucketState]]
+  // (shared with operators.IncrementalDedup); these aliases keep the
+  // replica-specific call sites terse.
+  private def readManifest(spark: SparkSession, stateDir: String) =
+    BucketState.readManifest(spark, stateDir)
 
-  /** `_CURRENT` manifest: one `bucket,version` line per bucket plus one
-    * `fp,version,hash` line for the committing batch. Empty = no
-    * committed state.
-    */
-  private def readManifest(spark: SparkSession, stateDir: String): StateManifest = {
-    val fs = hadoopFs(spark, stateDir)
-    val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
-    if (!fs.exists(cur)) StateManifest(Map.empty, None)
-    else {
-      val in = fs.open(cur)
-      try {
-        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).map(_.split(",")).toSeq
-        StateManifest(
-          lines.collect { case Array(b, v) => b.toLong -> v.toLong }.toMap,
-          lines.collectFirst { case Array("fp", v, h) => v.toLong -> h.toLong })
-      } finally in.close()
-    }
-  }
-
-  /** Order-independent fingerprint of a micro-batch's input rows (xor of
-    * per-row xxhash64, count mixed in so duplicate pairs cannot cancel to
-    * an empty-batch fingerprint). Recorded in the manifest at commit and
-    * required to MATCH before the replay-of-committed-batch branch treats
-    * a batch as already applied.
-    */
-  private def inputFingerprint(batch: DataFrame): Long = {
-    val colList = batch.columns.sorted.map(c => s"`$c`").mkString(", ")
-    val r = batch.selectExpr(
-      s"coalesce(bit_xor(xxhash64(struct($colList))), 0L)", "count(*)").collect()(0)
-    r.getLong(0) ^ java.lang.Long.rotateLeft(r.getLong(1), 32)
-  }
+  private def inputFingerprint(batch: DataFrame): Long =
+    BucketState.inputFingerprint(batch)
 
   private def commitManifest(spark: SparkSession, stateDir: String,
                              manifest: Map[Long, Long],
-                             fp: (Long, Long)): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT.tmp")
-    val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
-    val fs = hadoopFs(spark, stateDir)
-    val out = fs.create(tmp, true)
-    try out.write(
-      (manifest.toSeq.sorted.map { case (b, v) => s"$b,$v" }
-        :+ s"fp,${fp._1},${fp._2}").mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    // FileContext.rename(OVERWRITE) is the atomic-replace primitive
-    // (plain FileSystem.rename won't clobber on local/HDFS). On stores
-    // without atomic rename the deployment pins the manifest elsewhere.
-    org.apache.hadoop.fs.FileContext.getFileContext(cur.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+                             fp: (Long, Long)): Unit =
+    BucketState.commitManifest(spark, stateDir, manifest, fp)
 
-  /** Union of each referenced version's bucket dirs, partition-pruned:
-    * group the (bucket → version) map by version, one pruned read per
-    * referenced version (bounded by nBuckets, typically 1-2 versions).
-    */
   private def readBuckets(spark: SparkSession, stateDir: String,
-                          manifest: Map[Long, Long]): DataFrame = {
-    if (manifest.isEmpty) return emptyState(spark).withColumn("p", lit(-1L))
-    manifest.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, entries) =>
-      spark.read.option("basePath", s"$stateDir/v=$v")
-        .parquet(entries.keys.toSeq.sorted.map(b => s"$stateDir/v=$v/p=$b"): _*)
-    }.reduce(_.unionByName(_))
-  }
+                          manifest: Map[Long, Long]): DataFrame =
+    BucketState.readBuckets(spark, stateDir, manifest,
+      emptyState(spark).withColumn("p", lit(-1L)))
 
-  private def listBuckets(spark: SparkSession, versionDir: String): Seq[Long] = {
-    val fs = hadoopFs(spark, versionDir)
-    fs.listStatus(new org.apache.hadoop.fs.Path(versionDir)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p="))
-      .map(_.getPath.getName.stripPrefix("p=").toLong)
-  }
+  private def listBuckets(spark: SparkSession, versionDir: String): Seq[Long] =
+    BucketState.listBuckets(spark, versionDir)
 
-  /** FileSystem for a path via the session's Hadoop conf — works for
-    * local, HDFS, and object-store state dirs alike (java.io.File would
-    * silently see "no state" on any non-local URI and discard prior state).
-    */
   private def hadoopFs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BucketState.hadoopFs(spark, path)
 
   /** Replica snapshot of a bucketed state dir, resolved through the
     * `_CURRENT` manifest — readers never see an uncommitted version dir.

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Incremental dedup against the persisted fingerprint index: survivor
+  * semantics, partition-pruned incrementality (untouched buckets carry
+  * forward by manifest reference), crash-replay idempotency, and the
+  * reset-sequence guard — the properties the one-shot DuckDB oracle for
+  * `dedup_incremental` cannot see.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("increm-spec").toString
+
+  private def docsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("first batch: in-batch dups collapse to min doc_id; all fps admitted") {
+    val dir = tmp()
+    val out = IncrementalDedup.ingest(spark, dir,
+      docsOf(1L -> "aa bb", 2L -> "aa bb", 3L -> "cc dd"), batchId = 0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.values.toSet === Set(1L, 3L))
+    assert(IncrementalDedup.snapshot(spark, dir).count() === 2)
+  }
+
+  test("second batch admits only never-seen content; index accumulates") {
+    val dir = tmp()
+    IncrementalDedup.ingest(spark, dir,
+      docsOf(1L -> "aa bb", 3L -> "cc dd"), batchId = 0)
+    val out = IncrementalDedup.ingest(spark, dir,
+      docsOf(10L -> "aa bb", 11L -> "ee ff"), batchId = 1)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(out === Set(11L)) // "aa bb" already indexed
+    val snap = IncrementalDedup.snapshot(spark, dir)
+      .collect().map(_.getLong(1)).toSet
+    assert(snap === Set(1L, 3L, 11L))
+  }
+
+  test("untouched buckets carry forward by reference, not rewrite") {
+    val dir = tmp()
+    // enough distinct docs that batch 1 populates many buckets
+    val batch1 = docsOf((1L to 40L).map(i => i -> s"w$i x$i y$i"): _*)
+    IncrementalDedup.ingest(spark, dir, batch1, batchId = 0, nBuckets = 16)
+    // one new doc: touches at most a few buckets
+    IncrementalDedup.ingest(spark, dir, docsOf(100L -> "zz qq"),
+      batchId = 1, nBuckets = 16)
+    val m = graft.streaming.BucketState.readManifest(spark, dir).buckets
+    assert(m.values.toSet.contains(1L), "untouched buckets must still reference v=1")
+    val v2 = graft.streaming.BucketState.listBuckets(spark, s"$dir/v=2")
+    assert(v2.nonEmpty && v2.size < m.size,
+      s"v=2 must hold only the touched buckets, got ${v2.size} of ${m.size}")
+  }
+
+  test("replaying a committed batch is an idempotent no-op with identical survivors") {
+    val dir = tmp()
+    IncrementalDedup.ingest(spark, dir, docsOf(1L -> "aa bb"), batchId = 0)
+    val first = IncrementalDedup.ingest(spark, dir,
+      docsOf(5L -> "cc dd", 6L -> "aa bb"), batchId = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val replay = IncrementalDedup.ingest(spark, dir,
+      docsOf(5L -> "cc dd", 6L -> "aa bb"), batchId = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(replay === first)
+    assert(IncrementalDedup.snapshot(spark, dir).count() === 2)
+  }
+
+  test("replaying a committed batchId with DIFFERENT input fails loudly") {
+    val dir = tmp()
+    IncrementalDedup.ingest(spark, dir, docsOf(1L -> "aa bb"), batchId = 0)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.ingest(spark, dir, docsOf(2L -> "totally other"),
+        batchId = 0)
+    }
+    assert(e.getMessage.contains("fingerprint"))
+  }
+
+  test("streaming ingress: one ingest per micro-batch through a real stream") {
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("increm-stream").toString
+    val dir = tmp()
+    val ckpt = tmp()
+    def write(name: String, rows: (Long, String)*) =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes)
+    write("a.json", 1L -> "aa bb", 2L -> "cc dd")
+    write("b.json", 5L -> "aa bb", 6L -> "ee ff")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    val q = IncrementalDedup.runIngest(stream, dir, ckpt)
+    q.processAllAvailable(); q.stop()
+    val snap = IncrementalDedup.snapshot(spark, dir)
+      .collect().map(_.getLong(1)).toSet
+    assert(snap === Set(1L, 2L, 6L)) // doc 5 is duplicate content across batches
+  }
+
+  test("chunked ingest equals one-shot exact dedup on the fixture corpus") {
+    val sf = TestSpark.sf0001
+    val got = IncrementalDedup.dedupIncremental(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = graft.Tables.documents(spark, sf)
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"),
+        col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .orderBy("fp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+}
