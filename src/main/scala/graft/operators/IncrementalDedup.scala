@@ -67,23 +67,14 @@ object IncrementalDedup {
         .distinct().collect().map(_.getLong(0)).toSet
 
       val m = BucketState.readManifest(spark, indexDir)
-      m.buckets.values.reduceOption(_ max _).foreach(v =>
-        require(v <= newVersion,
-          s"index manifest references v=$v but ingest is at batch $batchId: " +
-            "the index dir and the caller's batch sequence must be retained " +
-            "(or cleared) together"))
-      if (m.buckets.values.exists(_ == newVersion)) {
-        // Replay of a committed batch: survivors were staged before the
-        // commit rename, so they are durable and identical — but only if
-        // this really IS the same batch (fingerprint check; a reset batch
-        // sequence over a retained index would otherwise silently drop
-        // this batch's docs).
-        require(m.fp.contains(newVersion -> batchFp),
-          s"index manifest already references v=$newVersion with a different " +
-            "recorded input fingerprint: the batch sequence appears to have " +
-            "been reset against a retained index dir")
-        BucketState.gcVersions(spark, indexDir, m.buckets.values.toSet)
-      } else {
+      // Stale-sequence + committed-replay guards shared with the CDC
+      // replica (BucketState.checkBatch): a committed replay is durable —
+      // survivors were staged before the commit rename — but only if the
+      // recorded input fingerprint proves this really is the same batch.
+      BucketState.checkBatch(m, batchId, batchFp) match {
+        case BucketState.AlreadyCommitted =>
+          BucketState.gcVersions(spark, indexDir, m.buckets.values.toSet)
+        case BucketState.Proceed(physicalVersion) =>
         val prev = BucketState.readBuckets(spark, indexDir,
           m.buckets.view.filterKeys(touched).toMap,
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -101,12 +92,13 @@ object IncrementalDedup {
           .withColumn("p", bucketOf(col("fp"), nBuckets))
           .repartition(col("p"))
           .write.mode("overwrite").partitionBy("p")
-          .parquet(s"$indexDir/v=$newVersion")
+          .parquet(s"$indexDir/v=$physicalVersion")
 
-        val outBuckets = BucketState.listBuckets(spark, s"$indexDir/v=$newVersion")
-        val next = (m.buckets -- touched) ++ outBuckets.map(_ -> newVersion)
-        BucketState.commitManifest(spark, indexDir, next, newVersion -> batchFp)
-        BucketState.gcVersions(spark, indexDir, next.values.toSet + newVersion)
+        val outBuckets = BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
+        val next = (m.buckets -- touched) ++ outBuckets.map(_ -> physicalVersion)
+        BucketState.commitManifest(spark, indexDir, next,
+          Some(newVersion -> batchFp))
+        BucketState.gcVersions(spark, indexDir, next.values.toSet + physicalVersion)
       }
     } finally batchFps.unpersist()
     spark.read.schema(survivorSchema).parquet(survivorsDir)

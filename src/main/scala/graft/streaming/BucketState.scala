@@ -70,16 +70,60 @@ private[graft] object BucketState {
     r.getLong(0) ^ java.lang.Long.rotateLeft(r.getLong(1), 32)
   }
 
+  /** Check an incoming data batch against the manifest. Returns the
+    * PHYSICAL version dir to stage under when the batch should proceed —
+    * strictly greater than every referenced dir (so the pre-state read
+    * can never touch the dir being written), and equal to the batch's
+    * logical version `batchId+1` until a [[compact]] has renumbered dirs
+    * past it. The last committed DATA version is the manifest's fp line
+    * (which compaction preserves verbatim), falling back to the bucket
+    * max for pre-fingerprint manifests (where physical == logical).
+    */
+  def checkBatch(m: Manifest, batchId: Long, batchFp: Long): BatchCheck = {
+    val logical = batchId + 1
+    val bucketMax = m.buckets.values.reduceOption(_ max _)
+    val lastData = m.fp.map(_._1).orElse(bucketMax)
+    lastData match {
+      case Some(v) if v > logical =>
+        throw new IllegalArgumentException(
+          s"state manifest has committed through batch version $v but the " +
+            s"stream is at batch $batchId: checkpoint and state dir must be " +
+            "retained (or cleared) together")
+      case Some(v) if v == logical =>
+        // Replay of an ALREADY-COMMITTED batch (crash landed between the
+        // manifest rename and the checkpoint commit). "Committed at my
+        // version" alone is ambiguous when exactly one batch had
+        // committed: a reset checkpoint over retained state produces the
+        // same picture with POSSIBLY DIFFERENT DATA, and a silent no-op
+        // would lose those events forever — require the recorded input
+        // fingerprint to match.
+        require(m.fp.contains(logical -> batchFp),
+          s"state manifest already references batch version $logical but its " +
+            s"recorded input fingerprint ${m.fp.fold(
+              "(none — manifest predates fingerprints)")(_.toString())} " +
+            s"does not match this batch's ($logical,$batchFp): the checkpoint " +
+            "appears to have been reset against a retained state dir — retain " +
+            "(or clear) both together")
+        AlreadyCommitted
+      case _ =>
+        Proceed(math.max(bucketMax.getOrElse(0L) + 1, logical))
+    }
+  }
+
+  sealed trait BatchCheck
+  case object AlreadyCommitted extends BatchCheck
+  final case class Proceed(physicalVersion: Long) extends BatchCheck
+
   def commitManifest(spark: SparkSession, stateDir: String,
                      manifest: Map[Long, Long],
-                     fp: (Long, Long)): Unit = {
+                     fp: Option[(Long, Long)]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT.tmp")
     val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
     val fs = hadoopFs(spark, stateDir)
     val out = fs.create(tmp, true)
     try out.write(
       (manifest.toSeq.sorted.map { case (b, v) => s"$b,$v" }
-        :+ s"fp,${fp._1},${fp._2}").mkString("\n").getBytes("UTF-8"))
+        ++ fp.map { case (v, h) => s"fp,$v,$h" }).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     // FileContext.rename(OVERWRITE) is the atomic-replace primitive
     // (plain FileSystem.rename won't clobber on local/HDFS). On stores
@@ -110,6 +154,34 @@ private[graft] object BucketState {
     fs.listStatus(new org.apache.hadoop.fs.Path(versionDir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("p="))
       .map(_.getPath.getName.stripPrefix("p=").toLong)
+  }
+
+  /** Compact a bucket-state dir: rewrite every live bucket into ONE fresh
+    * version dir and repoint the whole manifest at it. After many
+    * incremental batches the manifest references many versions (one
+    * pruned read per referenced version on every lookup, and each
+    * version dir holds small files); compaction restores one-dir state
+    * with the same atomic-rename commit — readers switch from the old
+    * manifest to the new in one rename, and the superseded dirs are
+    * GC'd after. The version number advances past everything referenced
+    * so an in-flight writer's stale-manifest guard still holds.
+    * Preserves the recorded (version, fingerprint) pair so a crash-replay
+    * of the LAST data batch still recognizes itself after a compaction.
+    */
+  def compact(spark: SparkSession, stateDir: String): Unit = {
+    val m = readManifest(spark, stateDir)
+    if (m.buckets.isEmpty) return
+    val newVersion = m.buckets.values.max + 1
+    val all = readBuckets(spark, stateDir, m.buckets,
+      // non-empty manifest ⇒ the empty fallback is never consulted
+      sys.error("unreachable"))
+    all.repartition(org.apache.spark.sql.functions.col("p"))
+      .write.mode("overwrite").partitionBy("p")
+      .parquet(s"$stateDir/v=$newVersion")
+    val next = listBuckets(spark, s"$stateDir/v=$newVersion")
+      .map(_ -> newVersion).toMap
+    commitManifest(spark, stateDir, next, m.fp)
+    gcVersions(spark, stateDir, Set(newVersion))
   }
 
   /** Delete `v=` dirs no manifest entry references anymore. */

@@ -441,38 +441,22 @@ object CdcStream {
 
         val m = readManifest(spark, stateDir)
         val manifest = m.buckets
-        val newVersion0 = batchId + 1
         val batchFp = inputFingerprint(batch)
-        // Stale-checkpoint guard (same hazard run() checks): a manifest
-        // referencing a version beyond this batch's own means checkpointDir
-        // was reset against a retained stateDir — fail loudly, don't fold
-        // new offsets onto unrelated state.
-        manifest.values.reduceOption(_ max _).foreach(v =>
-          require(v <= newVersion0,
-            s"state manifest references v=$v but the stream is at batch $batchId: " +
-              "checkpointDir and stateDir must be retained (or cleared) together"))
-        if (manifest.values.exists(_ == newVersion0)) {
-          // Replay of an ALREADY-COMMITTED batch (crash landed between the
-          // manifest rename and the checkpoint commit). The batch's effect
-          // is durable — re-merging would read bucket dirs under
-          // v=newVersion while overwriting that very dir (the files would
-          // be deleted under the lazy plan). But "manifest references my
-          // version" alone is ambiguous when exactly one batch had
-          // committed: a reset checkpointDir over a retained stateDir
-          // produces the same (batchId=0, manifest→v=1) picture with
-          // POSSIBLY DIFFERENT DATA, and a silent no-op would lose those
-          // events forever. The commit recorded the batch's input
-          // fingerprint — require it to match before no-op'ing.
-          require(m.fp.contains(newVersion0 -> batchFp),
-            s"state manifest already references v=$newVersion0 but its recorded input " +
-              s"fingerprint ${m.fp.fold("(none — manifest predates fingerprints)")(_.toString())} " +
-              s"does not match this batch's ($newVersion0,$batchFp): checkpointDir " +
-              "appears to have been reset against a retained stateDir — retain (or clear) " +
-              "both together")
-          // Genuine crash-replay: the audit rewrite above is idempotent;
-          // just redo the GC the crash may have skipped.
+        // Stale-checkpoint + replay-of-committed-batch guards live in
+        // BucketState.checkBatch (shared with IncrementalDedup): a
+        // manifest committed beyond this batch fails loudly; a manifest
+        // committed AT this batch no-ops iff the recorded input
+        // fingerprint matches (else the checkpoint was reset against
+        // retained state). Proceed carries the physical version dir —
+        // batchId+1 until a compaction has renumbered past it.
+        BucketState.checkBatch(m, batchId, batchFp) match {
+          case BucketState.AlreadyCommitted =>
+          // The batch's effect is durable — re-merging would read bucket
+          // dirs under its own version while overwriting that very dir.
+          // The audit rewrite above is idempotent; just redo the GC the
+          // crash may have skipped.
           BucketState.gcVersions(spark, stateDir, manifest.values.toSet)
-        } else {
+          case BucketState.Proceed(newVersion) =>
         val touched = (batchBuckets :+ -1L).toSet
         val prev =
           if (manifest.isEmpty)
@@ -486,13 +470,11 @@ object CdcStream {
             readBuckets(spark, stateDir, relevant)
           }
 
-        // (1) Stage this batch's buckets under its OWN version dir — never
-        // read by `prev` (the replay-after-commit case above is the one
-        // path where the manifest could reference this version; here old
-        // versions are immutable), so no overwrite-what-you-read hazard
-        // and no extra staging copy. repartition by p: one file per bucket
+        // (1) Stage this batch's buckets under its OWN version dir —
+        // strictly newer than anything `prev` reads (checkBatch
+        // guarantees it), so no overwrite-what-you-read hazard and no
+        // extra staging copy. repartition by p: one file per bucket
         // dir, not buckets×partitions slivers.
-        val newVersion = newVersion0
         mergeBatch(prev.drop("p"), batch, spec = spec)
           .withColumn("p",
             when(col("key").isNull, lit(-1L))
@@ -507,8 +489,10 @@ object CdcStream {
         val base = if (hasTruncate) Map.empty[Long, Long] else manifest
         val next = (base -- touched) ++ outBuckets.map(_ -> newVersion)
 
-        // (2) THE commit point: atomic rename over _CURRENT.
-        commitManifest(spark, stateDir, next, newVersion -> batchFp)
+        // (2) THE commit point: atomic rename over _CURRENT. The fp line
+        // records the LOGICAL batch version (batchId+1) — what a replay
+        // will look for — independent of the physical dir number.
+        commitManifest(spark, stateDir, next, Some((batchId + 1) -> batchFp))
 
         // (3) GC version dirs nothing references anymore.
         BucketState.gcVersions(spark, stateDir, next.values.toSet + newVersion)
@@ -530,7 +514,7 @@ object CdcStream {
 
   private def commitManifest(spark: SparkSession, stateDir: String,
                              manifest: Map[Long, Long],
-                             fp: (Long, Long)): Unit =
+                             fp: Option[(Long, Long)]): Unit =
     BucketState.commitManifest(spark, stateDir, manifest, fp)
 
   private def readBuckets(spark: SparkSession, stateDir: String,

@@ -104,6 +104,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(snap === Set(1L, 2L, 6L)) // doc 5 is duplicate content across batches
   }
 
+  test("compaction folds many versions into one; reads and ingest continue") {
+    val dir = tmp()
+    // three batches → manifest references up to three version dirs
+    IncrementalDedup.ingest(spark, dir, docsOf(1L -> "aa bb"), batchId = 0, nBuckets = 4)
+    IncrementalDedup.ingest(spark, dir, docsOf(2L -> "cc dd"), batchId = 1, nBuckets = 4)
+    IncrementalDedup.ingest(spark, dir, docsOf(3L -> "ee ff"), batchId = 2, nBuckets = 4)
+    val before = IncrementalDedup.snapshot(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    graft.streaming.BucketState.compact(spark, dir)
+    val m = graft.streaming.BucketState.readManifest(spark, dir)
+    assert(m.buckets.values.toSet.size === 1, "one live version after compaction")
+    val after = IncrementalDedup.snapshot(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after === before)
+    // superseded version dirs are gone
+    val vdirs = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("v=")).toSet
+    assert(vdirs === Set(s"v=${m.buckets.values.head}"))
+
+    // a crash-replay of the LAST pre-compaction batch is still recognized
+    // as committed (the fp line survives compaction verbatim)
+    val replay = IncrementalDedup.ingest(spark, dir, docsOf(3L -> "ee ff"), batchId = 2,
+      nBuckets = 4)
+    assert(replay.collect().map(_.getLong(1)).toSet === Set(3L))
+    assert(IncrementalDedup.snapshot(spark, dir).count() === 3)
+
+    // ingest keeps working: physical dirs renumber past the compaction
+    IncrementalDedup.ingest(spark, dir, docsOf(9L -> "gg hh"), batchId = 3, nBuckets = 4)
+    assert(IncrementalDedup.snapshot(spark, dir).count() === 4)
+  }
+
   test("chunked ingest equals one-shot exact dedup on the fixture corpus") {
     val sf = TestSpark.sf0001
     val got = IncrementalDedup.dedupIncremental(spark, sf)

@@ -277,6 +277,40 @@ class PartitionedStateSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(snap === Seq((0L, 5L), (1L, 10L), (2L, 20L)))
   }
 
+  test("compaction between micro-batches: one live version, stream continues") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("pstate-compact").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      env("null", """{"order_id":0,"invoice_number":5}""", "c", 1)).mkString("\n").getBytes)
+    graft.streaming.CdcStream.runPartitioned(
+      graft.streaming.CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt", 8).awaitTermination(120000)
+    Files.write(Paths.get(s"$in/b2.json"), Seq(
+      env("null", """{"order_id":1,"invoice_number":10}""", "c", 2)).mkString("\n").getBytes)
+    graft.streaming.CdcStream.runPartitioned(
+      graft.streaming.CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt", 8).awaitTermination(120000)
+
+    graft.streaming.BucketState.compact(spark, s"$base/state")
+    val m = graft.streaming.BucketState.readManifest(spark, s"$base/state")
+    assert(m.buckets.values.toSet.size === 1)
+    val snap1 = graft.streaming.CdcStream.partitionedSnapshot(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap1 === Seq((0L, 5L), (1L, 10L)))
+
+    // the stream picks up where it left off, physical dirs renumbered
+    // past the compaction version
+    Files.write(Paths.get(s"$in/b3.json"), Seq(
+      env("null", """{"order_id":2,"invoice_number":20}""", "c", 3)).mkString("\n").getBytes)
+    graft.streaming.CdcStream.runPartitioned(
+      graft.streaming.CdcStream.fromFiles(spark, in),
+      s"$base/audit", s"$base/state", s"$base/ckpt", 8).awaitTermination(120000)
+    val snap2 = graft.streaming.CdcStream.partitionedSnapshot(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap2 === Seq((0L, 5L), (1L, 10L), (2L, 20L)))
+  }
+
   test("replay of an already-committed batch is a no-op, not a self-overwrite") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("pstate4").toString
