@@ -503,6 +503,34 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------- grouping sets
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * per-returnflag and per-linestatus marginals plus the grand total in
+    * ONE pass (Spark expands to a single Expand + hash aggregate, not
+    * three scans). `grouping_id` disambiguates which set a row belongs
+    * to; the same bit encoding in both engines.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        d(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"),
+        col("sum_qty"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val qGroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   // ----------------------------------------------- correlated subquery
   /** Orders ≥ 3/2 of their customer's average order value, written as
     * correlated scalar subqueries through the engine's SQL entry point —
@@ -694,6 +722,7 @@ object Relational {
     "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
     "q_rollup" -> (qRollup _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_sql_corr_subquery" -> (qSqlCorrSubquery _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -726,6 +755,7 @@ object Relational {
     "q_cube" -> qCubeSql,
     "q_pivot" -> qPivotSql,
     "q_rollup" -> qRollupSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_sql_corr_subquery" -> qSqlCorrSubquerySql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

@@ -299,6 +299,37 @@ object Similarity {
         dotFx(fixedPoint(col("embedding")), fixedPoint(col("embedding"))).as("norm_fx"))
       .orderBy(col("vec_id"))
 
+  /** Per-label centroid, one row per (label, dimension) — the class
+    * prototype an embedding-space analysis (or an IVF-style coarse
+    * quantizer warm start) is built from. Plan: explode the fixed-point
+    * components (map-side) → ONE hash aggregation on (label, dim); all
+    * sums are exact integers, the single closing division is identical
+    * IEEE in any engine. At 100 TB this is the canonical
+    * explode-then-partial-agg shape: the map-side combine collapses each
+    * partition to |labels|·|dims| rows before the shuffle.
+    */
+  def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(fixedPoint(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .withColumn("centroid",
+        col("sx").cast("double") / (col("n") * lit(graft.functions.VectorFns.Scale)))
+      .orderBy(col("label"), col("dim"))
+
+  private val embeddingCentroidsSql =
+    """WITH comp AS (
+      |  SELECT label,
+      |         unnest(generate_series(0, len(embedding) - 1)) AS dim,
+      |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS x
+      |  FROM embeddings),
+      |g AS (SELECT label, dim, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx
+      |      FROM comp GROUP BY 1, 2)
+      |SELECT label, dim, n, sx,
+      |       CAST(sx AS DOUBLE) / (n * 1048576) AS centroid
+      |FROM g ORDER BY label, dim""".stripMargin
+
   private val embeddingStatsSql =
     """WITH comp AS (
       |  SELECT vec_id, CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS x
@@ -335,6 +366,7 @@ object Similarity {
   // ------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "embedding_stats" -> (embeddingStats _),
+    "embedding_centroids" -> (embeddingCentroids _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "ann_cosine_topk" -> (annCosineTopk _),
@@ -344,6 +376,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "embedding_stats" -> embeddingStatsSql,
+    "embedding_centroids" -> embeddingCentroidsSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_topk_by_label" -> annTopkByLabelSql,
