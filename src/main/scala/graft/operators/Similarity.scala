@@ -299,6 +299,79 @@ object Similarity {
         dotFx(fixedPoint(col("embedding")), fixedPoint(col("embedding"))).as("norm_fx"))
       .orderBy(col("vec_id"))
 
+  // ------------------------------------------- product quantization
+  private val PqM = 16      // subspaces (64 dims → 4-dim subvectors)
+  private val PqK = 16      // codewords per subspace
+  private val PqRerank = 100 // ADC candidates kept for exact re-rank
+
+  /** ANN via product quantization + asymmetric distance computation — the
+    * third scale path next to IVF (partition pruning) and LSH (bucket
+    * ring): each vector is stored as `PqM` small codes (16 bytes/vector
+    * here vs 256 bytes of floats), so the scoring pass reads codes and
+    * norms ONLY, never full vectors. Per-subspace codebooks come from
+    * k-means on the same bounded deterministic sample policy as
+    * [[ivfFit]]; encoding is one chained map-only pass. A query builds
+    * the m×k table of exact fixed-point partial dot products (256 longs,
+    * broadcast), every candidate's approximate dot is a sum of m table
+    * lookups (broadcast join + partial agg), and the ADC top-`PqRerank`
+    * is re-ranked exactly — full precision touched for a CONSTANT number
+    * of vectors, not the corpus. Rows-only for the driver (k-means
+    * codebooks are engine-specific); recall vs brute force pinned in
+    * PqSpec.
+    */
+  def annPqTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = 64 / PqM
+    val vecs = Tables.embeddings(s, dir)
+    val withSubs = (0 until PqM).foldLeft(
+      vecs.select(col("vec_id"), col("embedding")))((df, j) =>
+      df.withColumn(s"sub_$j", array_to_vector(
+        slice(col("embedding"), j * sub + 1, sub).cast("array<double>"))))
+
+    // bounded deterministic training sample (ivfFit policy)
+    val n = vecs.count()
+    val every = math.max(1L, n / math.max(256L * PqK, 4096L))
+    val train = withSubs.filter(pmod(col("vec_id"), lit(every)) === 0).persist()
+    val models = try (0 until PqM).map { j =>
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(PqK).setSeed(42L + j).setMaxIter(10)
+        .setFeaturesCol(s"sub_$j").setPredictionCol(s"code_$j")
+        .fit(train)
+    } finally train.unpersist()
+
+    // encode: chained map-only transforms → melt to (vec_id, j, code)
+    val encoded = models.foldLeft(withSubs: DataFrame)((df, m) => m.transform(df))
+    val codes = encoded.select(col("vec_id"),
+      posexplode(array((0 until PqM).map(j => col(s"code_$j")): _*))
+        .as(Seq("j", "code")))
+
+    // ADC table: query subvector · codeword, exact fixed-point
+    val qTable = vecs.filter(col("vec_id") === QueryVec)
+      .select(posexplode(array((0 until PqM).map(j =>
+        fixedPoint(slice(col("embedding"), j * sub + 1, sub))): _*))
+        .as(Seq("j", "qsub")))
+    val centroidRows = for {
+      (m, j) <- models.zipWithIndex
+      (c, code) <- m.clusterCenters.zipWithIndex
+    } yield (j, code, c.toArray)
+    val table = broadcast(
+      s.createDataFrame(centroidRows).toDF("j", "code", "centroid")
+        .join(qTable, "j")
+        .select(col("j"), col("code"),
+          dotFx(fixedPoint(col("centroid")), col("qsub")).as("pdot")))
+
+    // candidate generation by approximate dot, exact re-rank of the top 50
+    val adc = codes.join(table, Seq("j", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("pdot")).as("adot"))
+      .filter(col("vec_id") =!= QueryVec)
+      .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)
+    adc.join(corpus(s, dir), "vec_id")
+      .crossJoin(broadcast(queryRow(s, dir)))
+      .withColumn("cosine", cosNative(s, col("v"), col("qv")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+  }
+
   /** Per-label centroid, one row per (label, dimension) — the class
     * prototype an embedding-space analysis (or an IVF-style coarse
     * quantizer warm start) is built from. Plan: explode the fixed-point
@@ -367,6 +440,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "embedding_stats" -> (embeddingStats _),
     "embedding_centroids" -> (embeddingCentroids _),
+    "ann_pq_topk" -> (annPqTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "ann_cosine_topk" -> (annCosineTopk _),

@@ -257,6 +257,23 @@ class IvfSpec extends AnyFunSuite {
   }
 }
 
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("PQ-ADC top-k is deterministic with usable recall (vs brute force)") {
+    val brute = Similarity.annCosineTopk(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val pq1 = Similarity.annPqTopk(spark, sf).collect().map(_.getAs[Long]("vec_id"))
+    val pq2 = Similarity.annPqTopk(spark, sf).collect().map(_.getAs[Long]("vec_id"))
+    assert(pq1.toSeq === pq2.toSeq) // fixed-seed codebooks => repeatable
+    val recall = (brute & pq1.toSet).size
+    info(s"recall@10: pq=$recall")
+    // ADC candidates + exact re-rank: expect most of the true top-10
+    assert(recall >= 8)
+  }
+}
+
 /** Winnowing fingerprints: near-dups overlap heavily, unrelated docs don't. */
 class WinnowSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
