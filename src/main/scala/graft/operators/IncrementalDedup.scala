@@ -144,8 +144,13 @@ object IncrementalDedup {
     val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
     val mid = (ids.getLong(0) + ids.getLong(1)) / 2
-    ingest(s, indexDir, docs.filter(col("doc_id") <= mid), batchId = 0).count()
-    ingest(s, indexDir, docs.filter(col("doc_id") > mid), batchId = 1).count()
+    // 16 buckets at demo scale: bucket count trades pruning granularity
+    // against files-per-version; a production index sizes it to state
+    // volume (buckets ~ state / target-file-size), not batch volume
+    ingest(s, indexDir, docs.filter(col("doc_id") <= mid), batchId = 0,
+      nBuckets = 16).count()
+    ingest(s, indexDir, docs.filter(col("doc_id") > mid), batchId = 1,
+      nBuckets = 16).count()
     snapshot(s, indexDir).orderBy(col("fp"))
   }
 

@@ -304,68 +304,104 @@ object Similarity {
   private val PqK = 16      // codewords per subspace
   private val PqRerank = 100 // ADC candidates kept for exact re-rank
 
+  /** Deterministic local Lloyd's k-means over the (bounded) training
+    * sample: seeded-shuffle init, first-min assignment, empty clusters
+    * keep their centroid. The sample never exceeds ~4k vectors, so
+    * training is microseconds of driver arithmetic — replacing m
+    * iterative `KMeans.fit` jobs (each a driver-synchronized multi-pass
+    * over a distributed frame, the exact pattern the IVF query had to
+    * drop) with zero cluster jobs.
+    */
+  private def lloydFit(points: Array[Array[Double]], k: Int, seed: Long,
+                       iters: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val dims = points(0).length
+    var cent = rnd.shuffle(points.indices.toVector).take(k)
+      .map(i => points(i).clone).toArray
+    def d2(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < dims) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cent.length)(new Array[Double](dims))
+      val cnts = new Array[Long](cent.length)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < cent.length) {
+          val d = d2(p, cent(c)); if (d < bd) { bd = d; best = c }; c += 1
+        }
+        cnts(best) += 1
+        var i = 0; while (i < dims) { sums(best)(i) += p(i); i += 1 }
+      }
+      cent = cent.indices.map(c =>
+        if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else cent(c)).toArray
+    }
+    cent
+  }
+
   /** ANN via product quantization + asymmetric distance computation — the
     * third scale path next to IVF (partition pruning) and LSH (bucket
     * ring): each vector is stored as `PqM` small codes (16 bytes/vector
     * here vs 256 bytes of floats), so the scoring pass reads codes and
     * norms ONLY, never full vectors. Per-subspace codebooks come from
-    * k-means on the same bounded deterministic sample policy as
-    * [[ivfFit]]; encoding is one chained map-only pass. A query builds
-    * the m×k table of exact fixed-point partial dot products (256 longs,
-    * broadcast), every candidate's approximate dot is a sum of m table
-    * lookups (broadcast join + partial agg), and the ADC top-`PqRerank`
-    * is re-ranked exactly — full precision touched for a CONSTANT number
-    * of vectors, not the corpus. Rows-only for the driver (k-means
-    * codebooks are engine-specific); recall vs brute force pinned in
-    * PqSpec.
+    * [[lloydFit]] on the same bounded deterministic sample policy as
+    * [[ivfFit]] — collected to the driver BECAUSE it is bounded; the
+    * corpus-side work stays distributed. Everything downstream is ONE
+    * map-only projection: encode (argmin over the literal codebook),
+    * ADC score (sum of m `element_at` lookups into the literal
+    * query×codeword table — no explode, no join, no aggregation), then
+    * TakeOrderedAndProject for the candidate set and an exact
+    * fixed-point re-rank of `PqRerank` vectors — full precision touched
+    * for a CONSTANT number of vectors, not the corpus. Rows-only for
+    * the driver (k-means codebooks are engine-specific); recall vs
+    * brute force pinned in PqSpec.
     */
   def annPqTopk(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val sub = 64 / PqM
     val vecs = Tables.embeddings(s, dir)
-    val withSubs = (0 until PqM).foldLeft(
-      vecs.select(col("vec_id"), col("embedding")))((df, j) =>
-      df.withColumn(s"sub_$j", array_to_vector(
-        slice(col("embedding"), j * sub + 1, sub).cast("array<double>"))))
 
-    // bounded deterministic training sample (ivfFit policy)
+    // bounded deterministic training sample (ivfFit policy), driver-local
     val n = vecs.count()
     val every = math.max(1L, n / math.max(256L * PqK, 4096L))
-    val train = withSubs.filter(pmod(col("vec_id"), lit(every)) === 0).persist()
-    val models = try (0 until PqM).map { j =>
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(PqK).setSeed(42L + j).setMaxIter(10)
-        .setFeaturesCol(s"sub_$j").setPredictionCol(s"code_$j")
-        .fit(train)
-    } finally train.unpersist()
+    val sample = vecs.filter(pmod(col("vec_id"), lit(every)) === 0)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val codebooks = (0 until PqM).map(j =>
+      lloydFit(sample.map(_.slice(j * sub, (j + 1) * sub)), PqK,
+        seed = 42L + j, iters = 10)).toArray
 
-    // encode: chained map-only transforms → melt to (vec_id, j, code)
-    val encoded = models.foldLeft(withSubs: DataFrame)((df, m) => m.transform(df))
-    val codes = encoded.select(col("vec_id"),
-      posexplode(array((0 until PqM).map(j => col(s"code_$j")): _*))
-        .as(Seq("j", "code")))
+    // ADC tables: fixed-point dot of the query subvector with every
+    // codeword — m×k longs, computed on the driver, shipped as literals
+    def fx(x: Double): Long =
+      math.floor(x * graft.functions.VectorFns.Scale).toLong
+    val qvec = vecs.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val tables: Array[Array[Long]] = Array.tabulate(PqM) { j =>
+      val q = qvec.slice(j * sub, (j + 1) * sub).map(fx)
+      codebooks(j).map(c => c.map(fx).zip(q).map { case (a, b) => a * b }.sum)
+    }
 
-    // ADC table: query subvector · codeword, exact fixed-point
-    val qTable = vecs.filter(col("vec_id") === QueryVec)
-      .select(posexplode(array((0 until PqM).map(j =>
-        fixedPoint(slice(col("embedding"), j * sub + 1, sub))): _*))
-        .as(Seq("j", "qsub")))
-    val centroidRows = for {
-      (m, j) <- models.zipWithIndex
-      (c, code) <- m.clusterCenters.zipWithIndex
-    } yield (j, code, c.toArray)
-    val table = broadcast(
-      s.createDataFrame(centroidRows).toDF("j", "code", "centroid")
-        .join(qTable, "j")
-        .select(col("j"), col("code"),
-          dotFx(fixedPoint(col("centroid")), col("qsub")).as("pdot")))
+    // encode + ADC-score in one projection: per subspace, the code is the
+    // first argmin over the literal codebook, and its table entry joins
+    // the approximate dot sum
+    def codeCol(j: Int) = {
+      val dists = transform(typedLit(codebooks(j)), c =>
+        aggregate(
+          zip_with(c, slice(col("embedding"), j * sub + 1, sub).cast("array<double>"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      array_position(dists, array_min(dists)).cast("int") - 1
+    }
+    val adot = (0 until PqM).map(j =>
+      element_at(typedLit(tables(j)), codeCol(j) + 1)).reduce(_ + _)
 
-    // candidate generation by approximate dot, exact re-rank of the top 50
-    val adc = codes.join(table, Seq("j", "code"))
-      .groupBy(col("vec_id")).agg(sum(col("pdot")).as("adot"))
+    val candidates = vecs
       .filter(col("vec_id") =!= QueryVec)
+      .select(col("vec_id"), adot.as("adot"))
       .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)
-    adc.join(corpus(s, dir), "vec_id")
+    candidates.join(corpus(s, dir), "vec_id")
       .crossJoin(broadcast(queryRow(s, dir)))
       .withColumn("cosine", cosNative(s, col("v"), col("qv")))
       .select(col("vec_id"), col("cosine"))

@@ -286,6 +286,22 @@ object TextAnalysis {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
 
+  /** One exploded (doc_id, n_tokens, n_uniq, bigram) row set — tokenize
+    * ONCE (projected before any consumer so the split/distinct run once
+    * per document, not once per referencing expression), explode once,
+    * memoized through the Shared registry for every bigram consumer in
+    * the pack (census + repetition share it).
+    */
+  private def bigramRows(s: SparkSession, dir: String): DataFrame =
+    graft.Shared.materialize(s, dir, "bigram_rows") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          explode(bigramsOf(col("toks"))).as("bigram"))
+    }
+
   /** Corpus-wide top-20 bigrams by frequency — the n-gram census a
     * data-mixing pass runs to spot boilerplate and over-represented
     * phrases. Plan shape: explode → partial+final hash agg (map-side
@@ -296,8 +312,7 @@ object TextAnalysis {
   def textNgramTopk(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("bigram").asc)
-    Tables.documents(s, dir)
-      .select(explode(bigramsOf(TextFns.tokens(col("text")))).as("bigram"))
+    bigramRows(s, dir)
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram").asc)
@@ -327,12 +342,7 @@ object TextAnalysis {
     * are not exchange-reused — the tf-idf lesson).
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_uniq"),
-        explode(bigramsOf(toks)).as("bigram"))
+    bigramRows(s, dir)
       .groupBy(col("doc_id"), col("n_tokens"), col("n_uniq"), col("bigram"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"), col("n_tokens"), col("n_uniq"))
