@@ -84,9 +84,10 @@ object IncrementalDedup {
           .join(prev.select(col("fp")), Seq("fp"), "left_anti")
 
         // stage survivors FIRST (they are part of the batch's durable
-        // effect), then the merged touched buckets, then commit
-        survivors.repartition(1)
-          .write.mode("overwrite").parquet(survivorsDir)
+        // effect), then the merged touched buckets, then commit; natural
+        // partitioning — a single-task coalesce would bottleneck at real
+        // batch sizes
+        survivors.write.mode("overwrite").parquet(survivorsDir)
         prev.drop("p").unionByName(
             spark.read.schema(survivorSchema).parquet(survivorsDir))
           .withColumn("p", bucketOf(col("fp"), nBuckets))

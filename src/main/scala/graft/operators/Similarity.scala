@@ -364,7 +364,11 @@ object Similarity {
     // bounded deterministic training sample (ivfFit policy), driver-local
     val n = vecs.count()
     val every = math.max(1L, n / math.max(256L * PqK, 4096L))
+    // orderBy pins the collect order: lloydFit's seeded init is
+    // order-sensitive, and bare collect() order varies with partitioning
+    // (local[4] vs local[32] would train different codebooks)
     val sample = vecs.filter(pmod(col("vec_id"), lit(every)) === 0)
+      .orderBy(col("vec_id"))
       .select(col("embedding").cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
     val codebooks = (0 until PqM).map(j =>

@@ -167,6 +167,12 @@ private[graft] object BucketState {
     * so an in-flight writer's stale-manifest guard still holds.
     * Preserves the recorded (version, fingerprint) pair so a crash-replay
     * of the LAST data batch still recognizes itself after a compaction.
+    *
+    * Single-writer contract (same as the data path): run compaction in a
+    * maintenance window or from the owning stream's thread — a writer
+    * that read the manifest BEFORE a concurrent compaction committed
+    * would stage against superseded dirs and clobber the compaction at
+    * its own commit.
     */
   def compact(spark: SparkSession, stateDir: String): Unit = {
     val m = readManifest(spark, stateDir)
