@@ -407,6 +407,46 @@ object TextAnalysis {
       |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS BIGINT) AS doc_share
       |FROM g ORDER BY source, lang""".stripMargin
 
+  // --------------------------------------------------- sequence packing
+  /** Token budget per packed shard (training-sequence granularity). */
+  val packBudget = 4096L
+
+  /** Sequence packing: assign each document to a fixed-token-budget shard
+    * — the step that turns a curated corpus into training shards. Shard
+    * ids come from a running token total per source (greedy packing in
+    * deterministic doc_id order), so the assignment is a pure function of
+    * the corpus: reproducible across engines, runs, and partitionings.
+    * The cumulative window partitions by `source` — shards never span
+    * sources, and each source's prefix-sum runs in parallel; no
+    * single-partition global window at any scale.
+    */
+  def textPackShards(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // shard of a doc = budget-bin of the tokens BEFORE it (greedy fill)
+      .withColumn("shard",
+        ((col("cum_tokens") - col("n_tokens")) / lit(packBudget)).cast("long"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val textPackShardsSql =
+    s"""$docsCte,
+       |t AS (
+       |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM (SELECT d.doc_id, d.source,
+       |          string_split_regex(trim(d.text), '\\s+') AS toks
+       |        FROM documents d))
+       |SELECT doc_id, source, n_tokens, cum_tokens,
+       |       (cum_tokens - n_tokens) // $packBudget AS shard
+       |FROM t ORDER BY source, doc_id""".stripMargin
+
   // ------------------------------------------------------- fuzzy match
   /** Edit-distance fuzzy matching over a bounded sample (doc_id < 30
     * pairwise on 60-char prefixes): the string-similarity complement to
@@ -444,6 +484,7 @@ object TextAnalysis {
     "text_curation_pipeline" -> (textCurationPipeline _),
     "text_sample_stratified" -> (textSampleStratified _),
     "text_ngram_topk" -> (textNgramTopk _),
+    "text_pack_shards" -> (textPackShards _),
     "text_repetition" -> (textRepetition _),
     "corpus_domain_report" -> (corpusDomainReport _))
 
@@ -457,6 +498,7 @@ object TextAnalysis {
     "text_curation_pipeline" -> textCurationPipelineSql,
     "text_sample_stratified" -> textSampleStratifiedSql,
     "text_ngram_topk" -> textNgramTopkSql,
+    "text_pack_shards" -> textPackShardsSql,
     "text_repetition" -> textRepetitionSql,
     "corpus_domain_report" -> corpusDomainReportSql)
 }

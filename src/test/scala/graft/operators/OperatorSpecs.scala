@@ -374,6 +374,30 @@ class TextCensusSpec extends AnyFunSuite {
     })
   }
 
+  test("pack shards: greedy-fill bound — a shard exceeds budget only by its own docs") {
+    val rows = TextAnalysis.textPackShards(spark, sf).collect()
+    assert(rows.length === graft.Tables.documents(spark, sf).count())
+    val byShard = rows.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("shard")))
+    byShard.foreach { case ((src, shard), docs) =>
+      val total = docs.map(_.getAs[Long]("n_tokens")).sum
+      val maxDoc = docs.map(_.getAs[Long]("n_tokens")).max
+      assert(total < TextAnalysis.packBudget + maxDoc,
+        s"shard ($src,$shard) overfilled: $total")
+    }
+    // shards are contiguous from 0 per source
+    byShard.keys.groupBy(_._1).foreach { case (_, ks) =>
+      val ids = ks.map(_._2).toSeq.sorted
+      assert(ids === (0L until ids.length))
+    }
+  }
+
+  test("decontaminate: train/eval partition respected, overlaps positive") {
+    val rows = Dedup.textDecontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("train_doc") % 7 != 0 &&
+      r.getAs[Long]("eval_doc") % 7 == 0 && r.getAs[Long]("n_shared") >= 1))
+  }
+
   test("domain report: doc_share sums to 1 and n_docs to the corpus size") {
     val rows = TextAnalysis.corpusDomainReport(spark, sf).collect()
     val total = graft.Tables.documents(spark, sf).count()
