@@ -357,51 +357,117 @@ object Similarity {
     * the driver (k-means codebooks are engine-specific); recall vs
     * brute force pinned in PqSpec.
     */
-  def annPqTopk(s: SparkSession, dir: String): DataFrame = {
-    val sub = 64 / PqM
-    val vecs = Tables.embeddings(s, dir)
+  private val PqSub = 64 / PqM
 
-    // bounded deterministic training sample (ivfFit policy), driver-local
+  /** Per-subspace codebooks from [[lloydFit]] over the bounded
+    * deterministic sample (ivfFit policy), collected to the driver
+    * BECAUSE it is bounded. orderBy pins the collect order: lloydFit's
+    * seeded init is order-sensitive, and bare collect() order varies
+    * with partitioning (local[4] vs local[32] would train different
+    * codebooks).
+    */
+  private def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val vecs = Tables.embeddings(s, dir)
     val n = vecs.count()
     val every = math.max(1L, n / math.max(256L * PqK, 4096L))
-    // orderBy pins the collect order: lloydFit's seeded init is
-    // order-sensitive, and bare collect() order varies with partitioning
-    // (local[4] vs local[32] would train different codebooks)
     val sample = vecs.filter(pmod(col("vec_id"), lit(every)) === 0)
       .orderBy(col("vec_id"))
       .select(col("embedding").cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
-    val codebooks = (0 until PqM).map(j =>
-      lloydFit(sample.map(_.slice(j * sub, (j + 1) * sub)), PqK,
+    (0 until PqM).map(j =>
+      lloydFit(sample.map(_.slice(j * PqSub, (j + 1) * PqSub)), PqK,
         seed = 42L + j, iters = 10)).toArray
+  }
 
-    // ADC tables: fixed-point dot of the query subvector with every
-    // codeword — m×k longs, computed on the driver, shipped as literals
+  /** ADC tables: fixed-point dot of the query subvector with every
+    * codeword — m×k longs, computed on the driver, shipped as literals.
+    */
+  private def pqTables(s: SparkSession, dir: String,
+                       codebooks: Array[Array[Array[Double]]]): Array[Array[Long]] = {
     def fx(x: Double): Long =
       math.floor(x * graft.functions.VectorFns.Scale).toLong
-    val qvec = vecs.filter(col("vec_id") === QueryVec)
+    val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === QueryVec)
       .select(col("embedding").cast("array<double>")).collect()(0)
       .getSeq[Double](0).toArray
-    val tables: Array[Array[Long]] = Array.tabulate(PqM) { j =>
-      val q = qvec.slice(j * sub, (j + 1) * sub).map(fx)
+    Array.tabulate(PqM) { j =>
+      val q = qvec.slice(j * PqSub, (j + 1) * PqSub).map(fx)
       codebooks(j).map(c => c.map(fx).zip(q).map { case (a, b) => a * b }.sum)
     }
+  }
+
+  /** Encode one subspace: first argmin over the literal codebook, over
+    * the `embedding` column — a map-only expression.
+    */
+  private def pqCodeCol(codebooks: Array[Array[Array[Double]]], j: Int) = {
+    val dists = transform(typedLit(codebooks(j)), c =>
+      aggregate(
+        zip_with(c, slice(col("embedding"), j * PqSub + 1, PqSub).cast("array<double>"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    array_position(dists, array_min(dists)).cast("int") - 1
+  }
+
+  def annPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+    val codebooks = pqCodebooks(s, dir)
+    val tables = pqTables(s, dir, codebooks)
 
     // encode + ADC-score in one projection: per subspace, the code is the
     // first argmin over the literal codebook, and its table entry joins
     // the approximate dot sum
-    def codeCol(j: Int) = {
-      val dists = transform(typedLit(codebooks(j)), c =>
-        aggregate(
-          zip_with(c, slice(col("embedding"), j * sub + 1, sub).cast("array<double>"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-      array_position(dists, array_min(dists)).cast("int") - 1
-    }
     val adot = (0 until PqM).map(j =>
-      element_at(typedLit(tables(j)), codeCol(j) + 1)).reduce(_ + _)
+      element_at(typedLit(tables(j)), pqCodeCol(codebooks, j) + 1)).reduce(_ + _)
 
     val candidates = vecs
+      .filter(col("vec_id") =!= QueryVec)
+      .select(col("vec_id"), adot.as("adot"))
+      .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)
+    candidates.join(corpus(s, dir), "vec_id")
+      .crossJoin(broadcast(queryRow(s, dir)))
+      .withColumn("cosine", cosNative(s, col("v"), col("qv")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+  }
+
+  /** PQ index at rest: `out/codes` holds (vec_id, codes array — 16 small
+    * ints/vector) and `out/codebooks` the (j, code, centroid) rows — the
+    * materialized form of [[annPqTopk]]'s in-memory encode, analogous to
+    * [[writeIvfIndex]]. The codes file is the query-time working set
+    * (~16 bytes/vector vs 256 of floats); full vectors are only touched
+    * by the re-rank.
+    */
+  def writePqIndex(s: SparkSession, dir: String, out: String): Unit = {
+    val codebooks = pqCodebooks(s, dir)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        array((0 until PqM).map(j => pqCodeCol(codebooks, j)): _*).as("codes"))
+      .write.mode("overwrite").parquet(s"$out/codes")
+    val rows = for {
+      (cb, j) <- codebooks.zipWithIndex.toSeq
+      (c, code) <- cb.zipWithIndex
+    } yield (j, code, c.toSeq)
+    s.createDataFrame(rows).toDF("j", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$out/codebooks")
+  }
+
+  /** [[annPqTopk]] served FROM the persisted index: the ADC tables come
+    * from `out/codebooks` + the query vector, candidate scoring reads
+    * ONLY `out/codes` (a sum of m `element_at` lookups per row — map-only
+    * over 16-byte rows), and just the `PqRerank` survivors touch the
+    * full-precision corpus. Identical results to the in-memory form
+    * (same deterministic codebooks) — pinned by PqSpec.
+    */
+  def annPqTopkFromIndex(s: SparkSession, dir: String, out: String): DataFrame = {
+    val codebooks: Array[Array[Array[Double]]] = {
+      val raw = s.read.parquet(s"$out/codebooks")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      Array.tabulate(PqM)(j => raw.filter(_._1 == j).sortBy(_._2).map(_._3))
+    }
+    val tables = pqTables(s, dir, codebooks)
+    val adot = (0 until PqM).map(j =>
+      element_at(typedLit(tables(j)), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val candidates = s.read.parquet(s"$out/codes")
       .filter(col("vec_id") =!= QueryVec)
       .select(col("vec_id"), adot.as("adot"))
       .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)

@@ -407,6 +407,42 @@ object TextAnalysis {
       |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS BIGINT) AS doc_share
       |FROM g ORDER BY source, lang""".stripMargin
 
+  // ---------------------------------------------------- mixture sampling
+  /** Mixture rebalancing: per-language TARGET sampling rates (downsample
+    * the dominant language to rebalance the mix — the knob the
+    * `corpus_domain_report` table informs), applied with the same
+    * deterministic md5-threshold membership as the stratified sample:
+    * two hex digits give 1/256 rate granularity, membership is a pure
+    * function of doc_id, so the mixture is reproducible bit-for-bit and
+    * composable with any other deterministic subset. Reports
+    * target vs realized rate per language.
+    */
+  def textSampleMixture(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        // en: 0x40/0x100 = 25%; others 0xc0/0x100 = 75%
+        (md5(col("doc_id").cast("string")) <
+          when(col("lang") === "en", "40").otherwise("c0")).as("sampled"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("target_rate",
+        when(col("lang") === "en", 0.25).otherwise(0.75))
+      .withColumn("rate", col("n_sampled").cast("double") / col("n_total"))
+      .orderBy(col("lang"))
+
+  private val textSampleMixtureSql =
+    """SELECT lang, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+      |    (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END AS DOUBLE) AS target_rate,
+      |  CAST(SUM(CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+      |    (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // --------------------------------------------------- sequence packing
   /** Token budget per packed shard (training-sequence granularity). */
   val packBudget = 4096L
@@ -485,6 +521,7 @@ object TextAnalysis {
     "text_sample_stratified" -> (textSampleStratified _),
     "text_ngram_topk" -> (textNgramTopk _),
     "text_pack_shards" -> (textPackShards _),
+    "text_sample_mixture" -> (textSampleMixture _),
     "text_repetition" -> (textRepetition _),
     "corpus_domain_report" -> (corpusDomainReport _))
 
@@ -499,6 +536,7 @@ object TextAnalysis {
     "text_sample_stratified" -> textSampleStratifiedSql,
     "text_ngram_topk" -> textNgramTopkSql,
     "text_pack_shards" -> textPackShardsSql,
+    "text_sample_mixture" -> textSampleMixtureSql,
     "text_repetition" -> textRepetitionSql,
     "corpus_domain_report" -> corpusDomainReportSql)
 }

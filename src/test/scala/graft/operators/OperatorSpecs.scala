@@ -272,6 +272,26 @@ class PqSpec extends AnyFunSuite {
     // ADC candidates + exact re-rank: expect most of the true top-10
     assert(recall >= 8)
   }
+
+  test("PQ index at rest: codes-only scoring reproduces the in-memory result") {
+    val out = java.nio.file.Files.createTempDirectory("pq").toString + "/index"
+    Similarity.writePqIndex(spark, sf, out)
+    val fromIndex = Similarity.annPqTopkFromIndex(spark, sf, out)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = Similarity.annPqTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex === inMemory)
+    // the at-rest working set is an order of magnitude smaller than the
+    // full-precision vectors
+    def bytes(p: String): Long = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles.map(x => bytes(x.getPath)).sum else f.length
+    }
+    val codesB = bytes(s"$out/codes")
+    val vecsB = bytes(s"$sf/embeddings.parquet")
+    info(s"codes=${codesB}B embeddings=${vecsB}B")
+    assert(codesB < vecsB / 2)
+  }
 }
 
 /** Winnowing fingerprints: near-dups overlap heavily, unrelated docs don't. */
