@@ -54,4 +54,42 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,0))]"), p)
   }
+
+  test("ngram census: partial agg before the shuffle, top-k never a global sort") {
+    val p = plan(TextAnalysis.textNgramTopk(spark, sf))
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pack shards: window partitions by source — no single-partition global window") {
+    val p = plan(TextAnalysis.textPackShards(spark, sf))
+    assert(p.contains("hashpartitioning(source"), s"cumsum must shuffle by source:\n$p")
+  }
+
+  test("decontaminate: eval side broadcasts; filters push to both scans") {
+    val p = plan(Dedup.textDecontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("grouping sets: one Expand, one aggregation pass") {
+    val p = plan(Relational.qGroupingSets(spark, sf))
+    assert(p.split("Expand").length - 1 === 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("embedding centroids: pruned two-column scan + map-side combine") {
+    val p = plan(Similarity.embeddingCentroids(spark, sf))
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("ReadSchema: struct<embedding:array<float>,label:int>"), p)
+  }
+
+  test("PQ: encode + ADC scoring fuse into projections — no aggregation at all") {
+    val p = plan(Similarity.annPqTopk(spark, sf))
+    // the literal-table formulation needs no explode/join/groupBy for
+    // scoring; any HashAggregate appearing here means the map-only shape
+    // regressed to the exploded join form
+    assert(!p.contains("HashAggregate"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }

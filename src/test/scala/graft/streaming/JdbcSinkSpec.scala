@@ -136,7 +136,13 @@ class JdbcSinkSpec extends AnyFunSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch(JdbcSink.foreachBatchWriter(url, "invoice"))
       .start()
-    q.awaitTermination(120000)
+    // processAllAvailable blocks until every pending batch has been
+    // COMMITTED (no timeout to race under parallel-suite load), and stop()
+    // releases the sink's DuckDB write lock before replica() connects —
+    // awaitTermination(timeout) could elapse mid-write and leave the file
+    // locked, failing the read with a spurious lock error
+    q.processAllAvailable()
+    q.stop()
     assert(replica(url) === Seq((1, Some(12)), (5, Some(50))))
   }
 }
