@@ -79,12 +79,15 @@ object ScaleProbe {
 
   /** Scale-path queries only (see the exclusion note in the object doc). */
   private val probeQueries = Vector(
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_incremental",
     "text_winnow_fingerprint", "text_tokens", "text_quality", "text_langid",
     "text_fingerprint", "text_tfidf_topk", "text_curation_pipeline",
-    "text_sample_stratified",
+    "text_sample_stratified", "text_sample_mixture", "text_ngram_topk",
+    "text_repetition", "text_pack_shards", "text_decontaminate",
+    "corpus_domain_report",
     "ann_cosine_topk", "ann_topk_by_label", "ann_lsh_histogram",
-    "ann_lsh_topk", "ann_ivf_topk", "embedding_stats")
+    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "embedding_stats", "embedding_centroids")
 
   def main(args: Array[String]): Unit = {
     val baseN = args.headOption.map(_.toLong).getOrElse(5000L)
