@@ -343,8 +343,9 @@ object Similarity {
   /** ANN via product quantization + asymmetric distance computation — the
     * third scale path next to IVF (partition pruning) and LSH (bucket
     * ring): each vector is stored as `PqM` small codes (16 bytes/vector
-    * here vs 256 bytes of floats), so the scoring pass reads codes and
-    * norms ONLY, never full vectors. Per-subspace codebooks come from
+    * here vs 256 bytes of floats), so the scoring pass reads codes ONLY,
+    * never full vectors (candidates rank by approximate inner product;
+    * the exact re-rank restores true cosine order). Per-subspace codebooks come from
     * [[lloydFit]] on the same bounded deterministic sample policy as
     * [[ivfFit]] — collected to the driver BECAUSE it is bounded; the
     * corpus-side work stays distributed. Everything downstream is ONE
@@ -422,7 +423,9 @@ object Similarity {
       .filter(col("vec_id") =!= QueryVec)
       .select(col("vec_id"), adot.as("adot"))
       .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)
-    candidates.join(corpus(s, dir), "vec_id")
+    // broadcast the CONSTANT-size candidate set: without the hint the
+    // re-rank would shuffle the corpus to sort-merge against 100 rows
+    broadcast(candidates).join(corpus(s, dir), "vec_id")
       .crossJoin(broadcast(queryRow(s, dir)))
       .withColumn("cosine", cosNative(s, col("v"), col("qv")))
       .select(col("vec_id"), col("cosine"))
@@ -471,7 +474,9 @@ object Similarity {
       .filter(col("vec_id") =!= QueryVec)
       .select(col("vec_id"), adot.as("adot"))
       .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)
-    candidates.join(corpus(s, dir), "vec_id")
+    // broadcast the CONSTANT-size candidate set: without the hint the
+    // re-rank would shuffle the corpus to sort-merge against 100 rows
+    broadcast(candidates).join(corpus(s, dir), "vec_id")
       .crossJoin(broadcast(queryRow(s, dir)))
       .withColumn("cosine", cosNative(s, col("v"), col("qv")))
       .select(col("vec_id"), col("cosine"))

@@ -464,9 +464,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      // shard of a doc = budget-bin of the tokens BEFORE it (greedy fill)
+      // shard of a doc = budget-bin of the tokens BEFORE it (greedy
+      // fill). `div` = exact integral division: the `/` operator on two
+      // longs is DOUBLE division, which only truncates identically to
+      // DuckDB's `//` while the budget stays a power of two
       .withColumn("shard",
-        ((col("cum_tokens") - col("n_tokens")) / lit(packBudget)).cast("long"))
+        expr(s"(cum_tokens - n_tokens) div $packBudget"))
       .orderBy(col("source"), col("doc_id"))
   }
 
