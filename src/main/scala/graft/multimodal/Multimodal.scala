@@ -151,10 +151,48 @@ object Multimodal {
   def multimodalDecodeStub(s: SparkSession, dir: String): DataFrame =
     decodeFeatures(s, dir).toDF().orderBy(col("doc_id"))
 
+  /** Byte budget per packed media shard (the tar/webdataset granularity). */
+  val shardBudgetBytes = 16384L
+
+  /** Shard assignment for media blobs: pack each source's blobs into
+    * fixed-byte-budget shards from a running byte total — the step that
+    * turns a blob table into webdataset-style training shards. Same
+    * deterministic prefix-sum pattern as the text packer: per-source
+    * windows run in parallel, shards never span sources, and sizes come
+    * from the METADATA column (`n_chars` — `length(blob)` would force
+    * reading every blob), so the assignment pass never moves a byte of
+    * media; column pruning keeps the blob out of the scan entirely.
+    */
+  def multimodalPackShards(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_bytes"))
+      .withColumn("cum_bytes", sum(col("n_bytes")).over(w))
+      .withColumn("shard", expr(s"(cum_bytes - n_bytes) div $shardBudgetBytes"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val multimodalPackShardsSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(n_chars AS BIGINT) AS n_bytes,
+       |    CAST(SUM(n_chars) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+       |  FROM documents)
+       |SELECT doc_id, source, n_bytes, cum_bytes,
+       |       (cum_bytes - n_bytes) // $shardBudgetBytes AS shard
+       |FROM t ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "multimodal_blob_stats" -> (multimodalBlobStats _),
-    "multimodal_decode_stub" -> (multimodalDecodeStub _))
+    "multimodal_decode_stub" -> (multimodalDecodeStub _),
+    "multimodal_pack_shards" -> (multimodalPackShards _))
 
   val oracles: Map[String, String] = Map(
-    "multimodal_blob_stats" -> multimodalBlobStatsSql)
+    "multimodal_blob_stats" -> multimodalBlobStatsSql,
+    "multimodal_pack_shards" -> multimodalPackShardsSql)
 }

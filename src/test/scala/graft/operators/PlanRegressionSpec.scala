@@ -84,6 +84,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<embedding:array<float>,label:int>"), p)
   }
 
+  test("media shard packing never reads the blob column") {
+    val p = plan(graft.multimodal.Multimodal.multimodalPackShards(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"blob/text leaked into the packing scan:\n$p")
+  }
+
   test("PQ: encode + ADC scoring fuse into projections — no aggregation at all") {
     val p = plan(Similarity.annPqTopk(spark, sf))
     // the literal-table formulation needs no explode/join/groupBy for
