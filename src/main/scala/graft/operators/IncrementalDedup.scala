@@ -52,9 +52,13 @@ object IncrementalDedup {
     val survivorsDir = s"$indexDir/survivors/$newVersion"
 
     // in-batch winners: min doc_id per fingerprint (window, not
-    // groupBy+self-join — one pass over the batch)
+    // groupBy+self-join — one pass over the batch). Null text/id rows are
+    // dropped up front: a null fingerprint has no content to dedup on,
+    // and its null bucket would land in Hive's default-partition dir,
+    // which the numeric bucket listing cannot parse.
     val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val batchFps = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"),
         TextFns.fingerprint(col("text")).as("fp"))
       .withColumn("min_doc", min(col("doc_id")).over(wFp))

@@ -136,6 +136,59 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(IncrementalDedup.snapshot(spark, dir).count() === 4)
   }
 
+  test("null text/id rows are dropped, not written to an unparseable bucket dir") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val withNulls = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "aa bb"), Row(2L, null), Row(null, "cc dd")),
+      schema)
+    val out = IncrementalDedup.ingest(spark, dir, withNulls, batchId = 0)
+      .collect().map(_.getLong(1)).toSet
+    assert(out === Set(1L))
+    // a second batch still works (no Hive default-partition dir to choke on)
+    IncrementalDedup.ingest(spark, dir, docsOf(5L -> "ee ff"), batchId = 1)
+    assert(IncrementalDedup.snapshot(spark, dir).count() === 2)
+  }
+
+  test("property: ANY batch split converges to first-batch-then-min-id winners") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalatest.prop.Configuration
+    val words = Gen.oneOf("aa", "bb", "cc")
+    val docGen = for { a <- words; b <- words } yield s"$a $b" // 9 contents
+    val corpusGen = for {
+      texts <- Gen.listOfN(12, docGen)
+      cut1 <- Gen.choose(0, texts.length)
+      cut2 <- Gen.choose(0, texts.length)
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      math.min(cut1, cut2), math.max(cut1, cut2))
+    val prop = Prop.forAll(corpusGen) { case (docs, c1, c2) =>
+      val dir = tmp()
+      val batches = Seq(docs.take(c1), docs.slice(c1, c2), docs.drop(c2))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        IncrementalDedup.ingest(spark, dir, docsOf(b: _*), batchId = i.toLong,
+          nBuckets = 4)
+      }
+      val got = IncrementalDedup.snapshot(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // reference: per content, the winner is the min doc_id of the
+      // EARLIEST batch containing it (lexicographic on (batch, doc_id))
+      val expected = docs
+        .map { case (id, t) =>
+          val batch = batches.indexWhere(_.exists(_._1 == id))
+          (t, (batch, id))
+        }
+        .groupBy(_._1).map { case (_, rows) => rows.map(_._2).min._2 }
+        .toSet
+      got.values.toSet == expected
+    }
+    val cfg = org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8)
+    val res = org.scalacheck.Test.check(cfg, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("chunked ingest equals one-shot exact dedup on the fixture corpus") {
     val sf = TestSpark.sf0001
     val got = IncrementalDedup.dedupIncremental(spark, sf)
