@@ -15,11 +15,12 @@ import graft.streaming.BucketState
   * The index is [[BucketState]] bucket-partitioned parquet
   * (`p = pmod(xxhash64(fp), nBuckets)`): an incoming batch reads only the
   * buckets its own fingerprints hash into (partition-pruned paths) and
-  * rewrites only those buckets into a fresh immutable version dir, so
-  * both I/O sides are O(batch) — at 100 TB of state a 1 GB drop touches
-  * ~every bucket but still reads just the fingerprint column store, never
-  * the corpus; at finer bucket counts a small drop prunes to a fraction
-  * of the index. The `_CURRENT` manifest rename is the single commit
+  * APPENDS one immutable segment holding only its survivors — prior
+  * segments are never rewritten (LSM-style; `BucketState.compact` folds
+  * the segment list back to one). Both I/O sides are O(batch): at 100 TB
+  * of state a 1 GB drop reads just the fingerprint column store of the
+  * touched buckets, never the corpus, and writes only its own new
+  * fingerprints. The `_CURRENT` manifest rename is the single commit
   * point; survivors are staged BEFORE it, so a crash-replay of a
   * committed batch returns the identical survivor set (guarded by the
   * recorded input fingerprint, exactly like the CDC replica's
@@ -77,7 +78,7 @@ object IncrementalDedup {
       // recorded input fingerprint proves this really is the same batch.
       BucketState.checkBatch(m, batchId, batchFp) match {
         case BucketState.AlreadyCommitted =>
-          BucketState.gcVersions(spark, indexDir, m.buckets.values.toSet)
+          BucketState.gcVersions(spark, indexDir, m.buckets.values.flatten.toSet)
         case BucketState.Proceed(physicalVersion) =>
         val prev = BucketState.readBuckets(spark, indexDir,
           m.buckets.view.filterKeys(touched).toMap,
@@ -88,22 +89,30 @@ object IncrementalDedup {
           .join(prev.select(col("fp")), Seq("fp"), "left_anti")
 
         // stage survivors FIRST (they are part of the batch's durable
-        // effect), then the merged touched buckets, then commit; natural
+        // effect), then the batch's index SEGMENT, then commit; natural
         // partitioning — a single-task coalesce would bottleneck at real
         // batch sizes
         survivors.write.mode("overwrite").parquet(survivorsDir)
-        prev.drop("p").unionByName(
-            spark.read.schema(survivorSchema).parquet(survivorsDir))
+        // append-only LSM segment: the new version dir holds ONLY this
+        // batch's survivors — prior segments are never rewritten, so the
+        // bytes written per batch are O(batch), not O(touched state).
+        // (The first formulation rewrote prev ∪ survivors per touched
+        // bucket; at K batches that is quadratic total writes — measured
+        // by graft.IngestSoak before the fix.) Read amplification grows
+        // one segment per batch until BucketState.compact folds them.
+        spark.read.schema(survivorSchema).parquet(survivorsDir)
           .withColumn("p", bucketOf(col("fp"), nBuckets))
           .repartition(col("p"))
           .write.mode("overwrite").partitionBy("p")
           .parquet(s"$indexDir/v=$physicalVersion")
 
         val outBuckets = BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
-        val next = (m.buckets -- touched) ++ outBuckets.map(_ -> physicalVersion)
+        val next = outBuckets.foldLeft(m.buckets)((acc, b) =>
+          acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + physicalVersion))
         BucketState.commitManifest(spark, indexDir, next,
           Some(newVersion -> batchFp))
-        BucketState.gcVersions(spark, indexDir, next.values.toSet + physicalVersion)
+        BucketState.gcVersions(spark, indexDir,
+          next.values.flatten.toSet + physicalVersion)
       }
     } finally batchFps.unpersist()
     spark.read.schema(survivorSchema).parquet(survivorsDir)
@@ -114,14 +123,23 @@ object IncrementalDedup {
     * guarantees above are exactly Structured Streaming's foreachBatch
     * contract (a crash between the manifest commit and the checkpoint
     * commit replays the batch; the fingerprint check makes it a no-op).
+    *
+    * `compactEvery` > 0 folds the accumulated segments back to one dir
+    * after every N batches (from the stream's own thread, so the
+    * single-writer contract holds): appends keep writes O(batch), the
+    * periodic compaction bounds read amplification at N segments per
+    * bucket — the standard LSM trade, here as an explicit knob.
     */
-  def runIngest(docs: DataFrame, indexDir: String,
-                checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+  def runIngest(docs: DataFrame, indexDir: String, checkpointDir: String,
+                compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingest(batch.sparkSession, indexDir, batch, batchId); ()
+        ingest(batch.sparkSession, indexDir, batch, batchId)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          BucketState.compact(batch.sparkSession, indexDir)
+        ()
       }
       .start()
 

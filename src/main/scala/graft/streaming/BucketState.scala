@@ -27,7 +27,7 @@ private[graft] object BucketState {
   /** Parsed `_CURRENT`: bucket → version, plus the committing batch's
     * (version, input fingerprint).
     */
-  final case class Manifest(buckets: Map[Long, Long], fp: Option[(Long, Long)])
+  final case class Manifest(buckets: Map[Long, Set[Long]], fp: Option[(Long, Long)])
 
   /** FileSystem for a path via the session's Hadoop conf — works for
     * local, HDFS, and object-store state dirs alike (java.io.File would
@@ -37,8 +37,11 @@ private[graft] object BucketState {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** `_CURRENT` manifest: one `bucket,version` line per bucket plus one
-    * `fp,version,hash` line for the committing batch. Empty = no
+  /** `_CURRENT` manifest: one `bucket,version` line per live SEGMENT
+    * (a bucket may list several — replace-merge writers like the CDC
+    * replica keep exactly one per bucket, append-only writers like the
+    * dedup index accumulate one per contributing batch, LSM-style) plus
+    * one `fp,version,hash` line for the committing batch. Empty = no
     * committed state.
     */
   def readManifest(spark: SparkSession, stateDir: String): Manifest = {
@@ -51,7 +54,8 @@ private[graft] object BucketState {
         val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .filter(_.nonEmpty).map(_.split(",")).toSeq
         Manifest(
-          lines.collect { case Array(b, v) => b.toLong -> v.toLong }.toMap,
+          lines.collect { case Array(b, v) => b.toLong -> v.toLong }
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap,
           lines.collectFirst { case Array("fp", v, h) => v.toLong -> h.toLong })
       } finally in.close()
     }
@@ -81,7 +85,7 @@ private[graft] object BucketState {
     */
   def checkBatch(m: Manifest, batchId: Long, batchFp: Long): BatchCheck = {
     val logical = batchId + 1
-    val bucketMax = m.buckets.values.reduceOption(_ max _)
+    val bucketMax = m.buckets.values.flatten.reduceOption(_ max _)
     val lastData = m.fp.map(_._1).orElse(bucketMax)
     lastData match {
       case Some(v) if v > logical =>
@@ -115,14 +119,15 @@ private[graft] object BucketState {
   final case class Proceed(physicalVersion: Long) extends BatchCheck
 
   def commitManifest(spark: SparkSession, stateDir: String,
-                     manifest: Map[Long, Long],
+                     manifest: Map[Long, Set[Long]],
                      fp: Option[(Long, Long)]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT.tmp")
     val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
     val fs = hadoopFs(spark, stateDir)
     val out = fs.create(tmp, true)
     try out.write(
-      (manifest.toSeq.sorted.map { case (b, v) => s"$b,$v" }
+      (manifest.toSeq.flatMap { case (b, vs) => vs.map(b -> _) }.sorted
+        .map { case (b, v) => s"$b,$v" }
         ++ fp.map { case (v, h) => s"fp,$v,$h" }).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     // FileContext.rename(OVERWRITE) is the atomic-replace primitive
@@ -133,18 +138,21 @@ private[graft] object BucketState {
       .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Union of each referenced version's bucket dirs, partition-pruned:
-    * group the (bucket → version) map by version, one pruned read per
-    * referenced version (bounded by nBuckets, typically 1-2 versions).
-    * `empty` supplies the schema-correct zero-state (must already carry
-    * the `p` column).
+  /** Union of each referenced segment's bucket dirs, partition-pruned:
+    * group the (bucket → segment versions) map by version, one pruned
+    * read per referenced version (bounded by segments-per-bucket ×
+    * nBuckets; replace-merge writers keep 1-2 versions live, append
+    * writers as many as batches since the last [[compact]]). `empty`
+    * supplies the schema-correct zero-state (must already carry the `p`
+    * column).
     */
   def readBuckets(spark: SparkSession, stateDir: String,
-                  manifest: Map[Long, Long], empty: => DataFrame): DataFrame = {
-    if (manifest.isEmpty) return empty
-    manifest.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, entries) =>
+                  manifest: Map[Long, Set[Long]], empty: => DataFrame): DataFrame = {
+    val pairs = manifest.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) }
+    if (pairs.isEmpty) return empty
+    pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, entries) =>
       spark.read.option("basePath", s"$stateDir/v=$v")
-        .parquet(entries.keys.toSeq.sorted.map(b => s"$stateDir/v=$v/p=$b"): _*)
+        .parquet(entries.map(_._2).sorted.map(b => s"$stateDir/v=$v/p=$b"): _*)
     }.reduce(_.unionByName(_))
   }
 
@@ -177,7 +185,7 @@ private[graft] object BucketState {
   def compact(spark: SparkSession, stateDir: String): Unit = {
     val m = readManifest(spark, stateDir)
     if (m.buckets.isEmpty) return
-    val newVersion = m.buckets.values.max + 1
+    val newVersion = m.buckets.values.flatten.max + 1
     val all = readBuckets(spark, stateDir, m.buckets,
       // non-empty manifest ⇒ the empty fallback is never consulted
       sys.error("unreachable"))
@@ -185,7 +193,7 @@ private[graft] object BucketState {
       .write.mode("overwrite").partitionBy("p")
       .parquet(s"$stateDir/v=$newVersion")
     val next = listBuckets(spark, s"$stateDir/v=$newVersion")
-      .map(_ -> newVersion).toMap
+      .map(_ -> Set(newVersion)).toMap
     commitManifest(spark, stateDir, next, m.fp)
     gcVersions(spark, stateDir, Set(newVersion))
   }

@@ -455,7 +455,7 @@ object CdcStream {
           // dirs under its own version while overwriting that very dir.
           // The audit rewrite above is idempotent; just redo the GC the
           // crash may have skipped.
-          BucketState.gcVersions(spark, stateDir, manifest.values.toSet)
+          BucketState.gcVersions(spark, stateDir, manifest.values.flatten.toSet)
           case BucketState.Proceed(newVersion) =>
         val touched = (batchBuckets :+ -1L).toSet
         val prev =
@@ -486,8 +486,8 @@ object CdcStream {
         // bucket entirely — it must drop out of the manifest, the case
         // dynamic partition overwrite silently got wrong).
         val outBuckets = listBuckets(spark, s"$stateDir/v=$newVersion")
-        val base = if (hasTruncate) Map.empty[Long, Long] else manifest
-        val next = (base -- touched) ++ outBuckets.map(_ -> newVersion)
+        val base = if (hasTruncate) Map.empty[Long, Set[Long]] else manifest
+        val next = (base -- touched) ++ outBuckets.map(_ -> Set(newVersion))
 
         // (2) THE commit point: atomic rename over _CURRENT. The fp line
         // records the LOGICAL batch version (batchId+1) — what a replay
@@ -495,7 +495,7 @@ object CdcStream {
         commitManifest(spark, stateDir, next, Some((batchId + 1) -> batchFp))
 
         // (3) GC version dirs nothing references anymore.
-        BucketState.gcVersions(spark, stateDir, next.values.toSet + newVersion)
+        BucketState.gcVersions(spark, stateDir, next.values.flatten.toSet + newVersion)
         }
         } finally batch.unpersist()
         ()
@@ -513,12 +513,12 @@ object CdcStream {
     BucketState.inputFingerprint(batch)
 
   private def commitManifest(spark: SparkSession, stateDir: String,
-                             manifest: Map[Long, Long],
+                             manifest: Map[Long, Set[Long]],
                              fp: Option[(Long, Long)]): Unit =
     BucketState.commitManifest(spark, stateDir, manifest, fp)
 
   private def readBuckets(spark: SparkSession, stateDir: String,
-                          manifest: Map[Long, Long]): DataFrame =
+                          manifest: Map[Long, Set[Long]]): DataFrame =
     BucketState.readBuckets(spark, stateDir, manifest,
       emptyState(spark).withColumn("p", lit(-1L)))
 

@@ -53,7 +53,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     IncrementalDedup.ingest(spark, dir, docsOf(100L -> "zz qq"),
       batchId = 1, nBuckets = 16)
     val m = graft.streaming.BucketState.readManifest(spark, dir).buckets
-    assert(m.values.toSet.contains(1L), "untouched buckets must still reference v=1")
+    assert(m.values.flatten.toSet.contains(1L), "untouched buckets must still reference v=1")
     val v2 = graft.streaming.BucketState.listBuckets(spark, s"$dir/v=2")
     assert(v2.nonEmpty && v2.size < m.size,
       s"v=2 must hold only the touched buckets, got ${v2.size} of ${m.size}")
@@ -104,6 +104,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(snap === Set(1L, 2L, 6L)) // doc 5 is duplicate content across batches
   }
 
+  test("runIngest compactEvery bounds segments while the stream runs") {
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("increm-autoc").toString
+    val dir = tmp(); val ckpt = tmp()
+    (0 until 4).foreach { b =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/d$b.json"),
+        s"""{"doc_id":${b + 1},"text":"w$b x$b"}""".getBytes)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = IncrementalDedup.runIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in),
+      dir, ckpt, compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    assert(IncrementalDedup.snapshot(spark, dir).count() === 4)
+    val live = graft.streaming.BucketState.readManifest(spark, dir)
+      .buckets.values.flatten.toSet
+    assert(live.size <= 2, s"segments not compacted: $live")
+  }
+
   test("compaction folds many versions into one; reads and ingest continue") {
     val dir = tmp()
     // three batches → manifest references up to three version dirs
@@ -115,14 +135,14 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
     graft.streaming.BucketState.compact(spark, dir)
     val m = graft.streaming.BucketState.readManifest(spark, dir)
-    assert(m.buckets.values.toSet.size === 1, "one live version after compaction")
+    assert(m.buckets.values.flatten.toSet.size === 1, "one live version after compaction")
     val after = IncrementalDedup.snapshot(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(after === before)
     // superseded version dirs are gone
     val vdirs = new java.io.File(dir).listFiles.map(_.getName)
       .filter(_.startsWith("v=")).toSet
-    assert(vdirs === Set(s"v=${m.buckets.values.head}"))
+    assert(vdirs === Set(s"v=${m.buckets.values.flatten.toSet.head}"))
 
     // a crash-replay of the LAST pre-compaction batch is still recognized
     // as committed (the fp line survives compaction verbatim)

@@ -294,7 +294,7 @@ class PartitionedStateSpec extends org.scalatest.funsuite.AnyFunSuite {
 
     graft.streaming.BucketState.compact(spark, s"$base/state")
     val m = graft.streaming.BucketState.readManifest(spark, s"$base/state")
-    assert(m.buckets.values.toSet.size === 1)
+    assert(m.buckets.values.flatten.toSet.size === 1)
     val snap1 = graft.streaming.CdcStream.partitionedSnapshot(spark, s"$base/state")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(snap1 === Seq((0L, 5L), (1L, 10L)))
