@@ -367,7 +367,7 @@ object Similarity {
     * with partitioning (local[4] vs local[32] would train different
     * codebooks).
     */
-  private def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+  private[graft] def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     val vecs = Tables.embeddings(s, dir)
     val n = vecs.count()
     val every = math.max(1L, n / math.max(256L * PqK, 4096L))
@@ -396,10 +396,14 @@ object Similarity {
     }
   }
 
-  /** Encode one subspace: first argmin over the literal codebook, over
-    * the `embedding` column — a map-only expression.
+  /** Encode one subspace with interpreted HOFs — the REFERENCE
+    * formulation, retained ONLY for PqEncodeParitySpec's bit-equality
+    * check against [[pqNative]]. `transform`+`aggregate`+`zip_with` are
+    * CodegenFallback in Spark 4 (per-element lambda dispatch, a k-element
+    * distance array materialized per subspace per row); production paths
+    * use the native expression.
     */
-  private def pqCodeCol(codebooks: Array[Array[Array[Double]]], j: Int) = {
+  private[graft] def pqCodeColHof(codebooks: Array[Array[Array[Double]]], j: Int) = {
     val dists = transform(typedLit(codebooks(j)), c =>
       aggregate(
         zip_with(c, slice(col("embedding"), j * PqSub + 1, PqSub).cast("array<double>"),
@@ -408,19 +412,34 @@ object Similarity {
     array_position(dists, array_min(dists)).cast("int") - 1
   }
 
+  /** Full `PqM`-code array in one fused codegen loop
+    * (graft.functions.PqEncodeExpr) — bit-identical to the HOF form
+    * (PqEncodeParitySpec) but whole-stage-codegen'd, the same escalation
+    * [[cosNative]] made for cosine.
+    */
+  private[graft] def pqNative(s: SparkSession,
+                              codebooks: Array[Array[Array[Double]]],
+                              v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.functions.PqEncodeExpr.register(s, codebooks)
+    call_function("pq_encode", v)
+  }
+
   def annPqTopk(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(s, dir)
     val codebooks = pqCodebooks(s, dir)
     val tables = pqTables(s, dir, codebooks)
 
-    // encode + ADC-score in one projection: per subspace, the code is the
-    // first argmin over the literal codebook, and its table entry joins
-    // the approximate dot sum
+    // encode once (native, one fused loop), then ADC-score: the table
+    // entry per subspace joins the approximate dot sum. Two projections —
+    // CollapseProject keeps them separate because `codes` is non-cheap
+    // and consumed PqM times; collapsing would re-encode per lookup.
     val adot = (0 until PqM).map(j =>
-      element_at(typedLit(tables(j)), pqCodeCol(codebooks, j) + 1)).reduce(_ + _)
+      element_at(typedLit(tables(j)), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
 
     val candidates = vecs
       .filter(col("vec_id") =!= QueryVec)
+      .select(col("vec_id"), pqNative(s, codebooks, col("embedding")).as("codes"))
       .select(col("vec_id"), adot.as("adot"))
       .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)
     // broadcast the CONSTANT-size candidate set: without the hint the
@@ -442,8 +461,7 @@ object Similarity {
   def writePqIndex(s: SparkSession, dir: String, out: String): Unit = {
     val codebooks = pqCodebooks(s, dir)
     Tables.embeddings(s, dir)
-      .select(col("vec_id"),
-        array((0 until PqM).map(j => pqCodeCol(codebooks, j)): _*).as("codes"))
+      .select(col("vec_id"), pqNative(s, codebooks, col("embedding")).as("codes"))
       .write.mode("overwrite").parquet(s"$out/codes")
     val rows = for {
       (cb, j) <- codebooks.zipWithIndex.toSeq

@@ -150,23 +150,26 @@ object TextAnalysis {
     * RANKING the query publishes is unchanged. Deterministic total order
     * via (score desc, term asc).
     *
-    * Plan shape: ONE corpus scan → (doc, term) count; df as a
-    * term-partitioned window count over the tf rows (a tf-derived
-    * `groupBy(term)` + join would recompute the whole tf subtree — Spark
-    * reuses exchanges, not divergent aggregates — i.e. a second full
-    * corpus explode at scale); N broadcast in-plan; doc-keyed ranking
-    * window with Spark's WindowGroupLimit pushing the top-3.
+    * Plan shape: the (doc, term, tf) frame is tokenized/exploded ONCE and
+    * materialized through the [[graft.Shared]] registry (the corpus term
+    * index — same lifecycle as the bigram frame), so df can be a plain
+    * `tf.groupBy(term).count()` joined back WITHOUT recomputing the
+    * explode (Spark reuses exchanges, not divergent aggregates — the
+    * materialization is what makes the two-consumer form safe). The
+    * groupBy form matters at scale: a term-partitioned window count would
+    * buffer one task with |docs| rows for every stopword-grade term —
+    * the textbook skewed-key killer — while partial aggregation absorbs
+    * hot terms map-side and the join's build side is one row per distinct
+    * term. N broadcast in-plan; doc-keyed ranking window with Spark's
+    * WindowGroupLimit pushing the top-3.
     */
   def textTfidfTopk(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val tf = tfRows(s, dir)
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
-    tf.withColumn("df", count(lit(1)).over(wDf))
+    tf.join(dft, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
       .withColumn("rn", row_number().over(w))
@@ -174,6 +177,19 @@ object TextAnalysis {
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"), col("score"))
       .orderBy(col("doc_id"), col("rn"))
   }
+
+  /** The corpus term index: one (doc_id, term, tf) row per distinct term
+    * per document — tokenize + explode + count ONCE, memoized through the
+    * Shared registry so every consumer (the per-doc tf side and the
+    * corpus-wide df aggregation) reads the same blocks.
+    */
+  private def tfRows(s: SparkSession, dir: String): DataFrame =
+    graft.Shared.materialize(s, dir, "tf_rows") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+    }
 
   private val textTfidfTopkSql =
     s"""$docsCte,

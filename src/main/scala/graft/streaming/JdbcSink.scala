@@ -41,6 +41,11 @@ import graft.cdc.CdcSchema
   */
 object JdbcSink {
 
+  /** Rows per `executeBatch` flush — bounds driver-side batch memory while
+    * cutting round-trips ~1000× vs per-row executeUpdate.
+    */
+  private val BatchSize = 1000
+
   /** SQL type for the narrow set of image column types the envelope
     * carries (SURVEY §1.2: int32/int64/string).
     */
@@ -144,15 +149,28 @@ object JdbcSink {
             val c = DriverManager.getConnection(url)
             try {
               val ps = c.prepareStatement(sql)
-              try rows.foreach { r =>
-                ps.setObject(1, r.getAs[Any]("key"), keyJdbc)
-                ps.setLong(2, r.getAs[Long]("pos"))
-                val after = r.getAs[org.apache.spark.sql.Row]("after")
-                valueCols.zip(valueJdbc).zipWithIndex.foreach { case ((vc, jt), i) =>
-                  val v = if (after == null) null else after.getAs[Any](vc)
-                  if (v == null) ps.setNull(3 + i, jt) else ps.setObject(3 + i, v, jt)
+              // statements accumulate into driver-side batches flushed
+              // every `BatchSize` rows: per-row executeUpdate would pay one
+              // network round-trip per key against a remote store — the
+              // reference's one-insert-per-message chattiness (main.py:45)
+              // this sink exists to replace. Upserts within one batch are
+              // distinct keys (folded is one row per key), so batch
+              // execution order cannot change the outcome.
+              var pending = 0
+              try {
+                rows.foreach { r =>
+                  ps.setObject(1, r.getAs[Any]("key"), keyJdbc)
+                  ps.setLong(2, r.getAs[Long]("pos"))
+                  val after = r.getAs[org.apache.spark.sql.Row]("after")
+                  valueCols.zip(valueJdbc).zipWithIndex.foreach { case ((vc, jt), i) =>
+                    val v = if (after == null) null else after.getAs[Any](vc)
+                    if (v == null) ps.setNull(3 + i, jt) else ps.setObject(3 + i, v, jt)
+                  }
+                  ps.addBatch()
+                  pending += 1
+                  if (pending >= BatchSize) { ps.executeBatch(); pending = 0 }
                 }
-                ps.executeUpdate()
+                if (pending > 0) ps.executeBatch()
               } finally ps.close()
             } finally c.close()
           }

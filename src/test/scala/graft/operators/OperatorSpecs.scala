@@ -273,6 +273,20 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 8)
   }
 
+  test("native pq_encode bit-matches the interpreted HOF reference") {
+    import org.apache.spark.sql.functions.{array, col}
+    val cbs = Similarity.pqCodebooks(spark, sf)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val hof = emb.select(col("vec_id"),
+      array(cbs.indices.map(j => Similarity.pqCodeColHof(cbs, j)): _*).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val native = emb.select(col("vec_id"),
+      Similarity.pqNative(spark, cbs, col("embedding")).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(native.nonEmpty && native.size === hof.size)
+    assert(native === hof)
+  }
+
   test("PQ index at rest: codes-only scoring reproduces the in-memory result") {
     val out = java.nio.file.Files.createTempDirectory("pq").toString + "/index"
     Similarity.writePqIndex(spark, sf, out)

@@ -90,6 +90,23 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"blob/text leaked into the packing scan:\n$p")
   }
 
+  test("tf-idf: no Window partitioned on term (df comes from a partial-agg groupBy)") {
+    val df = TextAnalysis.textTfidfTopk(spark, sf)
+    // a term-partitioned window buffers |docs| rows in one task for a
+    // stopword-grade term; df must come from groupBy(term) so partial
+    // aggregation absorbs hot terms map-side
+    // AQE wraps the physical plan, hiding its children from collect —
+    // assert on the optimized logical plan, which has the same property
+    val parts = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.toString)
+      case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+        w.partitionSpec.map(_.toString)
+    }.flatten
+    assert(parts.nonEmpty && parts.forall(e => !e.contains("term")), parts.toString)
+    assert(plan(df).contains("partial_count"), plan(df).take(3000))
+  }
+
   test("PQ: encode + ADC scoring fuse into projections — no aggregation at all") {
     val p = plan(Similarity.annPqTopk(spark, sf))
     // the literal-table formulation needs no explode/join/groupBy for
@@ -97,5 +114,9 @@ class PlanRegressionSpec extends AnyFunSuite {
     // regressed to the exploded join form
     assert(!p.contains("HashAggregate"), p.take(4000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the encode must be the native codegen expression, not the
+    // interpreted HOF chain (CodegenFallback) it replaced
+    assert(p.contains("pq_encode"), p.take(4000))
+    assert(!p.contains("zip_with"), p.take(4000))
   }
 }
