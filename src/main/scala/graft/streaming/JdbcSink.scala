@@ -149,8 +149,9 @@ object JdbcSink {
             val c = DriverManager.getConnection(url)
             try {
               val ps = c.prepareStatement(sql)
-              // statements accumulate into driver-side batches flushed
-              // every `BatchSize` rows: per-row executeUpdate would pay one
+              // statements accumulate into client-side JDBC batches (per
+              // partition connection, on the executor) flushed every
+              // `BatchSize` rows: per-row executeUpdate would pay one
               // network round-trip per key against a remote store — the
               // reference's one-insert-per-message chattiness (main.py:45)
               // this sink exists to replace. Upserts within one batch are
@@ -168,9 +169,10 @@ object JdbcSink {
                   }
                   ps.addBatch()
                   pending += 1
-                  if (pending >= BatchSize) { ps.executeBatch(); pending = 0 }
+                  if (pending >= BatchSize) { val _ = ps.executeBatch(); pending = 0 }
                 }
-                if (pending > 0) ps.executeBatch()
+                if (pending > 0) { val _ = ps.executeBatch() }
+                ()
               } finally ps.close()
             } finally c.close()
           }
