@@ -21,15 +21,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * over a referenced `double[]` codebook — no allocation besides the
   * output codes array, no virtual calls.
   *
-  * Semantics are bit-identical to the HOF form by construction (asserted
-  * by PqEncodeParitySpec over the real corpus):
+  * Semantics match the HOF form bit-for-bit on full-length vectors
+  * (asserted by the parity spec over the real corpus):
   *  - per-codeword distance is the SEQUENTIAL IEEE sum of squared diffs in
   *    index order (the `aggregate` fold order);
   *  - argmin is first-wins on ties (`array_position` returns the FIRST
   *    index equal to `array_min`; the `<` comparison below keeps the
   *    earliest minimum);
+  *  - a NaN distance (NaN embedding element) sorts ABOVE every finite
+  *    distance, as `array_min` orders it — the argmin guard explicitly
+  *    escapes a NaN running-best so a finite later codeword still wins;
   *  - float inputs are widened element-wise (exact, float ⊂ double) the
   *    way `cast(array<float> as array<double>)` does.
+  *
+  * DELIBERATE divergence from the HOF form: a too-short (truncated) input
+  * returns a whole-null code array here, where zip_with null-padding makes
+  * the HOF form emit per-subspace null ELEMENTS. Whole-null is the safer
+  * index behavior (a truncated vector has no meaningful code at all); the
+  * parity spec pins the divergence explicitly.
   *
   * The codebook rides in the case class as a structurally-comparable
   * `IndexedSeq` (flattened [m][k][sub] row-major) so expression equality /
@@ -85,7 +94,14 @@ case class PqEncodeExpr(child: Expression, flat: IndexedSeq[Double],
             d += diff * diff
             i += 1
           }
-          if (c == 0 || d < bd) { bd = d; best = c }
+          // NaN-safe argmin: a NaN distance (NaN embedding element) must
+          // never lock out later finite codewords — `d < NaN` is false for
+          // every d, so without the third clause best would stick at the
+          // first codeword. HOF `array_min` orders NaN above every finite
+          // double; this matches it.
+          if (c == 0 || d < bd || (java.lang.Double.isNaN(bd) && !java.lang.Double.isNaN(d))) {
+            bd = d; best = c
+          }
           c += 1
         }
         codes(j) = best
@@ -117,7 +133,9 @@ case class PqEncodeExpr(child: Expression, flat: IndexedSeq[Double],
          |        double $diff = $cb[($j * $k + $c) * $sub + $i] - $xi;
          |        $d += $diff * $diff;
          |      }
-         |      if ($c == 0 || $d < $bd) { $bd = $d; $best = $c; }
+         |      if ($c == 0 || $d < $bd || (Double.isNaN($bd) && !Double.isNaN($d))) {
+         |        $bd = $d; $best = $c;
+         |      }
          |    }
          |    $codes[$j] = $best;
          |  }
@@ -134,17 +152,32 @@ case class PqEncodeExpr(child: Expression, flat: IndexedSeq[Double],
 object PqEncodeExpr {
   /** Register `pq_encode(array<float|double>) -> array<int>` for THIS
     * codebook in the session registry (the codebook is driver-trained
-    * state, not SQL-expressible — the closure carries it). DataFrames are
-    * analyzed eagerly, so a later registration for a different corpus
-    * cannot re-bind an already-built plan.
+    * state, not SQL-expressible — the closure carries it), and return the
+    * codebook-unique registry name the caller should `call_function` with.
+    *
+    * Two names are registered: a content-hashed `pq_encode_<h>` — so two
+    * threads building PQ queries for DIFFERENT corpora on one session can
+    * interleave register→analyze without binding the wrong codebook — and
+    * the plain `pq_encode` alias for SQL text, which keeps
+    * last-registration-wins semantics (DataFrames are analyzed eagerly, so
+    * a later registration never re-binds an already-built plan; the hashed
+    * name removes the build-time window too).
     */
-  def register(spark: SparkSession, codebooks: Array[Array[Array[Double]]]): Unit = {
+  def register(spark: SparkSession, codebooks: Array[Array[Array[Double]]]): String = {
     val m = codebooks.length
     val k = codebooks(0).length
     val sub = codebooks(0)(0).length
     val flat: IndexedSeq[Double] =
       codebooks.flatMap(_.flatMap(_.toIndexedSeq)).toIndexedSeq
+    val builder = (exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), flat, m, k, sub)
+    // content hash of the flat codebook: stable within and across JVMs
+    // (MurmurHash3 over the element sequence), so a re-fit of the SAME
+    // codebook reuses its name
+    val unique = f"pq_encode_${scala.util.hashing.MurmurHash3.orderedHash(flat) & 0x7fffffff}%08x"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_encode", exprs => PqEncodeExpr(exprs(0), flat, m, k, sub), "scala_udf")
+      unique, builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", builder, "scala_udf")
+    unique
   }
 }

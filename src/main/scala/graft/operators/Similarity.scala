@@ -420,8 +420,9 @@ object Similarity {
   private[graft] def pqNative(s: SparkSession,
                               codebooks: Array[Array[Array[Double]]],
                               v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    graft.functions.PqEncodeExpr.register(s, codebooks)
-    call_function("pq_encode", v)
+    // call through the codebook-unique name: concurrent builders for
+    // different corpora on one session cannot cross-bind codebooks
+    call_function(graft.functions.PqEncodeExpr.register(s, codebooks), v)
   }
 
   def annPqTopk(s: SparkSession, dir: String): DataFrame = {

@@ -306,6 +306,40 @@ class PqSpec extends AnyFunSuite {
     info(s"codes=${codesB}B embeddings=${vecsB}B")
     assert(codesB < vecsB / 2)
   }
+
+  test("NaN codeword distance never locks the argmin (parity with HOF)") {
+    import org.apache.spark.sql.functions.{array, col}
+    // degenerate codebook: codeword 0 of subspace 0 is all-NaN (what an
+    // empty Lloyd's cluster would produce). `d < NaN` is false for every
+    // finite d, so an unguarded argmin would stick at best=0; HOF
+    // array_min orders NaN above every finite double and picks the
+    // finite minimum. Both formulations must agree.
+    val cbs = Array.tabulate(16, 16, 4) { (j, c, i) =>
+      if (j == 0 && c == 0) Double.NaN else (j + c + i).toDouble
+    }
+    import spark.implicits._
+    val emb = Seq((1L, Array.tabulate(64)(i => i.toFloat / 64)))
+      .toDF("vec_id", "embedding")
+    val hof = emb.select(array(cbs.indices.map(j =>
+      Similarity.pqCodeColHof(cbs, j)): _*).as("codes"))
+      .collect()(0).getSeq[Int](0).toList
+    val native = emb.select(
+      Similarity.pqNative(spark, cbs, col("embedding")).as("codes"))
+      .collect()(0).getSeq[Int](0).toList
+    assert(native === hof)
+    assert(native.head != 0) // the NaN codeword lost to a finite one
+  }
+
+  test("too-short input: native yields whole-null codes (deliberate " +
+    "divergence from HOF's per-subspace null elements)") {
+    import org.apache.spark.sql.functions.col
+    val cbs = Similarity.pqCodebooks(spark, sf)
+    import spark.implicits._
+    val short = Seq((1L, Array.tabulate(32)(_.toFloat))).toDF("vec_id", "embedding")
+    val row = short.select(
+      Similarity.pqNative(spark, cbs, col("embedding")).as("codes")).collect()(0)
+    assert(row.isNullAt(0))
+  }
 }
 
 /** Winnowing fingerprints: near-dups overlap heavily, unrelated docs don't. */
