@@ -62,7 +62,12 @@ object CdcQueries {
     "cdc_snapshot_wide" -> ((s, d) =>
       // The spec-parameterized fold over a 4-column mixed-type table —
       // same operator, different CdcTableSpec, natural output types.
-      CdcApply.snapshotFor(Changelog.syntheticWide(s, d), CdcSchema.wideSpec)))
+      CdcApply.snapshotFor(Changelog.syntheticWide(s, d), CdcSchema.wideSpec)),
+    "cdc_snapshot_evolved" -> ((s, d) =>
+      // Schema-change APPLICATION end-to-end: wire-format JSON with a
+      // mid-stream ADD COLUMN; the captured DDL evolves the spec and the
+      // one-parse/one-fold pipeline emits the widened snapshot.
+      SchemaEvolution.snapshotEvolved(Changelog.syntheticEvolvedJson(s, d))))
 
   private val cte = Changelog.oracleEventsCte
 
@@ -143,6 +148,17 @@ object CdcQueries {
         |  FROM live)
         |SELECT key AS order_id, inv AS invoice_number, amount, status
         |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin,
+    "cdc_snapshot_evolved" ->
+      s"""$cte, hddl AS (
+         |  SELECT (CAST(MAX(k) AS BIGINT) * 10) // 2 AS hp FROM base),
+         |ranked AS (
+         |  SELECT key, a_inv, is_del, pos,
+         |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos DESC) AS rn
+         |  FROM live)
+         |SELECT key AS order_id, a_inv AS invoice_number,
+         |       CASE WHEN pos > (SELECT hp FROM hddl)
+         |            THEN 'r' || CAST(key % 3 AS VARCHAR) END AS region
+         |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin,
     "cdc_consistency_diff" ->
       s"""$cte, ranked AS (
          |  SELECT key, a_inv, is_del,

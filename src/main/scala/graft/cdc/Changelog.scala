@@ -256,6 +256,83 @@ object Changelog {
       .withColumn("ts_ms", lit(1700000000000L) + col("pos"))
   }
 
+  /** [[synthetic]] re-emitted as WIRE-FORMAT envelope JSON with one
+    * mid-stream DDL event — the fixture for schema-change application
+    * ([[SchemaEvolution]]). Deterministic like [[synthetic]] so the DuckDB
+    * oracle recomputes the widened snapshot relationally.
+    *
+    * Producer-upgrade model: the DDL `ALTER TABLE invoice ADD COLUMN
+    * region VARCHAR(16)` lands at pos H = (max(k)*10) div 2; envelopes
+    * with pos > H carry `region = 'r' || (k % 3)` in their after-image,
+    * envelopes at-or-before H predate the column (to_json drops null
+    * fields, so their JSON genuinely lacks the key — the old wire shape,
+    * not a null-valued field). The evolved snapshot therefore shows
+    * region for keys whose LAST surviving event is post-DDL and null for
+    * rows never rewritten since — MySQL's nullable-ADD-COLUMN backfill.
+    *
+    * One JSON-serialization pass over the same narrow branches as
+    * [[synthetic]]; the DDL row is a 1-row aggregate, unioned in.
+    */
+  def syntheticEvolvedJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey").cast("int").as("k"),
+        (col("o_custkey") % 100000).cast("int").as("v"))
+    val hp = base.agg(expr("(max(cast(k as bigint)) * 10) div 2").as("hp"))
+
+    def img(id: org.apache.spark.sql.Column, inv: org.apache.spark.sql.Column,
+            pos: org.apache.spark.sql.Column) =
+      struct(id.as("order_id"), inv.as("invoice_number"),
+        when(pos > col("hp"), concat(lit("r"), (col("k") % 3).cast("string")))
+          .otherwise(lit(null).cast("string")).as("region"))
+    val evolvedNull = lit(null).cast(org.apache.spark.sql.types.StructType(
+      CdcSchema.invoiceType.fields :+ org.apache.spark.sql.types.StructField(
+        "region", org.apache.spark.sql.types.StringType)))
+
+    def envelope(pos: org.apache.spark.sql.Column, op: String,
+                 before: org.apache.spark.sql.Column,
+                 after: org.apache.spark.sql.Column) =
+      to_json(struct(struct(
+        before.as("before"), after.as("after"),
+        struct((lit(1700000000000L) + pos).as("ts_ms"), pos.as("pos"),
+          lit("dev").as("db"), lit("invoice").as("table")).as("source"),
+        lit(op).as("op"), (lit(1700000000000L) + pos).as("ts_ms")).as("payload")))
+
+    val withH = base.crossJoin(broadcast(hp))
+    def posC(o: Int) = col("k").cast("long") * 10 + o
+    val inserts = withH.select(
+      envelope(posC(1), "c", evolvedNull, img(col("k"), col("v"), posC(1))).as("value"))
+    val updates1 = withH.filter(col("k") % 3 === 0).select(
+      envelope(posC(2), "u", img(col("k"), col("v"), posC(1)),
+        img(col("k"), col("v") + 1000, posC(2))).as("value"))
+    val updates2 = withH.filter(col("k") % 9 === 0).select(
+      envelope(posC(3), "u", img(col("k"), col("v") + 1000, posC(2)),
+        img(col("k"), col("v") + 2000, posC(3))).as("value"))
+    val lastInv = when(col("k") % 9 === 0, col("v") + 2000)
+      .when(col("k") % 3 === 0, col("v") + 1000)
+      .otherwise(col("v"))
+    val deletes = withH.filter(col("k") % 7 === 0).select(
+      envelope(posC(4), "d", img(col("k"), lastInv, posC(4)), evolvedNull).as("value"))
+    val truncates = base.agg(max(col("k").cast("long")).as("mk"))
+      .select(expr("(mk * 10) div 4").as("pos"))
+      .select(to_json(struct(struct(
+        struct((lit(1700000000000L) + col("pos")).as("ts_ms"), col("pos").as("pos"),
+          lit("dev").as("db"), lit("invoice").as("table")).as("source"),
+        lit("t").as("op"),
+        (lit(1700000000000L) + col("pos")).as("ts_ms")).as("payload"))).as("value"))
+    val ddl = hp
+      .select(to_json(struct(struct(
+        struct((lit(1700000000000L) + col("hp")).as("ts_ms"),
+          col("hp").as("pos")).as("source"),
+        (lit(1700000000000L) + col("hp")).as("ts_ms"),
+        lit("dev").as("databaseName"),
+        lit("ALTER TABLE invoice ADD COLUMN region VARCHAR(16)").as("ddl"))
+        .as("payload"))).as("value"))
+
+    inserts.unionByName(updates1).unionByName(updates2)
+      .unionByName(deletes).unionByName(truncates).unionByName(ddl)
+  }
+
   /** [[synthetic]] as a shared materialization: the `cdc_*` family all
     * fold over the same deterministic changelog, so the generator runs
     * once per (session, sfDir) and every query reads the checkpointed

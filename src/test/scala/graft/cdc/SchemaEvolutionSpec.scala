@@ -53,6 +53,64 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(snap.toSeq === Seq((5L, 51L)))
   }
 
+  test("ADD COLUMN DDL parses to evolved spec + image type; non-ADD DDL is inert") {
+    import org.apache.spark.sql.types._
+    val fields = SchemaEvolution.addedColumns(
+      "ALTER TABLE `invoice` ADD COLUMN `region` VARCHAR(16), ADD amount BIGINT, ADD n INT")
+    assert(fields === Seq(
+      StructField("region", StringType), StructField("amount", LongType),
+      StructField("n", IntegerType)))
+    assert(SchemaEvolution.addedColumns("CREATE TABLE invoice (order_id INT)") === Seq.empty)
+    assert(SchemaEvolution.addedColumns("DROP INDEX idx ON invoice") === Seq.empty)
+    assert(SchemaEvolution.addedColumns(null) === Seq.empty)
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.addedColumns("ALTER TABLE t ADD COLUMN b BLOB")
+    }
+    val (spec, ty) = SchemaEvolution.evolve(CdcSchema.invoiceSpec,
+      CdcSchema.invoiceType,
+      Seq("ALTER TABLE invoice ADD COLUMN region VARCHAR(16)",
+        "ALTER TABLE invoice ADD COLUMN region VARCHAR(16)")) // replayed: idempotent
+    assert(spec.valueCols === Seq("invoice_number", "region"))
+    assert(ty.fieldNames.toSeq === Seq("order_id", "invoice_number", "region"))
+  }
+
+  test("mid-stream ADD COLUMN widens the snapshot; pre-DDL rows null-fill") {
+    def raw(lines: Seq[String]) =
+      spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val stream = Seq(
+      // pre-DDL inserts (old wire shape: no region key at all)
+      """{"payload":{"after":{"order_id":1,"invoice_number":10},"source":{"pos":1}}}""",
+      """{"payload":{"after":{"order_id":2,"invoice_number":20},"source":{"pos":2}}}""",
+      // the DDL lands
+      """{"payload":{"source":{"pos":5},"ts_ms":5,"databaseName":"dev","ddl":"ALTER TABLE invoice ADD COLUMN region VARCHAR(16)"}}""",
+      // post-DDL: key 1 rewritten with the new column; key 2 untouched
+      """{"payload":{"before":{"order_id":1,"invoice_number":10,"region":null},"after":{"order_id":1,"invoice_number":11,"region":"emea"},"source":{"pos":6}}}""")
+    val snap = SchemaEvolution.snapshotEvolved(raw(stream))
+    assert(snap.columns.toSeq === Seq("order_id", "invoice_number", "region"))
+    val rows = snap.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getAs[String]("region")))
+    assert(rows.toSeq === Seq((1, 11, "emea"), (2, 20, null)))
+  }
+
+  test("evolution survives the full replay ladder: delete + truncate after DDL") {
+    def raw(lines: Seq[String]) =
+      spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val stream = Seq(
+      """{"payload":{"after":{"order_id":1,"invoice_number":10},"source":{"pos":1}}}""",
+      """{"payload":{"after":{"order_id":2,"invoice_number":20},"source":{"pos":2}}}""",
+      """{"payload":{"after":{"order_id":3,"invoice_number":30},"source":{"pos":3}}}""",
+      """{"payload":{"source":{"pos":4},"databaseName":"dev","ddl":"ALTER TABLE invoice ADD COLUMN region VARCHAR(16)"}}""",
+      // truncate erases everything at-or-below pos 5 (keys 1..3)
+      """{"payload":{"source":{"pos":5},"op":"t"}}""",
+      """{"payload":{"after":{"order_id":4,"invoice_number":40,"region":"apac"},"source":{"pos":6}}}""",
+      """{"payload":{"before":{"order_id":4,"invoice_number":40,"region":"apac"},"source":{"pos":7}}}""",
+      """{"payload":{"after":{"order_id":5,"invoice_number":50,"region":"amer"},"source":{"pos":8}}}""")
+    val snap = SchemaEvolution.snapshotEvolved(raw(stream)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getAs[String]("region")))
+    // 1-3 truncated, 4 deleted post-DDL: only 5 survives, widened
+    assert(snap.toSeq === Seq((5, 50, "amer")))
+  }
+
   test("full-schema envelopes (embedded Connect schema block) parse identically") {
     // the wire's ~90%-dead-weight `schema` sibling is pruned by omission
     val withSchemaBlock =
