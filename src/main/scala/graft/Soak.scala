@@ -14,6 +14,34 @@ import org.apache.spark.sql.functions._
   * Usage: `graft.Soak [nKeys] [workDir]` — ~1.6 envelopes per key.
   */
 object Soak {
+
+  /** The soak workload as envelope-JSON lines (one column `value`):
+    * insert every key, update k%3, second update k%9, delete k%7 — the
+    * reference sequencer's op mix at scale, no RNG. Shared with
+    * [[JdbcSoak]] so both soaks measure the same stream.
+    */
+  def envelopeLines(spark: SparkSession, nKeys: Int): org.apache.spark.sql.DataFrame = {
+    def env(pos: org.apache.spark.sql.Column, before: org.apache.spark.sql.Column,
+            after: org.apache.spark.sql.Column) =
+      format_string(
+        """{"payload":{"before":%s,"after":%s,"source":{"ts_ms":%d,"pos":%d,"db":"dev","table":"invoice"},"op":"x","ts_ms":%d}}""",
+        before, after, pos + 1000L, pos, pos + 1000L)
+    def img(k: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      format_string("""{"order_id":%d,"invoice_number":%d}""", k, v)
+    val ks = spark.range(nKeys).select(col("id").cast("int").as("k"))
+    val nullS = lit("null")
+    ks.select(env(col("k").cast("long") * 5 + 1, nullS, img(col("k"), col("k") % 1000)).as("value"))
+      .unionByName(ks.filter(col("k") % 3 === 0).select(
+        env(col("k").cast("long") * 5 + 2, img(col("k"), col("k") % 1000),
+          img(col("k"), col("k") % 1000 + 1)).as("value")))
+      .unionByName(ks.filter(col("k") % 9 === 0).select(
+        env(col("k").cast("long") * 5 + 3, img(col("k"), col("k") % 1000 + 1),
+          img(col("k"), col("k") % 1000 + 2)).as("value")))
+      .unionByName(ks.filter(col("k") % 7 === 0).select(
+        env(col("k").cast("long") * 5 + 4, img(col("k"), col("k") % 1000),
+          nullS).as("value")))
+  }
+
   def main(args: Array[String]): Unit = {
     val nKeys = args.headOption.map(_.toInt).getOrElse(600000)
     val base = args.lift(1).getOrElse(
@@ -30,28 +58,9 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // Deterministic workload over nKeys keys (~1.6 envelopes/key):
-    // insert every key, update k%3, second update k%9, delete k%7 —
-    // the reference sequencer's op mix at scale, no RNG.
-    def env(pos: org.apache.spark.sql.Column, before: org.apache.spark.sql.Column,
-            after: org.apache.spark.sql.Column) =
-      format_string(
-        """{"payload":{"before":%s,"after":%s,"source":{"ts_ms":%d,"pos":%d,"db":"dev","table":"invoice"},"op":"x","ts_ms":%d}}""",
-        before, after, pos + 1000L, pos, pos + 1000L)
-    def img(k: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
-      format_string("""{"order_id":%d,"invoice_number":%d}""", k, v)
-    val ks = spark.range(nKeys).select(col("id").cast("int").as("k"))
-    val nullS = lit("null")
-    val lines = ks.select(env(col("k").cast("long") * 5 + 1, nullS, img(col("k"), col("k") % 1000)).as("value"))
-      .unionByName(ks.filter(col("k") % 3 === 0).select(
-        env(col("k").cast("long") * 5 + 2, img(col("k"), col("k") % 1000),
-          img(col("k"), col("k") % 1000 + 1)).as("value")))
-      .unionByName(ks.filter(col("k") % 9 === 0).select(
-        env(col("k").cast("long") * 5 + 3, img(col("k"), col("k") % 1000 + 1),
-          img(col("k"), col("k") % 1000 + 2)).as("value")))
-      .unionByName(ks.filter(col("k") % 7 === 0).select(
-        env(col("k").cast("long") * 5 + 4, img(col("k"), col("k") % 1000),
-          nullS).as("value")))
+    // Deterministic workload over nKeys keys (~1.6 envelopes/key); see
+    // [[envelopeLines]].
+    val lines = envelopeLines(spark, nKeys)
     val in = s"$base/in"
     lines.repartition(10).write.mode("overwrite").text(in)
     val nEnvelopes = spark.read.text(in).count()

@@ -41,10 +41,12 @@ import graft.cdc.CdcSchema
   */
 object JdbcSink {
 
-  /** Rows per `executeBatch` flush — bounds driver-side batch memory while
-    * cutting round-trips ~1000× vs per-row executeUpdate.
+  /** Default rows per `executeBatch` flush — bounds per-connection batch
+    * memory while cutting round-trips ~1000× vs per-row executeUpdate.
+    * `JdbcSoak` measures the difference by passing 1 (the reference's
+    * one-statement-per-message chattiness) vs this.
     */
-  private val BatchSize = 1000
+  val DefaultBatchSize = 1000
 
   /** SQL type for the narrow set of image column types the envelope
     * carries (SURVEY §1.2: int32/int64/string).
@@ -109,7 +111,9 @@ object JdbcSink {
     */
   def applyBatch(batch: DataFrame, url: String, table: String,
                  spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
-                 numPartitions: Int = 8): Unit = {
+                 numPartitions: Int = 8,
+                 batchSize: Int = DefaultBatchSize): Unit = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val spark = batch.sparkSession
     val imageType = batch.schema("after").dataType.asInstanceOf[StructType]
     val keyJdbc = jdbcType(imageType(spec.key).dataType)
@@ -151,7 +155,7 @@ object JdbcSink {
               val ps = c.prepareStatement(sql)
               // statements accumulate into client-side JDBC batches (per
               // partition connection, on the executor) flushed every
-              // `BatchSize` rows: per-row executeUpdate would pay one
+              // `batchSize` rows: per-row executeUpdate would pay one
               // network round-trip per key against a remote store — the
               // reference's one-insert-per-message chattiness (main.py:45)
               // this sink exists to replace. Upserts within one batch are
@@ -169,7 +173,7 @@ object JdbcSink {
                   }
                   ps.addBatch()
                   pending += 1
-                  if (pending >= BatchSize) { val _ = ps.executeBatch(); pending = 0 }
+                  if (pending >= batchSize) { val _ = ps.executeBatch(); pending = 0 }
                 }
                 if (pending > 0) { val _ = ps.executeBatch() }
                 ()
@@ -186,6 +190,7 @@ object JdbcSink {
     */
   def foreachBatchWriter(url: String, table: String,
                          spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
-                         numPartitions: Int = 8): (DataFrame, Long) => Unit =
-    (batch, _) => applyBatch(batch, url, table, spec, numPartitions)
+                         numPartitions: Int = 8,
+                         batchSize: Int = DefaultBatchSize): (DataFrame, Long) => Unit =
+    (batch, _) => applyBatch(batch, url, table, spec, numPartitions, batchSize)
 }

@@ -94,6 +94,21 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(replica(reversed) === expected)
   }
 
+  test("batchSize=1 (per-row statements) and batched mode produce identical replicas") {
+    assume(driverAvailable, "duckdb jdbc driver not on test classpath")
+    val events = (1 to 50).map { i =>
+      val key = i % 13
+      if (i % 6 == 0) env(s"""{"order_id":$key,"invoice_number":${i * 10}}""", "null", "d", i)
+      else env("null", s"""{"order_id":$key,"invoice_number":${i * 10}}""", "c", i)
+    }
+    val perRow = freshDb(); val batched = freshDb()
+    events.grouped(25).foreach { b =>
+      JdbcSink.applyBatch(batchOf(b: _*), perRow, "invoice", batchSize = 1)
+      JdbcSink.applyBatch(batchOf(b: _*), batched, "invoice", batchSize = 1000)
+    }
+    assert(replica(perRow) === replica(batched) && replica(perRow).nonEmpty)
+  }
+
   test("JDBC replica equals the parquet-state fold on identical input") {
     assume(driverAvailable, "duckdb jdbc driver not on test classpath")
     // deterministic mixed workload: inserts, overwrites, deletes, one
