@@ -17,14 +17,15 @@ import org.apache.spark.sql.functions._
   * index grows — the O(batch), never O(state), claim measured rather
   * than argued.
   *
-  * Usage: `graft.IngestSoak [nDocs] [nBatches] [workDir]`.
+  * Usage: `graft.IngestSoak [nDocs] [nBatches] [workDir] [compactEvery]`.
   */
 object IngestSoak {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(100000L)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(8)
-    val base = args.lift(2).getOrElse(
+    val base = args.lift(2).filter(_.nonEmpty).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-ingest-soak").toString)
+    val compactEvery = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -56,7 +57,7 @@ object IngestSoak {
         .schema(corpus.schema)
         .option("maxFilesPerTrigger", 1) // one drop per micro-batch
         .parquet(s"$base/drops/d*"),
-      indexDir, s"$base/ckpt")
+      indexDir, s"$base/ckpt", compactEvery = compactEvery)
     q.processAllAvailable(); q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
 
@@ -66,13 +67,17 @@ object IngestSoak {
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
     val diff = admitted.exceptAll(expected).count() +
       expected.exceptAll(admitted).count()
-    val versions = streaming.BucketState
-      .readManifest(spark, indexDir).buckets.values.flatten.toSet.size
+    val buckets = streaming.BucketState.readManifest(spark, indexDir).buckets
+    val versions = buckets.values.flatten.toSet.size
+    // read amplification: segments a snapshot/anti-join must merge per
+    // bucket — the quantity compactEvery exists to bound
+    val maxSegs = if (buckets.isEmpty) 0 else buckets.values.map(_.size).max
     println(s"""{"metric":"ingest_soak","docs":$nDocs,"batches":$nBatches,""" +
+      s""""compact_every":$compactEvery,""" +
       s""""sec":${math.round(sec * 1000) / 1000.0},""" +
       s""""docs_per_sec":${math.round(nDocs / sec)},""" +
       s""""admitted":${admitted.count()},"snapshot_diff":$diff,""" +
-      s""""live_versions":$versions}""")
+      s""""live_versions":$versions,"max_segments_per_bucket":$maxSegs}""")
     spark.stop()
   }
 

@@ -25,7 +25,7 @@ object JdbcSoak {
   def main(args: Array[String]): Unit = {
     val nKeys = args.headOption.map(_.toInt).getOrElse(100000)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(8)
-    val base = args.lift(2).getOrElse(
+    val base = args.lift(2).filter(_.nonEmpty).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-jdbc-soak").toString)
     try Class.forName("org.duckdb.DuckDBDriver")
     catch { case _: ClassNotFoundException =>

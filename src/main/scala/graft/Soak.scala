@@ -44,7 +44,7 @@ object Soak {
 
   def main(args: Array[String]): Unit = {
     val nKeys = args.headOption.map(_.toInt).getOrElse(600000)
-    val base = args.lift(1).getOrElse(
+    val base = args.lift(1).filter(_.nonEmpty).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-soak").toString)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
