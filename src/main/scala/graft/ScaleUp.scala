@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derive an sf1-equivalent dataset from the driver's sf0.1 parquet for a
+  * full-engine scale step (the driver only ships sf ≤ 0.1).
+  *
+  * Fact tables are replicated `factor`× with DISJOINT key ranges — every
+  * key column is shifted by `rep * shift` with per-entity shift constants
+  * comfortably above the sf0.1 domains, so FK joins stay consistent
+  * (replica i's lineitem joins replica i's orders/part/supplier, etc.)
+  * and keyed cardinalities scale linearly, like a real TPC-H scale-up.
+  * `region`/`nation` stay fixed (they are scale-invariant in TPC-H too).
+  * Dates, prices, and timestamps are kept: 10× events in the same time
+  * range is the realistic densification, and windowed queries keep their
+  * selectivity.
+  *
+  * `documents`/`embeddings` are NOT replicated verbatim — copying a corpus
+  * k× turns every duplicate cluster into a k×-sized cross-copy clique and
+  * inflates near-dup pair counts quadratically, destroying the linearity
+  * the dedup ladder is being measured FOR. They are re-generated at 10×
+  * size with the ScaleProbe generator (same statistics as the driver
+  * tables, bounded dup clusters ⇒ linear pair growth).
+  *
+  * Usage: `graft.ScaleUp [srcDir] [outDir] [factor]`
+  * (defaults /root/testdata/sf0.1 → /tmp/graft_sf1 ×10), then
+  * `SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 … graft.Bench`.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.filter(_.nonEmpty).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).filter(_.nonEmpty).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // key-shift constants: > any sf0.1 key domain, round for debuggability
+    val OK = 10000000L  // o_orderkey / l_orderkey (sf0.1 max 6e5)
+    val CK = 1000000L   // c_custkey / o_custkey
+    val SK = 1000000L   // s_suppkey / l_suppkey
+    val PK = 1000000L   // p_partkey / l_partkey
+    val EK = 1000000000L // event_id
+    val UK = 1000000L   // user_id
+
+    val reps = broadcast(spark.range(factor).select(col("id").as("rep")))
+    def rq(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scale-up] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+    def scaled(t: String, shifts: (String, Long)*): DataFrame = {
+      val base = rq(t)
+      val shifted = shifts.foldLeft(base.crossJoin(reps)) { case (df, (c, s)) =>
+        df.withColumn(c, (col(c).cast("long") + col("rep") * s).cast(base.schema(c).dataType))
+      }
+      shifted.drop("rep")
+    }
+
+    write(rq("region"), "region")
+    write(rq("nation"), "nation")
+    write(scaled("customer", "c_custkey" -> CK), "customer")
+    write(scaled("supplier", "s_suppkey" -> SK), "supplier")
+    write(scaled("part", "p_partkey" -> PK), "part")
+    write(scaled("orders", "o_orderkey" -> OK, "o_custkey" -> CK), "orders")
+    write(scaled("lineitem", "l_orderkey" -> OK, "l_partkey" -> PK,
+      "l_suppkey" -> SK), "lineitem")
+    // events.ts is TIMESTAMP(NANOS), unreadable natively (see
+    // Tables.events); read it as long nanos and write it back as plain
+    // int64 — Tables.events' ns→µs rebuild works identically on either
+    // physical shape.
+    locally {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      spark.conf.set(key, "true")
+      try {
+        val ev = rq("events").crossJoin(reps)
+          .withColumn("event_id", col("event_id") + col("rep") * EK)
+          .withColumn("user_id", col("user_id") + col("rep") * UK)
+          .drop("rep")
+        write(ev, "events")
+      } finally spark.conf.unset(key)
+    }
+
+    val nDocs = rq("documents").count() * factor
+    val nVecs = rq("embeddings").count() * factor
+    ScaleProbe.writeDocuments(spark, out, nDocs)
+    ScaleProbe.writeEmbeddings(spark, out, nVecs)
+    println(s"[scale-up] documents: $nDocs rows, embeddings: $nVecs rows (regenerated)")
+    spark.stop()
+  }
+}
