@@ -528,8 +528,71 @@ object TextAnalysis {
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------ pii scrub
+  /** PII redaction — the standard pre-training scrub stage: emails and
+    * SSN-shaped ids replaced by typed sentinels, per-kind counts kept for
+    * the curation report. Map-only: codegen'd `regexp_replace` /
+    * `regexp_count` passes, no shuffle until the final ordering — at
+    * 100 TB this is a pure scan stage like the rest of the text ladder.
+    *
+    * The fixture corpus contains no PII, so the query PLANTS deterministic
+    * synthetic PII first (an email on every 17th doc, an id on every 23rd,
+    * both derived from doc_id) and scrubs that: redaction does measurable
+    * work and the DuckDB oracle recomputes the identical plant + scrub.
+    * Patterns use only RE2-safe constructs (character classes + bounded
+    * repetition) so Java and DuckDB regex semantics agree.
+    */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val idRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    // fixed-width digit groups by construction (no format-function parity
+    // risk): 100..999, 10..99, 1000..9999
+    val planted = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 17 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 23 === 0,
+          concat(lit(" ref "), (col("doc_id") % 900 + 100).cast("string"),
+            lit("-"), (col("doc_id") % 90 + 10).cast("string"),
+            lit("-"), (col("doc_id") % 9000 + 1000).cast("string")))
+          .otherwise(lit(""))).as("text"))
+    planted.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        idRe, "<ID>").as("clean_text"),
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(idRe)).as("n_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textPiiScrubSql =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 17 = 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 23 = 0
+       |         THEN ' ref ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+       |              || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+       |              || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+       |         ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(text,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g') AS clean_text,
+       |  len(regexp_extract_all(text,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       |  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ids
+       |FROM planted ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ export
   val queries: Map[String, Q] = Map(
+    "text_pii_scrub" -> (textPiiScrub _),
     "text_fuzzy_sample" -> (textFuzzySample _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -545,6 +608,7 @@ object TextAnalysis {
     "corpus_domain_report" -> (corpusDomainReport _))
 
   val oracles: Map[String, String] = Map(
+    "text_pii_scrub" -> textPiiScrubSql,
     "text_fuzzy_sample" -> textFuzzySampleSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
