@@ -383,18 +383,24 @@ object Similarity {
   /** ADC tables: fixed-point dot of the query subvector with every
     * codeword — m×k longs, computed on the driver, shipped as literals.
     */
-  private def pqTables(s: SparkSession, dir: String,
-                       codebooks: Array[Array[Array[Double]]]): Array[Array[Long]] = {
+  private def pqTablesFor(codebooks: Array[Array[Array[Double]]],
+                          qvec: Array[Double]): Array[Array[Long]] = {
     def fx(x: Double): Long =
       math.floor(x * graft.functions.VectorFns.Scale).toLong
-    val qvec = Tables.embeddings(s, dir).filter(col("vec_id") === QueryVec)
-      .select(col("embedding").cast("array<double>")).collect()(0)
-      .getSeq[Double](0).toArray
     Array.tabulate(PqM) { j =>
       val q = qvec.slice(j * PqSub, (j + 1) * PqSub).map(fx)
       codebooks(j).map(c => c.map(fx).zip(q).map { case (a, b) => a * b }.sum)
     }
   }
+
+  private def storedQueryVec(s: SparkSession, dir: String): Array[Double] =
+    Tables.embeddings(s, dir).filter(col("vec_id") === QueryVec)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+
+  private def pqTables(s: SparkSession, dir: String,
+                       codebooks: Array[Array[Array[Double]]]): Array[Array[Long]] =
+    pqTablesFor(codebooks, storedQueryVec(s, dir))
 
   /** Encode one subspace with interpreted HOFs — the REFERENCE
     * formulation, retained ONLY for PqEncodeParitySpec's bit-equality
@@ -497,6 +503,39 @@ object Similarity {
     // re-rank would shuffle the corpus to sort-merge against 100 rows
     broadcast(candidates).join(corpus(s, dir), "vec_id")
       .crossJoin(broadcast(queryRow(s, dir)))
+      .withColumn("cosine", cosNative(s, col("v"), col("qv")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+  }
+
+  /** [[annPqTopkFromIndex]] for an EXTERNAL query vector — the serving
+    * path of the index at rest: the caller brings any 64-dim vector (a
+    * fresh embedding, not a stored row), ADC tables are derived from it
+    * on the driver, candidate scoring reads only `out/codes`, and the
+    * re-rank joins the `PqRerank` survivors against the full-precision
+    * corpus with the query shipped as a broadcast literal. Nothing is
+    * filtered out: an external query has no self-match to exclude.
+    */
+  def annPqTopkFromIndexForVec(s: SparkSession, dir: String, out: String,
+                               qvec: Array[Double]): DataFrame = {
+    val codebooks: Array[Array[Array[Double]]] = {
+      val raw = s.read.parquet(s"$out/codebooks")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      Array.tabulate(PqM)(j => raw.filter(_._1 == j).sortBy(_._2).map(_._3))
+    }
+    require(qvec.length == PqM * PqSub,
+      s"query vector must have ${PqM * PqSub} dims, got ${qvec.length}")
+    val tables = pqTablesFor(codebooks, qvec)
+    val adot = (0 until PqM).map(j =>
+      element_at(typedLit(tables(j)), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val candidates = s.read.parquet(s"$out/codes")
+      .select(col("vec_id"), adot.as("adot"))
+      .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)
+    val qFx = qvec.map(x =>
+      math.floor(x * graft.functions.VectorFns.Scale).toLong)
+    broadcast(candidates).join(corpus(s, dir), "vec_id")
+      .withColumn("qv", typedLit(qFx))
       .withColumn("cosine", cosNative(s, col("v"), col("qv")))
       .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id")).limit(10)

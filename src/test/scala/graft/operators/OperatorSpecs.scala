@@ -307,6 +307,25 @@ class PqSpec extends AnyFunSuite {
     assert(codesB < vecsB / 2)
   }
 
+  test("external-vector serving path matches the stored-query path") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("pqv").toString + "/index"
+    Similarity.writePqIndex(spark, sf, out)
+    // bring vec 0's embedding as an EXTERNAL vector: the serving path must
+    // reproduce the stored-query result, plus the self-match it has no
+    // reason to exclude
+    val qvec = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val forVec = Similarity.annPqTopkFromIndexForVec(spark, sf, out, qvec)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(forVec.head._1 === 0L && forVec.head._2 === 1.0) // self-match first
+    val stored = Similarity.annPqTopkFromIndex(spark, sf, out)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(forVec.filterNot(_._1 == 0L) === stored.take(forVec.size - 1))
+  }
+
   test("NaN codeword distance never locks the argmin (parity with HOF)") {
     import org.apache.spark.sql.functions.{array, col}
     // degenerate codebook: codeword 0 of subspace 0 is all-NaN (what an
