@@ -63,11 +63,23 @@ object CdcQueries {
       // The spec-parameterized fold over a 4-column mixed-type table —
       // same operator, different CdcTableSpec, natural output types.
       CdcApply.snapshotFor(Changelog.syntheticWide(s, d), CdcSchema.wideSpec)),
-    "cdc_snapshot_evolved" -> ((s, d) =>
+    "cdc_snapshot_evolved" -> { (s, d) =>
       // Schema-change APPLICATION end-to-end: wire-format JSON with a
       // mid-stream ADD COLUMN; the captured DDL evolves the spec and the
-      // one-parse/one-fold pipeline emits the widened snapshot.
-      SchemaEvolution.snapshotEvolved(Changelog.syntheticEvolvedJson(s, d))))
+      // one-parse/one-fold pipeline emits the widened snapshot. Two cost
+      // guards, both sf1-measured: the generated wire stream is
+      // Shared-materialized (evolvedIngress reads it twice — the
+      // substring-gated history route, then the evolved parse; re-running
+      // the generator + to_json per pass doubled the query), and the
+      // PARSED changelog is cached because the fold traverses it twice
+      // (truncate-horizon agg + keyed fold — re-parsing 2.6M envelopes
+      // for each traversal was the other half of a 72s query).
+      val raw = graft.Shared.materialize(s, d, "cdc_evolved_json")(
+        Changelog.syntheticEvolvedJson(s, d))
+      val (espec, _, log) = SchemaEvolution.evolvedIngress(
+        raw, CdcSchema.invoiceSpec, CdcSchema.invoiceType)
+      CdcApply.snapshotFor(log.cache(), espec)
+    })
 
   private val cte = Changelog.oracleEventsCte
 

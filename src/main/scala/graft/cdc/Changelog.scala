@@ -144,7 +144,14 @@ object Changelog {
     * the non-tombstone stream.
     */
   def schemaHistory(df: DataFrame, valueCol: String = "value"): DataFrame =
-    schemaHistoryOfParsed(parsedEnvelopes(df, valueCol))
+    // cheap substring pre-gate before the JSON parse: an envelope whose
+    // payload.ddl is non-null must contain the literal key `"ddl"` in its
+    // wire text, and DDL events are vanishingly rare next to data events —
+    // at scale this turns the history scan from a full-corpus JSON parse
+    // into a full-corpus substring test + a parse of the few survivors.
+    // (Superset filter only: the parse below still decides.)
+    schemaHistoryOfParsed(parsedEnvelopes(
+      df.filter(col(valueCol).contains("\"ddl\"")), valueCol))
 
   private[graft] def schemaHistoryOfParsed(parsed: DataFrame): DataFrame =
     parsed

@@ -485,6 +485,23 @@ class TextCensusSpec extends AnyFunSuite {
       r.getAs[Long]("eval_doc") % 7 == 0 && r.getAs[Long]("n_shared") >= 1))
   }
 
+  test("decontaminate against an external benchmark corpus flags copied spans only") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven"), // 7 tokens: no complete 8-gram
+      (3L, "red orange yellow green blue indigo violet ultra infra x")
+    ).toDF("doc_id", "text")
+    // benchmark doc 100 copies an 8-token span from train doc 1; 101 shares nothing
+    val benchmark = Seq(
+      (100L, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+      (101L, "completely different words that overlap with nothing at all")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.textDecontaminateAgainst(train, benchmark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq === Seq((1L, 100L, 1L)))
+  }
+
   test("domain report: doc_share sums to 1 and n_docs to the corpus size") {
     val rows = TextAnalysis.corpusDomainReport(spark, sf).collect()
     val total = graft.Tables.documents(spark, sf).count()
