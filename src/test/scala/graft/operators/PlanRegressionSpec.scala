@@ -107,6 +107,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(plan(df).contains("partial_count"), plan(df).take(3000))
   }
 
+  test("pii scrub is a pure scan stage: no join, no aggregation, one exchange for the sort") {
+    val p = plan(TextAnalysis.textPiiScrub(spark, sf))
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), p.take(3000))
+    // exactly the final orderBy's range exchange — a second exchange means
+    // the redaction stopped being map-only
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("PQ: encode + ADC scoring fuse into projections — no aggregation at all") {
     val p = plan(Similarity.annPqTopk(spark, sf))
     // the literal-table formulation needs no explode/join/groupBy for
