@@ -146,12 +146,23 @@ private[graft] object BucketState {
     * supplies the schema-correct zero-state (must already carry the `p`
     * column).
     */
+  /** `readSchema`, when given, pins every per-version read to an EXPLICIT
+    * schema (it must include the `p` partition column): parquet null-fills
+    * requested fields a file lacks, so version dirs written under an
+    * OLDER, narrower image struct (pre-ADD-COLUMN) read back widened —
+    * schema evolution over at-rest state without rewriting untouched
+    * buckets. Without it the per-version schemas are inferred (and must
+    * agree), the pre-evolution behavior.
+    */
   def readBuckets(spark: SparkSession, stateDir: String,
-                  manifest: Map[Long, Set[Long]], empty: => DataFrame): DataFrame = {
+                  manifest: Map[Long, Set[Long]], empty: => DataFrame,
+                  readSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val pairs = manifest.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) }
     if (pairs.isEmpty) return empty
     pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, entries) =>
-      spark.read.option("basePath", s"$stateDir/v=$v")
+      val reader = spark.read.option("basePath", s"$stateDir/v=$v")
+      readSchema.fold(reader)(reader.schema)
         .parquet(entries.map(_._2).sorted.map(b => s"$stateDir/v=$v/p=$b"): _*)
     }.reduce(_.unionByName(_))
   }

@@ -305,6 +305,109 @@ object CdcStream {
       .start()
   }
 
+  /** [[runRouted]] × [[runPartitioned]] with LIVE schema evolution: the
+    * routed ingress over raw envelope strings, re-deriving the table spec
+    * from the accumulated DDL history before every micro-batch merge.
+    *
+    * Per batch: (1) schema-change events are routed to
+    * `schemaHistoryDir/batch=<id>` (substring-gated parse, idempotent
+    * overwrite); (2) the ACCUMULATED history — prior batches plus this
+    * one — evolves the base spec (`SchemaEvolution.evolve`, a bounded
+    * driver-side read: O(schema changes), never O(events)); (3) the batch
+    * is parsed once under the evolved image type (pre-DDL envelopes
+    * null-fill); (4) dead letters fork off; (5) the ordinary
+    * manifest-committed bucket merge runs with the evolved spec, reading
+    * prior state under the evolved schema — buckets written before the
+    * DDL null-fill at read time ([[BucketState.readBuckets]]), so an
+    * ADD COLUMN rewrites NOTHING: untouched buckets stay as-is and widen
+    * lazily as they are next merged. Read the replica with
+    * [[partitionedSnapshotEvolved]].
+    *
+    * Replay safety is unchanged: the input fingerprint is computed over
+    * the evolved parse, and a committed batch's replay re-derives the
+    * identical spec from the identical history — same fingerprint, same
+    * no-op.
+    */
+  def runRoutedEvolving(raw: DataFrame, valueCol: String,
+                        deadLetterDir: String, schemaHistoryDir: String,
+                        auditDir: String, stateDir: String, checkpointDir: String,
+                        nBuckets: Int = 64,
+                        spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                        imageType: org.apache.spark.sql.types.StructType =
+                          CdcSchema.invoiceType): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val spark = rawBatch.sparkSession
+        val cached = rawBatch.persist() // history route + parse + dead letters
+        try {
+          Changelog.schemaHistory(cached, valueCol)
+            .write.mode("overwrite").parquet(s"$schemaHistoryDir/batch=$batchId")
+          val (espec, etype) = evolvedSpec(spark, schemaHistoryDir, spec, imageType)
+          val parsed = Changelog.parsedEnvelopes(cached, valueCol, etype)
+          Changelog.deadLettersOfParsed(parsed, valueCol)
+            .write.mode("overwrite").parquet(s"$deadLetterDir/batch=$batchId")
+          // validity stays gated on the BASE spec: added columns are
+          // nullable, so their absence is data, not a partial parse
+          val changelog = Changelog.changelogOfParsed(parsed, None, spec)
+          applyPartitionedBatch(changelog, batchId, auditDir, stateDir,
+            nBuckets, espec,
+            stateReadSchema = Some(stateSchemaFor(espec, etype)))
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+
+  /** The evolved (spec, imageType) implied by a schema-history dir — the
+    * base shape when the dir is absent/empty.
+    */
+  def evolvedSpec(spark: SparkSession, schemaHistoryDir: String,
+                  spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                  imageType: org.apache.spark.sql.types.StructType =
+                    CdcSchema.invoiceType)
+      : (CdcSchema.CdcTableSpec, org.apache.spark.sql.types.StructType) = {
+    val fs = hadoopFs(spark, schemaHistoryDir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(schemaHistoryDir)))
+      return (spec, imageType)
+    val ddls = spark.read.parquet(schemaHistoryDir)
+      .orderBy("pos").select("ddl").collect().map(_.getString(0)).toSeq
+    graft.cdc.SchemaEvolution.evolve(spec, imageType, ddls)
+  }
+
+  /** State-file schema of the partitioned replica for a (spec, image)
+    * pair, INCLUDING the `p` partition column — the explicit read schema
+    * the evolving merge pins bucket reads to.
+    */
+  private def stateSchemaFor(spec: CdcSchema.CdcTableSpec,
+                             imageType: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("key", imageType(spec.key).dataType),
+      StructField("pos", LongType),
+      StructField("after", imageType),
+      StructField("p", LongType)))
+  }
+
+  /** [[partitionedSnapshotFor]] under the schema implied by the history
+    * dir: old narrow bucket files null-fill the added columns at read
+    * time.
+    */
+  def partitionedSnapshotEvolved(spark: SparkSession, stateDir: String,
+                                 schemaHistoryDir: String,
+                                 spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                                 imageType: org.apache.spark.sql.types.StructType =
+                                   CdcSchema.invoiceType): DataFrame = {
+    val (espec, etype) = evolvedSpec(spark, schemaHistoryDir, spec, imageType)
+    snapshotOfFor(
+      BucketState.readBuckets(spark, stateDir,
+        readManifest(spark, stateDir).buckets,
+        emptyStateFor(spark, espec, etype).withColumn("p", lit(-1L)),
+        Some(stateSchemaFor(espec, etype))).drop("p"),
+      espec)
+  }
+
   /** Version numbers under `stateDir`, newest first. */
   private def listVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
     val fs = hadoopFs(spark, stateDir)
@@ -404,27 +507,45 @@ object CdcStream {
     */
   def runPartitioned(changelog: DataFrame, auditDir: String, stateDir: String,
                      checkpointDir: String, nBuckets: Int = 64,
-                     spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec): StreamingQuery = {
-    // Bucket function by key type: integral keys bucket by value modulus
-    // (deterministic, human-inspectable `p=` dirs, and the layout the
-    // partition specs pin); any other key type hashes first. Both are pure
-    // functions of the key, so batch-side and state-side bucketing agree.
-    def bucketOf(key: org.apache.spark.sql.Column,
-                 keyType: org.apache.spark.sql.types.DataType) = {
-      import org.apache.spark.sql.types._
-      keyType match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          pmod(key.cast("long"), lit(nBuckets.toLong))
-        case _ => pmod(xxhash64(key.cast("string")), lit(nBuckets.toLong))
-      }
-    }
+                     spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec): StreamingQuery =
     changelog.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
-        val spark = rawBatch.sparkSession
-        val batch = rawBatch.persist() // 3 more actions below; scan the source once
-        try {
+        applyPartitionedBatch(rawBatch, batchId, auditDir, stateDir, nBuckets, spec)
+      }
+      .start()
+
+  /** Bucket function by key type: integral keys bucket by value modulus
+    * (deterministic, human-inspectable `p=` dirs, and the layout the
+    * partition specs pin); any other key type hashes first. Both are pure
+    * functions of the key, so batch-side and state-side bucketing agree.
+    */
+  private def bucketFn(nBuckets: Int)(key: org.apache.spark.sql.Column,
+                                      keyType: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types._
+    keyType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        pmod(key.cast("long"), lit(nBuckets.toLong))
+      case _ => pmod(xxhash64(key.cast("string")), lit(nBuckets.toLong))
+    }
+  }
+
+  /** One [[runPartitioned]] micro-batch, callable from any foreachBatch
+    * wrapper (the evolving ingress re-derives `spec` per batch before
+    * delegating here). `stateReadSchema`, when given, pins the bucket
+    * reads to an explicit (wider) schema so state written under an older
+    * image struct null-fills instead of failing the union — see
+    * `BucketState.readBuckets`.
+    */
+  private[graft] def applyPartitionedBatch(
+      rawBatch: DataFrame, batchId: Long, auditDir: String, stateDir: String,
+      nBuckets: Int, spec: CdcSchema.CdcTableSpec,
+      stateReadSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val spark = rawBatch.sparkSession
+    val bucketOf = bucketFn(nBuckets) _
+    val batch = rawBatch.persist() // 3 more actions below; scan the source once
+    try {
         val imageType = batch.schema("after").dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val keyType = imageType(spec.key).dataType
@@ -467,7 +588,9 @@ object CdcStream {
             val relevant =
               if (hasTruncate) manifest
               else manifest.view.filterKeys(touched).toMap
-            readBuckets(spark, stateDir, relevant)
+            BucketState.readBuckets(spark, stateDir, relevant,
+              emptyStateFor(spark, spec, imageType).withColumn("p", lit(-1L)),
+              stateReadSchema)
           }
 
         // (1) Stage this batch's buckets under its OWN version dir —
@@ -497,10 +620,8 @@ object CdcStream {
         // (3) GC version dirs nothing references anymore.
         BucketState.gcVersions(spark, stateDir, next.values.flatten.toSet + newVersion)
         }
-        } finally batch.unpersist()
-        ()
-      }
-      .start()
+    } finally batch.unpersist()
+    ()
   }
 
   // Manifest-committed bucket-state plumbing lives in [[BucketState]]

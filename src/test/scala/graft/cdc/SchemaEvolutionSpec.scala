@@ -111,6 +111,43 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(snap.toSeq === Seq((5, 50, "amer")))
   }
 
+  test("streaming evolution: mid-stream ADD COLUMN widens the live replica lazily") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft-evolve").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    // micro-batch 1: two keys inserted pre-DDL (narrow wire shape — no
+    // region key anywhere), landing in different buckets
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      """{"payload":{"after":{"order_id":1,"invoice_number":10},"source":{"pos":1}}}""",
+      """{"payload":{"after":{"order_id":2,"invoice_number":20},"source":{"pos":2}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    // micro-batch 2: the DDL plus a widened rewrite of key 1 ONLY — key
+    // 2's bucket is never touched post-DDL, so its state file stays
+    // narrow and must null-fill at read time
+    Files.write(Paths.get(s"$in/b2.json"), Seq(
+      """{"payload":{"source":{"pos":5},"ts_ms":5,"databaseName":"dev","ddl":"ALTER TABLE invoice ADD COLUMN region VARCHAR(16)"}}""",
+      """{"payload":{"before":{"order_id":1,"invoice_number":10,"region":null},"after":{"order_id":1,"invoice_number":11,"region":"emea"},"source":{"pos":6}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    // two triggers in file-mtime order
+    assert(new java.io.File(s"$in/b1.json").setLastModified(
+      new java.io.File(s"$in/b2.json").lastModified() - 60000))
+    val q = graft.streaming.CdcStream.runRoutedEvolving(
+      spark.readStream.option("maxFilesPerTrigger", 1).text(in)
+        .withColumnRenamed("value", "raw"), "raw",
+      s"$base/dead", s"$base/schema", s"$base/audit", s"$base/state", s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    val snap = graft.streaming.CdcStream.partitionedSnapshotEvolved(
+      spark, s"$base/state", s"$base/schema")
+    assert(snap.columns.toSeq === Seq("order_id", "invoice_number", "region"))
+    val rows = snap.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getAs[String]("region")))
+    assert(rows.toSeq === Seq((1, 11, "emea"), (2, 20, null)))
+    // the history dir drives the evolved spec
+    val (espec, _) = graft.streaming.CdcStream.evolvedSpec(spark, s"$base/schema")
+    assert(espec.valueCols === Seq("invoice_number", "region"))
+  }
+
   test("full-schema envelopes (embedded Connect schema block) parse identically") {
     // the wire's ~90%-dead-weight `schema` sibling is pruned by omission
     val withSchemaBlock =
