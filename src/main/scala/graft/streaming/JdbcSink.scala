@@ -66,7 +66,13 @@ object JdbcSink {
     case other => throw new IllegalArgumentException(s"unsupported $other")
   }
 
-  /** Idempotent DDL: replica table + single-row horizon meta table. */
+  /** Idempotent DDL: replica table + single-row horizon meta table.
+    * Schema evolution propagates: value columns the spec has that the
+    * EXISTING table lacks (the spec evolved via a captured ADD COLUMN —
+    * `cdc.SchemaEvolution`) are added with `ALTER TABLE ADD COLUMN`,
+    * nullable — existing rows null-fill, matching both MySQL's backfill
+    * and the parquet replica's lazy read-time widening.
+    */
   def ensureTable(conn: Connection, table: String,
                   spec: CdcSchema.CdcTableSpec, imageType: StructType): Unit = {
     val valueDdl = spec.valueCols
@@ -77,6 +83,16 @@ object JdbcSink {
         s"""CREATE TABLE IF NOT EXISTS $table (
            |  ${spec.key} ${sqlType(imageType(spec.key).dataType)} PRIMARY KEY,
            |  pos BIGINT NOT NULL, $valueDdl)""".stripMargin)
+      // portable existing-column probe (empty result set metadata — no
+      // reliance on engine-specific catalog case conventions)
+      val probe = st.executeQuery(s"SELECT * FROM $table WHERE 1=0")
+      val md = probe.getMetaData
+      val existing = (1 to md.getColumnCount)
+        .map(i => md.getColumnName(i).toLowerCase).toSet
+      spec.valueCols.filterNot(c => existing(c.toLowerCase)).foreach { c =>
+        st.execute(
+          s"ALTER TABLE $table ADD COLUMN $c ${sqlType(imageType(c).dataType)}")
+      }
       st.execute(s"CREATE TABLE IF NOT EXISTS ${table}_meta (horizon BIGINT NOT NULL)")
       val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${table}_meta")
       rs.next()

@@ -94,6 +94,36 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(replica(reversed) === expected)
   }
 
+  test("evolved spec widens an existing replica table via ALTER TABLE ADD COLUMN") {
+    assume(driverAvailable, "duckdb jdbc driver not on test classpath")
+    import org.apache.spark.sql.types._
+    val url = freshDb()
+    // narrow batch creates the table
+    JdbcSink.applyBatch(batchOf(
+      env("null", """{"order_id":1,"invoice_number":10}""", "c", 1)), url, "invoice")
+    // the spec evolves (captured ADD COLUMN); the widened batch must land
+    val (espec, etype) = graft.cdc.SchemaEvolution.evolve(
+      graft.cdc.CdcSchema.invoiceSpec, graft.cdc.CdcSchema.invoiceType,
+      Seq("ALTER TABLE invoice ADD COLUMN region VARCHAR(16)"))
+    val wide = {
+      import spark.implicits._
+      graft.cdc.Changelog.fromEnvelopeJsonFor(
+        Seq("""{"payload":{"after":{"order_id":2,"invoice_number":20,"region":"emea"},"source":{"pos":2}}}""")
+          .toDF("raw"),
+        graft.cdc.CdcSchema.invoiceSpec, etype.asInstanceOf[StructType], "raw")
+    }
+    JdbcSink.applyBatch(wide, url, "invoice", spec = espec)
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT order_id, invoice_number, region FROM invoice ORDER BY order_id")
+      val buf = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
+      while (rs.next()) buf += ((rs.getInt(1), rs.getInt(2), rs.getString(3)))
+      // pre-evolution row null-fills; widened row carries the new column
+      assert(buf.toList === List((1, 10, null), (2, 20, "emea")))
+    } finally c.close()
+  }
+
   test("batchSize=1 (per-row statements) and batched mode produce identical replicas") {
     assume(driverAvailable, "duckdb jdbc driver not on test classpath")
     val events = (1 to 50).map { i =>
