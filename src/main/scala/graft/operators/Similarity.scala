@@ -245,12 +245,47 @@ object Similarity {
     model.transform(vecs)
       .select(col("vec_id"), col("cell"),
         fixedPoint(org.apache.spark.ml.functions.vector_to_array(col("features"))).as("v"))
-      .write.mode("overwrite").partitionBy("cell").parquet(out)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/cells")
+    // the coarse quantizer rides with the index (k rows) — the serving
+    // path needs it to pick probe cells for an external query vector
+    s.createDataFrame(model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$out/centroids")
   }
 
   /** Partition-pruned read of the probed cells. */
   def readIvfCells(s: SparkSession, out: String, cells: Seq[Int]): DataFrame =
-    s.read.parquet(out).filter(col("cell").isin(cells.map(Int.box): _*))
+    s.read.parquet(s"$out/cells").filter(col("cell").isin(cells.map(Int.box): _*))
+
+  /** IVF top-k for an EXTERNAL query vector from the index at rest — the
+    * serving path: probe cells are chosen on the driver against the k
+    * stored centroids (k rows — a driver-side compare, not a job), the
+    * probed cells are a partition-pruned read, and scoring is the same
+    * fixed-point cosine against the query shipped as a broadcast
+    * literal. I/O is nProbe/k of the corpus, independent of query count.
+    */
+  def annIvfTopkFromIndexForVec(s: SparkSession, out: String,
+                                qvec: Array[Double], nProbe: Int = 4): DataFrame = {
+    def fx(x: Double): Long = math.floor(x * graft.functions.VectorFns.Scale).toLong
+    val qFx = qvec.map(fx)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum) /
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+    }
+    val probeCells = s.read.parquet(s"$out/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .map { case (cell, c) => (cell, cos(c.map(fx), qFx)) }
+      .sortBy { case (cell, sim) => (-sim, cell) }
+      .take(nProbe).map(_._1)
+    readIvfCells(s, out, probeCells.toSeq)
+      .withColumn("qv", typedLit(qFx))
+      .withColumn("cosine", cosNative(s, col("v"), col("qv")))
+      .select(col("vec_id"), col("cell"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
 
   // -------------------------------------------- embedding-cosine near-dup
   /** Embedding near-duplicate pairs: exact pairwise cosine ≥ 0.3 over a

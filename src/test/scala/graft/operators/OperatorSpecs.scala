@@ -244,16 +244,37 @@ class IvfSpec extends AnyFunSuite {
     val out = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
     Similarity.writeIvfIndex(spark, sf, out)
     // hive-style cell dirs on disk
-    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    val dirs = new java.io.File(s"$out/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName)
     assert(dirs.count(_.startsWith("cell=")) >= 2, dirs.mkString(","))
     val probed = Similarity.readIvfCells(spark, out, Seq(0, 1))
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell"), s"no partition pruning:\n$plan")
     // pruned read returns exactly the probed cells' rows, nothing else
-    val full = spark.read.parquet(out)
+    val full = spark.read.parquet(s"$out/cells")
     val expected = full.filter(col("cell").isin(0, 1)).count()
     assert(probed.count() === expected && expected > 0)
     assert(probed.select("cell").distinct().collect().map(_.getInt(0)).toSet === Set(0, 1))
+  }
+
+  test("IVF serving path: external vector answered from the index alone") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("ivfv").toString + "/index"
+    Similarity.writeIvfIndex(spark, sf, out)
+    val qvec = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val forVec = Similarity.annIvfTopkFromIndexForVec(spark, out, qvec)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // the stored row itself lives in a probed cell: exact self-match first
+    assert(forVec.head === ((0L, 1.0)))
+    // and the rest agrees with the in-memory formulation's candidates
+    val inMem = Similarity.annIvfTopk(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val overlap = (forVec.map(_._1).toSet - 0L) & inMem
+    info(s"overlap with in-memory IVF: ${overlap.size}")
+    assert(overlap.size >= 7)
   }
 }
 
