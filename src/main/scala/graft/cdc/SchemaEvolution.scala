@@ -28,6 +28,14 @@ import org.apache.spark.sql.types._
   * BASE spec's columns only. Added columns are nullable by construction
   * (MySQL `ADD COLUMN` without `NOT NULL`), so a null/absent value in any
   * event — pre- or post-DDL — is legitimate data, not a partial parse.
+  *
+  * Scope (deliberate): ADD COLUMN only, single-table ingress. DROP
+  * COLUMN and RENAME are parsed as inert — dropping a column from the
+  * replica would destroy replayability (an as-of snapshot BEFORE the
+  * drop still needs the data), and the safe rename is ADD + backfill,
+  * which arrives as ADD COLUMN anyway. A multi-table ingress would
+  * additionally filter history by the DDL's target table before
+  * evolving; the reference topology captures exactly one table.
   */
 object SchemaEvolution {
 
