@@ -86,6 +86,29 @@ object Similarity {
     s"""$compCte
        |SELECT vec_id, cosine FROM cos ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------- cosine range search
+  /** Radius query: every corpus vector with cosine ≥ τ of the query — the
+    * recall-oriented companion to [[annCosineTopk]] (retrieval that wants
+    * "everything at least this close", not a fixed k). Same scale shape as
+    * the brute top-k: one broadcast 1-row query, one map-only fused-codegen
+    * cosine pass, and the τ-filter prunes before the (small-result) sort,
+    * so the corpus is never shuffled. At 100 TB the identical predicate
+    * runs over [[annLshTopk]]'s bucket layout instead, probing only codes
+    * whose hyperplane margin can still reach τ.
+    */
+  private val RangeTau = 0.15
+
+  def annRangeSearch(s: SparkSession, dir: String): DataFrame =
+    scored(s, dir)
+      .filter(col("cosine") >= RangeTau)
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+
+  private val annRangeSearchSql =
+    s"""$compCte
+       |SELECT vec_id, cosine FROM cos WHERE cosine >= $RangeTau
+       |ORDER BY cosine DESC, vec_id""".stripMargin
+
   // ----------------------------------------------------- per-label top-k
   def annTopkByLabel(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("label")).orderBy(col("cosine").desc, col("vec_id"))
@@ -648,6 +671,7 @@ object Similarity {
     "ann_ivf_topk" -> (annIvfTopk _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "ann_cosine_topk" -> (annCosineTopk _),
+    "ann_range_search" -> (annRangeSearch _),
     "ann_topk_by_label" -> (annTopkByLabel _),
     "ann_lsh_histogram" -> (annLshHistogram _),
     "ann_lsh_topk" -> (annLshTopk _))
@@ -657,6 +681,7 @@ object Similarity {
     "embedding_centroids" -> embeddingCentroidsSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "ann_cosine_topk" -> annCosineTopkSql,
+    "ann_range_search" -> annRangeSearchSql,
     "ann_topk_by_label" -> annTopkByLabelSql,
     "ann_lsh_histogram" -> annLshHistogramSql,
     "ann_lsh_topk" -> annLshTopkSql)

@@ -208,6 +208,55 @@ object TextAnalysis {
        |SELECT doc_id, rn, term, tf, df, score
        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  // ------------------------------------------------------ token rarity
+  /** Corpus-statistical quality score: mean document-frequency rarity of a
+    * document's tokens. A doc of corpus-ubiquitous tokens (boilerplate,
+    * stopword soup) scores near 0; one of tokens few other documents use
+    * scores near 1 — the "statistical LM" quality signal a curation
+    * pipeline uses without an external model. Defined exactly as
+    *   rarity = (n_toks·N − Σ_tok df(tok)) / (n_toks·N)
+    * over token OCCURRENCES (tf-weighted), so the whole computation is
+    * integer arithmetic with ONE final double division — bit-identical in
+    * any engine (no transcendental log-prob, which is not correctly
+    * rounded and would break hash-equality). Reuses the shared
+    * `tf_rows` term index; the df side is a map-side-combined count per
+    * distinct term, joined back on the bounded `term` key — the same
+    * skew-safe shape as tf-idf, map-only after the join.
+    */
+  def textRarityScore(s: SparkSession, dir: String): DataFrame =
+    textRarityScoreFor(tfRows(s, dir),
+      Tables.documents(s, dir).agg(count(lit(1)).as("n")))
+
+  /** Deployment form over an arbitrary (doc_id, term, tf) index and a
+    * 1-row corpus-size frame; the oracle query above is its
+    * specialization to the `documents` table.
+    */
+  def textRarityScoreFor(tf: DataFrame, n: DataFrame): DataFrame = {
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dft, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_toks"), sum(col("tf") * col("df")).as("sum_df"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_toks"),
+        ((col("n_toks") * col("n") - col("sum_df")).cast("double") /
+          (col("n_toks") * col("n"))).as("rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textRarityScoreSql =
+    s"""$docsCte,
+       |terms AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |per_doc AS (
+       |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_toks,
+       |         CAST(SUM(tf.tf * dft.df) AS BIGINT) AS sum_df
+       |  FROM tf JOIN dft USING (term) GROUP BY tf.doc_id)
+       |SELECT doc_id, n_toks,
+       |  CAST(n_toks * n.n - sum_df AS DOUBLE) / (n_toks * n.n) AS rarity
+       |FROM per_doc, n ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- corpus-curation pipeline
   /** The composed curation pass a training-data pipeline runs end to end:
     * quality-gate (stopword/diversity score), exact-dedup survivors
@@ -599,6 +648,7 @@ object TextAnalysis {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_tfidf_topk" -> (textTfidfTopk _),
+    "text_rarity_score" -> (textRarityScore _),
     "text_curation_pipeline" -> (textCurationPipeline _),
     "text_sample_stratified" -> (textSampleStratified _),
     "text_ngram_topk" -> (textNgramTopk _),
@@ -615,6 +665,7 @@ object TextAnalysis {
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_tfidf_topk" -> textTfidfTopkSql,
+    "text_rarity_score" -> textRarityScoreSql,
     "text_curation_pipeline" -> textCurationPipelineSql,
     "text_sample_stratified" -> textSampleStratifiedSql,
     "text_ngram_topk" -> textNgramTopkSql,

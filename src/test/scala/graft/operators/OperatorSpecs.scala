@@ -85,6 +85,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("containment: directional, in [0.9,1], and covers full-dup pairs both ways") {
+    val rows = Dedup.dedupContainment(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("containment"))).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.forall(c => c >= 0.9 && c <= 1.0))
+    // i <= min(na,nb) gives C(a->b) >= J and C(b->a) >= J, so every
+    // jaccard >= 0.9 pair must appear in BOTH directions
+    val hiJaccard = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.9)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(hiJaccard.nonEmpty)
+    hiJaccard.foreach { case (a, b) =>
+      assert(rows.contains((a, b)) && rows.contains((b, a)),
+        s"jaccard>=0.9 pair ($a,$b) missing a containment direction")
+    }
+  }
+
   test("exact dedup keeps one representative per fingerprint") {
     val df = Dedup.dedupExact(spark, sf)
     val total = graft.Tables.documents(spark, sf).count()
@@ -125,6 +143,19 @@ class SimilaritySpec extends AnyFunSuite {
       .select(VectorFns.cosineFx(col("v"), col("v")).as("c"))
       .agg(min("c"), max("c")).head()
     assert(self.getDouble(0) >= 0.9999999 && self.getDouble(1) <= 1.0000001)
+  }
+
+  test("range search: sorted desc, all >= tau, consistent with brute top-k") {
+    val rows = Similarity.annRangeSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cos = rows.map(_.getAs[Double]("cosine"))
+    assert(cos.sameElements(cos.sortBy(-_)))
+    assert(cos.forall(_ >= 0.15))
+    // every top-10 hit above tau must appear in the radius result
+    val ids = rows.map(_.getAs[Long]("vec_id")).toSet
+    Similarity.annCosineTopk(spark, sf).collect()
+      .filter(_.getAs[Double]("cosine") >= 0.15)
+      .foreach(r => assert(ids.contains(r.getAs[Long]("vec_id"))))
   }
 
   test("per-label top-k emits exactly 3 per label") {
@@ -470,6 +501,28 @@ class TextCensusSpec extends AnyFunSuite {
     val cnts = rows.map(_.getAs[Long]("cnt"))
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
     assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to 20))
+  }
+
+  test("rarity: one row per doc, in [0,1), hand-computed values on a toy corpus") {
+    val rows = TextAnalysis.textRarityScore(spark, sf).collect()
+    assert(rows.length === graft.Tables.documents(spark, sf).count())
+    assert(rows.forall { r =>
+      val x = r.getAs[Double]("rarity"); x >= 0.0 && x < 1.0
+    })
+    // deployment form pinned against hand-computed exact values:
+    // df: a->2 docs, b->1, c->1, d->1; N=3
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a a a"), (2L, "a b"), (3L, "c c d")).toDF("doc_id", "text")
+    val tf = docs
+      .select(col("doc_id"), explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val got = TextAnalysis.textRarityScoreFor(tf, docs.agg(count(lit(1)).as("n")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rarity")).toMap
+    // d1: (3*3-6)/9, d2: (2*3-3)/6, d3: (3*3-3)/9
+    assert(got(1L) === 3.0 / 9.0)
+    assert(got(2L) === 3.0 / 6.0)
+    assert(got(3L) === 6.0 / 9.0)
   }
 
   test("repetition: ratios in [0,1], every doc with >=2 tokens present") {

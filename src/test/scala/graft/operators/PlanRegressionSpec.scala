@@ -55,6 +55,18 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,0))]"), p)
   }
 
+  test("range search: broadcast query vector, corpus never shuffle-joined") {
+    val p = plan(Similarity.annRangeSearch(spark, sf))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("rarity: no Window keyed on term; df side map-side combined") {
+    val p = plan(TextAnalysis.textRarityScore(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), s"df aggregation lost map-side combine:\n$p")
+  }
+
   test("ngram census: partial agg before the shuffle, top-k never a global sort") {
     val p = plan(TextAnalysis.textNgramTopk(spark, sf))
     assert(p.contains("partial_count"), p)
