@@ -599,6 +599,92 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id")).limit(10)
   }
 
+  // ------------------------------------------------- composed IVF-PQ index
+  /** IVF-PQ: the two sublinear structures composed the way a production
+    * vector index lays them out — the coarse quantizer prunes WHICH rows
+    * are read (cell partition pruning, nProbe/k of the corpus), PQ codes
+    * shrink WHAT is read per row (`PqM` bytes of codes, never the float
+    * vector). I/O per query ≈ (nProbe/k)·|corpus|·16 bytes, against
+    * 256 bytes/row for the whole corpus brute-force — the standard
+    * memory-resident serving layout at 100 TB.
+    *
+    * Scoring is inner-product ADC against the RAW-vector codebooks: for
+    * dot products the query×codeword tables are cell-independent
+    * (q·x ≈ Σ_j table_j[code_j]), so one driver-computed table set
+    * serves every probed cell — no per-cell re-tabulation, and the
+    * in-cell score is the identical expression [[annPqTopkFromIndex]]
+    * uses. Candidates from the probed cells re-rank exactly against
+    * full-precision vectors (constant `PqRerank` rows). Determinism:
+    * same fixed seeds as the component indexes.
+    */
+  def writeIvfPqIndex(s: SparkSession, dir: String, out: String, k: Int = 16): Unit = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("features"))
+    val model = ivfFit(vecs, k)
+    val codebooks = pqCodebooks(s, dir)
+    // one pass: assign cell + encode codes, partitioned by cell at rest
+    model.transform(vecs)
+      .select(col("vec_id"), col("cell"),
+        pqNative(s, codebooks,
+          org.apache.spark.ml.functions.vector_to_array(col("features"))).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+    s.createDataFrame(model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$out/centroids")
+    val rows = for {
+      (cb, j) <- codebooks.zipWithIndex.toSeq
+      (c, code) <- cb.zipWithIndex
+    } yield (j, code, c.toSeq)
+    s.createDataFrame(rows).toDF("j", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$out/codebooks")
+  }
+
+  /** Serve an external query vector from the at-rest IVF-PQ index: probe
+    * cells are chosen on the driver against the k stored centroids (k
+    * rows, no job), the probed cells' CODES are a partition-pruned read
+    * scored map-only by ADC, and only the `PqRerank` survivors touch
+    * full-precision vectors.
+    */
+  def annIvfPqTopkFromIndexForVec(s: SparkSession, dir: String, out: String,
+                                  qvec: Array[Double], nProbe: Int = 4): DataFrame = {
+    require(qvec.length == PqM * PqSub,
+      s"query vector must have ${PqM * PqSub} dims, got ${qvec.length}")
+    def fx(x: Double): Long =
+      math.floor(x * graft.functions.VectorFns.Scale).toLong
+    val qFx = qvec.map(fx)
+    // driver-side probe selection: k centroid rows, exact fixed-point cosine
+    val cents = s.read.parquet(s"$out/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def cos(c: Array[Double]): Double = {
+      val cf = c.map(fx)
+      val dot = cf.zip(qFx).map { case (a, b) => a * b }.sum.toDouble
+      dot / math.sqrt(cf.map(x => x * x).sum.toDouble * qFx.map(x => x * x).sum.toDouble)
+    }
+    val probed = cents.sortBy { case (cell, c) => (-cos(c), cell) }
+      .take(nProbe).map(_._1)
+    val codebooks: Array[Array[Array[Double]]] = {
+      val raw = s.read.parquet(s"$out/codebooks")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      Array.tabulate(PqM)(j => raw.filter(_._1 == j).sortBy(_._2).map(_._3))
+    }
+    val tables = pqTablesFor(codebooks, qvec)
+    val adot = (0 until PqM).map(j =>
+      element_at(typedLit(tables(j)), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val candidates = s.read.parquet(s"$out/codes")
+      .filter(col("cell").isin(probed.map(Int.box): _*)) // partition-pruned
+      .select(col("vec_id"), adot.as("adot"))
+      .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)
+    broadcast(candidates).join(corpus(s, dir), "vec_id")
+      .withColumn("qv", typedLit(qFx))
+      .withColumn("cosine", cosNative(s, col("v"), col("qv")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+  }
+
   /** Per-label centroid, one row per (label, dimension) — the class
     * prototype an embedding-space analysis (or an IVF-style coarse
     * quantizer warm start) is built from. Plan: explode the fixed-point

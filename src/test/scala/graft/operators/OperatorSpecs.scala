@@ -414,6 +414,43 @@ class PqSpec extends AnyFunSuite {
 }
 
 /** Winnowing fingerprints: near-dups overlap heavily, unrelated docs don't. */
+/** Composed IVF-PQ index: cell pruning × code-only scoring. */
+class IvfPqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("IVF-PQ at rest: pruned cells, code-only scoring, exact self-match first") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/index"
+    Similarity.writeIvfPqIndex(spark, sf, out)
+    // codes live cell-partitioned on disk
+    val dirs = new java.io.File(s"$out/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("cell=")) >= 2, dirs.mkString(","))
+    val qvec = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val df = Similarity.annIvfPqTopkFromIndexForVec(spark, sf, out, qvec)
+    // the candidate scan must be partition-pruned to the probed cells
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), s"no partition pruning:\n$plan")
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // the stored row's own cell is a probed cell: exact self-match first
+    assert(rows.head === ((0L, 1.0)))
+    // determinism (fixed seeds end to end)
+    val again = Similarity.annIvfPqTopkFromIndexForVec(spark, sf, out, qvec)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq === again.toSeq)
+    // probing 4/16 cells still recovers a usable share of brute top-10
+    val brute = Similarity.annCosineTopk(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val overlap = (rows.map(_._1).toSet - 0L) & brute
+    info(s"IVF-PQ overlap with brute top-10: ${overlap.size}")
+    assert(overlap.size >= 3)
+  }
+}
+
 class WinnowSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf0001
