@@ -79,6 +79,17 @@ object CdcQueries {
       val (espec, _, log) = SchemaEvolution.evolvedIngress(
         raw, CdcSchema.invoiceSpec, CdcSchema.invoiceType)
       CdcApply.snapshotFor(log.cache(), espec)
+    },
+    "cdc_snapshot_widened" -> { (s, d) =>
+      // Type-widening APPLICATION: a mid-stream MODIFY COLUMN int→bigint;
+      // the evolved parse reads the whole stream under the wide type
+      // (narrow pre-DDL values embed exactly), post-DDL events carry
+      // values past int32 range. Same cost guards as cdc_snapshot_evolved.
+      val raw = graft.Shared.materialize(s, d, "cdc_widened_json")(
+        Changelog.syntheticWidenedJson(s, d))
+      val (espec, _, log) = SchemaEvolution.evolvedIngress(
+        raw, CdcSchema.invoiceSpec, CdcSchema.invoiceType)
+      CdcApply.snapshotFor(log.cache(), espec)
     })
 
   private val cte = Changelog.oracleEventsCte
@@ -171,6 +182,39 @@ object CdcQueries {
          |       CASE WHEN pos > (SELECT hp FROM hddl)
          |            THEN 'r' || CAST(key % 3 AS VARCHAR) END AS region
          |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin,
+    "cdc_snapshot_widened" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS INTEGER) AS k,
+        |         CAST(o_custkey % 100000 AS INTEGER) AS v
+        |  FROM orders),
+        |hp AS (SELECT (CAST(MAX(k) AS BIGINT)*10)//2 AS hp FROM base),
+        |ev AS (
+        |  SELECT CAST(k AS BIGINT)*10+1 AS pos, k AS key,
+        |         CAST(v AS BIGINT) + CASE WHEN CAST(k AS BIGINT)*10+1 > hp.hp
+        |                                  THEN 4000000000 ELSE 0 END AS a_inv,
+        |         FALSE AS is_del, FALSE AS is_trunc FROM base, hp
+        |  UNION ALL
+        |  SELECT CAST(k AS BIGINT)*10+2, k,
+        |         CAST(v AS BIGINT) + 1000 + CASE WHEN CAST(k AS BIGINT)*10+2 > hp.hp
+        |                                         THEN 4000000000 ELSE 0 END,
+        |         FALSE, FALSE FROM base, hp WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(k AS BIGINT)*10+3, k,
+        |         CAST(v AS BIGINT) + 2000 + CASE WHEN CAST(k AS BIGINT)*10+3 > hp.hp
+        |                                         THEN 4000000000 ELSE 0 END,
+        |         FALSE, FALSE FROM base, hp WHERE k % 9 = 0
+        |  UNION ALL
+        |  SELECT CAST(k AS BIGINT)*10+4, k, NULL, TRUE, FALSE FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT (CAST(MAX(k) AS BIGINT)*10)//4, NULL, NULL, FALSE, TRUE FROM base),
+        |hor AS (SELECT COALESCE(MAX(pos), -9223372036854775808) AS h FROM ev WHERE is_trunc),
+        |live AS (SELECT ev.* FROM ev, hor WHERE ev.pos > hor.h AND NOT ev.is_trunc),
+        |ranked AS (
+        |  SELECT key, a_inv, is_del,
+        |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos DESC) AS rn
+        |  FROM live)
+        |SELECT CAST(key AS BIGINT) AS order_id, CAST(a_inv AS BIGINT) AS invoice_number
+        |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin,
     "cdc_consistency_diff" ->
       s"""$cte, ranked AS (
          |  SELECT key, a_inv, is_del,

@@ -340,6 +340,83 @@ object Changelog {
       .unionByName(deletes).unionByName(truncates).unionByName(ddl)
   }
 
+  /** Wire-format JSON changelog with a mid-stream widening
+    * `MODIFY COLUMN invoice_number BIGINT` at the midpoint position:
+    * events AFTER the DDL carry values past int32 range (+4e9), events
+    * before stay narrow — the type-widening companion to
+    * [[syntheticEvolvedJson]]. Same orders-derived pos/op scheme, so
+    * the oracle recomputes the widened snapshot relationally.
+    */
+  def syntheticWidenedJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey").cast("int").as("k"),
+        (col("o_custkey") % 100000).cast("int").as("v"))
+    val hp = base.agg(expr("(max(cast(k as bigint)) * 10) div 2").as("hp"))
+
+    // value scheme: base bump (+1000 first update, +2000 second) plus the
+    // post-DDL wide offset — only positions past the DDL may exceed int32
+    def inv(bump: Long, pos: org.apache.spark.sql.Column) =
+      (col("v").cast("long") + bump +
+        when(pos > col("hp"), lit(4000000000L)).otherwise(lit(0L))).as("invoice_number")
+    def img(bump: Long, pos: org.apache.spark.sql.Column) =
+      struct(col("k").as("order_id"), inv(bump, pos))
+    val nullImg = lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("order_id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("invoice_number",
+        org.apache.spark.sql.types.LongType))))
+
+    def envelope(pos: org.apache.spark.sql.Column, op: String,
+                 before: org.apache.spark.sql.Column,
+                 after: org.apache.spark.sql.Column) =
+      to_json(struct(struct(
+        before.as("before"), after.as("after"),
+        struct((lit(1700000000000L) + pos).as("ts_ms"), pos.as("pos"),
+          lit("dev").as("db"), lit("invoice").as("table")).as("source"),
+        lit(op).as("op"), (lit(1700000000000L) + pos).as("ts_ms")).as("payload")))
+
+    val withH = base.crossJoin(broadcast(hp))
+    def posC(o: Int) = col("k").cast("long") * 10 + o
+    val inserts = withH.select(
+      envelope(posC(1), "c", nullImg, img(0, posC(1))).as("value"))
+    val updates1 = withH.filter(col("k") % 3 === 0).select(
+      envelope(posC(2), "u", img(0, posC(1)), img(1000, posC(2))).as("value"))
+    val updates2 = withH.filter(col("k") % 9 === 0).select(
+      envelope(posC(3), "u", img(1000, posC(2)), img(2000, posC(3))).as("value"))
+    // before-image of the delete carries the value AS WRITTEN at its last
+    // write position (not re-evaluated at the delete's own pos)
+    val lastBump = when(col("k") % 9 === 0, lit(2000L))
+      .when(col("k") % 3 === 0, lit(1000L)).otherwise(lit(0L))
+    val lastPos = when(col("k") % 9 === 0, posC(3))
+      .when(col("k") % 3 === 0, posC(2)).otherwise(posC(1))
+    val deletes = withH.filter(col("k") % 7 === 0).select(
+      envelope(posC(4), "d",
+        struct(col("k").as("order_id"),
+          (col("v").cast("long") + lastBump +
+            when(lastPos > col("hp"), lit(4000000000L)).otherwise(lit(0L)))
+            .as("invoice_number")),
+        nullImg).as("value"))
+    val truncates = base.agg(max(col("k").cast("long")).as("mk"))
+      .select(expr("(mk * 10) div 4").as("pos"))
+      .select(to_json(struct(struct(
+        struct((lit(1700000000000L) + col("pos")).as("ts_ms"), col("pos").as("pos"),
+          lit("dev").as("db"), lit("invoice").as("table")).as("source"),
+        lit("t").as("op"),
+        (lit(1700000000000L) + col("pos")).as("ts_ms")).as("payload"))).as("value"))
+    val ddl = hp
+      .select(to_json(struct(struct(
+        struct((lit(1700000000000L) + col("hp")).as("ts_ms"),
+          col("hp").as("pos")).as("source"),
+        (lit(1700000000000L) + col("hp")).as("ts_ms"),
+        lit("dev").as("databaseName"),
+        lit("ALTER TABLE invoice MODIFY COLUMN invoice_number BIGINT").as("ddl"))
+        .as("payload"))).as("value"))
+
+    inserts.unionByName(updates1).unionByName(updates2)
+      .unionByName(deletes).unionByName(truncates).unionByName(ddl)
+  }
+
   /** [[synthetic]] as a shared materialization: the `cdc_*` family all
     * fold over the same deterministic changelog, so the generator runs
     * once per (session, sfDir) and every query reads the checkpointed

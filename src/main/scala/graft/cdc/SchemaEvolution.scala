@@ -29,13 +29,17 @@ import org.apache.spark.sql.types._
   * (MySQL `ADD COLUMN` without `NOT NULL`), so a null/absent value in any
   * event — pre- or post-DDL — is legitimate data, not a partial parse.
   *
-  * Scope (deliberate): ADD COLUMN only, single-table ingress. DROP
-  * COLUMN and RENAME are parsed as inert — dropping a column from the
-  * replica would destroy replayability (an as-of snapshot BEFORE the
-  * drop still needs the data), and the safe rename is ADD + backfill,
-  * which arrives as ADD COLUMN anyway. A multi-table ingress would
-  * additionally filter history by the DDL's target table before
-  * evolving; the reference topology captures exactly one table.
+  * Scope (deliberate): ADD COLUMN and widening MODIFY COLUMN
+  * (int → bigint; VARCHAR growth is a no-op at the engine's string
+  * type), single-table ingress. DROP COLUMN and RENAME are parsed as
+  * inert — dropping a column from the replica would destroy
+  * replayability (an as-of snapshot BEFORE the drop still needs the
+  * data), and the safe rename is ADD + backfill, which arrives as ADD
+  * COLUMN anyway. A NARROWING modify fails loudly: silently truncating
+  * replica values can never be the right read of the history. A
+  * multi-table ingress would additionally filter history by the DDL's
+  * target table before evolving; the reference topology captures
+  * exactly one table.
   */
 object SchemaEvolution {
 
@@ -54,6 +58,9 @@ object SchemaEvolution {
   private val AddColRe =
     """(?i)ADD\s+(?:COLUMN\s+)?`?(\w+)`?\s+([A-Za-z]+)(?:\s*\(\s*\d+\s*\))?""".r
 
+  private val ModifyColRe =
+    """(?i)MODIFY\s+(?:COLUMN\s+)?`?(\w+)`?\s+([A-Za-z]+)(?:\s*\(\s*\d+\s*\))?""".r
+
   /** Columns added by one DDL statement; empty for any non-ADD-COLUMN DDL
     * (CREATE TABLE, DROP INDEX, … are captured history too — they don't
     * widen the image). Multiple `ADD COLUMN` clauses in one statement all
@@ -65,17 +72,52 @@ object SchemaEvolution {
       StructField(m.group(1), sparkTypeOf(m.group(2)), nullable = true)
     }.toSeq
 
+  /** Columns re-typed by one DDL statement (`MODIFY [COLUMN] name TYPE`).
+    * `CHANGE` (rename + retype) stays inert like RENAME — the safe rename
+    * is ADD + backfill.
+    */
+  def modifiedColumns(ddl: String): Seq[StructField] =
+    if (ddl == null) Seq.empty
+    else ModifyColRe.findAllMatchIn(ddl).map { m =>
+      StructField(m.group(1), sparkTypeOf(m.group(2)), nullable = true)
+    }.toSeq
+
+  /** true iff `to` can represent every value of `from` (the replica may
+    * only ever widen).
+    */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true // VARCHAR(16)→VARCHAR(64) lands here
+    case (IntegerType, LongType) => true
+    case _ => false
+  }
+
   /** Fold a pos-ordered DDL history into the evolved (spec, imageType).
     * Idempotent per column: a replayed or duplicated ADD of an existing
-    * column is a no-op, so re-processing history (at-least-once delivery)
-    * cannot double-append.
+    * column is a no-op (so at-least-once re-processing cannot
+    * double-append), and a replayed widening MODIFY finds the column
+    * already wide. A narrowing or incompatible MODIFY throws; a MODIFY of
+    * an unknown column throws (the history is inconsistent — applying the
+    * rest silently would desync the replica).
     */
   def evolve(spec: CdcSchema.CdcTableSpec, imageType: StructType,
              ddls: Seq[String]): (CdcSchema.CdcTableSpec, StructType) =
-    ddls.flatMap(addedColumns).foldLeft((spec, imageType)) {
-      case ((sp, ty), f) if !ty.fieldNames.contains(f.name) =>
-        (sp.copy(valueCols = sp.valueCols :+ f.name), StructType(ty.fields :+ f))
-      case (acc, _) => acc
+    ddls.foldLeft((spec, imageType)) { case ((sp0, ty0), ddl) =>
+      val added = addedColumns(ddl).foldLeft((sp0, ty0)) {
+        case ((sp, ty), f) if !ty.fieldNames.contains(f.name) =>
+          (sp.copy(valueCols = sp.valueCols :+ f.name), StructType(ty.fields :+ f))
+        case (acc, _) => acc
+      }
+      modifiedColumns(ddl).foldLeft(added) { case ((sp, ty), f) =>
+        val i = ty.fieldNames.indexOf(f.name)
+        require(i >= 0, s"MODIFY COLUMN ${f.name}: unknown column (history inconsistent)")
+        val cur = ty.fields(i).dataType
+        if (cur == f.dataType) (sp, ty) // replay / VARCHAR growth: no-op
+        else {
+          require(widens(cur, f.dataType),
+            s"MODIFY COLUMN ${f.name}: $cur -> ${f.dataType} does not widen; refusing to narrow the replica")
+          (sp, StructType(ty.fields.updated(i, ty.fields(i).copy(dataType = f.dataType))))
+        }
+      }
     }
 
   /** End-to-end evolved ingress: route the schema history out of the raw

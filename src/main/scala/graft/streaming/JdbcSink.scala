@@ -38,6 +38,12 @@ import graft.cdc.CdcSchema
   *
   * Everything here is plain `java.sql` — no driver classes referenced; the
   * driver jar on the executor classpath is discovered by DriverManager.
+  *
+  * Failure stance: a partition task that dies mid-apply (dropped
+  * connection, transient store error) is SAFE to re-run wholesale — every
+  * statement is a pos-guarded idempotent upsert, so Spark's ordinary task
+  * retry (`spark.task.maxFailures`) is the recovery mechanism; the sink
+  * deliberately adds no retry loop of its own.
   */
 object JdbcSink {
 
@@ -88,10 +94,17 @@ object JdbcSink {
       val probe = st.executeQuery(s"SELECT * FROM $table WHERE 1=0")
       val md = probe.getMetaData
       val existing = (1 to md.getColumnCount)
-        .map(i => md.getColumnName(i).toLowerCase).toSet
-      spec.valueCols.filterNot(c => existing(c.toLowerCase)).foreach { c =>
+        .map(i => md.getColumnName(i).toLowerCase -> md.getColumnType(i)).toMap
+      spec.valueCols.filterNot(c => existing.contains(c.toLowerCase)).foreach { c =>
         st.execute(
           s"ALTER TABLE $table ADD COLUMN $c ${sqlType(imageType(c).dataType)}")
+      }
+      // widen live INTEGER columns an evolved spec re-typed to BIGINT
+      // (MODIFY COLUMN application) — the only retype the engine allows
+      spec.valueCols.foreach { c =>
+        if (imageType(c).dataType == org.apache.spark.sql.types.LongType &&
+            existing.get(c.toLowerCase).contains(java.sql.Types.INTEGER))
+          st.execute(s"ALTER TABLE $table ALTER COLUMN $c SET DATA TYPE BIGINT")
       }
       st.execute(s"CREATE TABLE IF NOT EXISTS ${table}_meta (horizon BIGINT NOT NULL)")
       val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${table}_meta")

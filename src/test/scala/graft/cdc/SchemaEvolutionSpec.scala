@@ -74,6 +74,48 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(ty.fieldNames.toSeq === Seq("order_id", "invoice_number", "region"))
   }
 
+  test("MODIFY COLUMN widens int->bigint; narrowing and unknown columns refuse") {
+    import org.apache.spark.sql.types._
+    // widen: the image type re-types in place, valueCols unchanged
+    val (spec, ty) = SchemaEvolution.evolve(CdcSchema.invoiceSpec,
+      CdcSchema.invoiceType,
+      Seq("ALTER TABLE invoice MODIFY COLUMN invoice_number BIGINT",
+        "ALTER TABLE invoice MODIFY COLUMN invoice_number BIGINT")) // replay: no-op
+    assert(spec.valueCols === Seq("invoice_number"))
+    assert(ty("invoice_number").dataType === LongType)
+    // VARCHAR growth is a no-op at the engine's string type
+    val (_, ty2) = SchemaEvolution.evolve(spec, ty,
+      Seq("ALTER TABLE invoice ADD COLUMN region VARCHAR(16)",
+        "ALTER TABLE invoice MODIFY COLUMN region VARCHAR(64)"))
+    assert(ty2("region").dataType === StringType)
+    // narrowing refuses loudly
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.evolve(spec, ty,
+        Seq("ALTER TABLE invoice MODIFY COLUMN invoice_number INT"))
+    }
+    // MODIFY of a column the image never had: history is inconsistent
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.evolve(CdcSchema.invoiceSpec, CdcSchema.invoiceType,
+        Seq("ALTER TABLE invoice MODIFY COLUMN ghost BIGINT"))
+    }
+  }
+
+  test("mid-stream MODIFY widens the snapshot; post-DDL values exceed int32") {
+    def raw(lines: Seq[String]) =
+      spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val stream = Seq(
+      """{"payload":{"after":{"order_id":1,"invoice_number":10},"source":{"pos":1}}}""",
+      """{"payload":{"after":{"order_id":2,"invoice_number":20},"source":{"pos":2}}}""",
+      """{"payload":{"source":{"pos":5},"ts_ms":5,"databaseName":"dev","ddl":"ALTER TABLE invoice MODIFY COLUMN invoice_number BIGINT"}}""",
+      // post-DDL: key 1 rewritten past int32 range; key 2 untouched
+      """{"payload":{"before":{"order_id":1,"invoice_number":10},"after":{"order_id":1,"invoice_number":4000000010},"source":{"pos":6}}}""")
+    val snap = SchemaEvolution.snapshotEvolved(raw(stream))
+    assert(snap.schema("invoice_number").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val rows = snap.collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((1, 4000000010L), (2, 20L)))
+  }
+
   test("mid-stream ADD COLUMN widens the snapshot; pre-DDL rows null-fill") {
     def raw(lines: Seq[String]) =
       spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("value")

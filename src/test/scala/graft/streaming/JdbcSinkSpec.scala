@@ -124,6 +124,40 @@ class JdbcSinkSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("widening MODIFY re-types a live replica column via ALTER COLUMN") {
+    assume(driverAvailable, "duckdb jdbc driver not on test classpath")
+    import org.apache.spark.sql.types._
+    val url = freshDb()
+    // narrow batch creates the table with invoice_number INTEGER
+    JdbcSink.applyBatch(batchOf(
+      env("null", """{"order_id":1,"invoice_number":10}""", "c", 1)), url, "invoice")
+    val (espec, etype) = graft.cdc.SchemaEvolution.evolve(
+      graft.cdc.CdcSchema.invoiceSpec, graft.cdc.CdcSchema.invoiceType,
+      Seq("ALTER TABLE invoice MODIFY COLUMN invoice_number BIGINT"))
+    val wide = {
+      import spark.implicits._
+      graft.cdc.Changelog.fromEnvelopeJsonFor(
+        Seq("""{"payload":{"after":{"order_id":2,"invoice_number":4000000020},"source":{"pos":2}}}""")
+          .toDF("raw"),
+        graft.cdc.CdcSchema.invoiceSpec, etype.asInstanceOf[StructType], "raw")
+    }
+    JdbcSink.applyBatch(wide, url, "invoice", spec = espec)
+    val c = DriverManager.getConnection(url)
+    try {
+      val md = c.createStatement().executeQuery(
+        "SELECT * FROM invoice WHERE 1=0").getMetaData
+      val types = (1 to md.getColumnCount)
+        .map(i => md.getColumnName(i).toLowerCase -> md.getColumnType(i)).toMap
+      assert(types("invoice_number") === java.sql.Types.BIGINT)
+      val rs = c.createStatement().executeQuery(
+        "SELECT order_id, invoice_number FROM invoice ORDER BY order_id")
+      val buf = scala.collection.mutable.ListBuffer.empty[(Int, Long)]
+      while (rs.next()) buf += ((rs.getInt(1), rs.getLong(2)))
+      // the pre-widening row survives the retype; the wide row lands
+      assert(buf.toList === List((1, 10L), (2, 4000000020L)))
+    } finally c.close()
+  }
+
   test("batchSize=1 (per-row statements) and batched mode produce identical replicas") {
     assume(driverAvailable, "duckdb jdbc driver not on test classpath")
     val events = (1 to 50).map { i =>
