@@ -190,6 +190,38 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(espec.valueCols === Seq("invoice_number", "region"))
   }
 
+  test("streaming evolution: mid-stream MODIFY widens live int32 bucket state lazily") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft-widen").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    // micro-batch 1: two keys inserted narrow (int32 state files on disk)
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      """{"payload":{"after":{"order_id":1,"invoice_number":10},"source":{"pos":1}}}""",
+      """{"payload":{"after":{"order_id":2,"invoice_number":20},"source":{"pos":2}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    // micro-batch 2: the widening DDL plus a rewrite of key 1 past int32
+    // range — key 2's bucket file stays int32 at rest and must read back
+    // widened without a rewrite
+    Files.write(Paths.get(s"$in/b2.json"), Seq(
+      """{"payload":{"source":{"pos":5},"ts_ms":5,"databaseName":"dev","ddl":"ALTER TABLE invoice MODIFY COLUMN invoice_number BIGINT"}}""",
+      """{"payload":{"before":{"order_id":1,"invoice_number":10},"after":{"order_id":1,"invoice_number":4000000010},"source":{"pos":6}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    assert(new java.io.File(s"$in/b1.json").setLastModified(
+      new java.io.File(s"$in/b2.json").lastModified() - 60000))
+    val q = graft.streaming.CdcStream.runRoutedEvolving(
+      spark.readStream.option("maxFilesPerTrigger", 1).text(in)
+        .withColumnRenamed("value", "raw"), "raw",
+      s"$base/dead", s"$base/schema", s"$base/audit", s"$base/state", s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    val snap = graft.streaming.CdcStream.partitionedSnapshotEvolved(
+      spark, s"$base/state", s"$base/schema")
+    assert(snap.schema("invoice_number").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val rows = snap.collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((1, 4000000010L), (2, 20L)))
+  }
+
   test("full-schema envelopes (embedded Connect schema block) parse identically") {
     // the wire's ~90%-dead-weight `schema` sibling is pruned by omission
     val withSchemaBlock =
