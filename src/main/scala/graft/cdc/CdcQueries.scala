@@ -81,9 +81,10 @@ object CdcQueries {
       CdcApply.snapshotFor(log, espec)
     })
 
-  /** Evolved ingress with every stage that is INGEST-time work — the
-    * generated wire corpus, the routed DDL history, and the PARSED
-    * changelog — as shared materializations: in the product topology the
+  /** [[SchemaEvolution.evolvedIngress]] with every stage that is
+    * INGEST-time work — the generated wire corpus, the routed DDL
+    * history, and the PARSED changelog — pinned as shared
+    * materializations via the `stage` hook: in the product topology the
     * stream is parsed exactly once on arrival (the audit log is that
     * parsed form, `CdcStream.runRouted`), so a query folding it reads
     * the retained changelog, not raw JSON. Re-paying a 2.6M-envelope
@@ -96,13 +97,9 @@ object CdcQueries {
                                gen: (SparkSession, String) => DataFrame)
       : (CdcSchema.CdcTableSpec, DataFrame) = {
     val raw = graft.Shared.materialize(s, d, s"${keyPrefix}_json")(gen(s, d))
-    val hist = graft.Shared.materialize(s, d, s"${keyPrefix}_hist")(
-      Changelog.schemaHistory(raw))
-    val ddls = hist.orderBy("pos").select("ddl").collect().map(_.getString(0)).toSeq
-    val (espec, etype) = SchemaEvolution.evolve(
-      CdcSchema.invoiceSpec, CdcSchema.invoiceType, ddls)
-    val log = graft.Shared.materialize(s, d, s"${keyPrefix}_log")(
-      Changelog.fromEnvelopeJsonFor(raw, CdcSchema.invoiceSpec, etype))
+    val (espec, _, log) = SchemaEvolution.evolvedIngress(
+      raw, CdcSchema.invoiceSpec, CdcSchema.invoiceType,
+      stage = (name, df) => graft.Shared.materialize(s, d, s"${keyPrefix}_$name")(df))
     (espec, log)
   }
 
@@ -227,7 +224,7 @@ object CdcQueries {
         |  SELECT key, a_inv, is_del,
         |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos DESC) AS rn
         |  FROM live)
-        |SELECT CAST(key AS BIGINT) AS order_id, CAST(a_inv AS BIGINT) AS invoice_number
+        |SELECT key AS order_id, CAST(a_inv AS BIGINT) AS invoice_number
         |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin,
     "cdc_consistency_diff" ->
       s"""$cte, ranked AS (

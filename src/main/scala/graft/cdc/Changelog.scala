@@ -280,6 +280,37 @@ object Changelog {
     * One JSON-serialization pass over the same narrow branches as
     * [[synthetic]]; the DDL row is a 1-row aggregate, unioned in.
     */
+  // Wire-format scaffolding shared by the evolved/widened generators —
+  // one definition of the envelope/truncate/DDL JSON shapes so the two
+  // fixtures cannot drift apart.
+  private def wireEnvelope(pos: org.apache.spark.sql.Column, op: String,
+                           before: org.apache.spark.sql.Column,
+                           after: org.apache.spark.sql.Column) =
+    to_json(struct(struct(
+      before.as("before"), after.as("after"),
+      struct((lit(1700000000000L) + pos).as("ts_ms"), pos.as("pos"),
+        lit("dev").as("db"), lit("invoice").as("table")).as("source"),
+      lit(op).as("op"), (lit(1700000000000L) + pos).as("ts_ms")).as("payload")))
+
+  /** One truncate envelope at pos = (max(k)·10) div 4. */
+  private def wireTruncate(base: DataFrame): DataFrame =
+    base.agg(max(col("k").cast("long")).as("mk"))
+      .select(expr("(mk * 10) div 4").as("pos"))
+      .select(to_json(struct(struct(
+        struct((lit(1700000000000L) + col("pos")).as("ts_ms"), col("pos").as("pos"),
+          lit("dev").as("db"), lit("invoice").as("table")).as("source"),
+        lit("t").as("op"),
+        (lit(1700000000000L) + col("pos")).as("ts_ms")).as("payload"))).as("value"))
+
+  /** One schema-change envelope carrying `ddl` at the `hp` position. */
+  private def wireDdl(hp: DataFrame, ddl: String): DataFrame =
+    hp.select(to_json(struct(struct(
+      struct((lit(1700000000000L) + col("hp")).as("ts_ms"),
+        col("hp").as("pos")).as("source"),
+      (lit(1700000000000L) + col("hp")).as("ts_ms"),
+      lit("dev").as("databaseName"),
+      lit(ddl).as("ddl")).as("payload"))).as("value"))
+
   def syntheticEvolvedJson(spark: SparkSession, sfDir: String): DataFrame = {
     val base = graft.Tables.orders(spark, sfDir)
       .select(
@@ -295,15 +326,10 @@ object Changelog {
     val evolvedNull = lit(null).cast(org.apache.spark.sql.types.StructType(
       CdcSchema.invoiceType.fields :+ org.apache.spark.sql.types.StructField(
         "region", org.apache.spark.sql.types.StringType)))
-
     def envelope(pos: org.apache.spark.sql.Column, op: String,
                  before: org.apache.spark.sql.Column,
                  after: org.apache.spark.sql.Column) =
-      to_json(struct(struct(
-        before.as("before"), after.as("after"),
-        struct((lit(1700000000000L) + pos).as("ts_ms"), pos.as("pos"),
-          lit("dev").as("db"), lit("invoice").as("table")).as("source"),
-        lit(op).as("op"), (lit(1700000000000L) + pos).as("ts_ms")).as("payload")))
+      wireEnvelope(pos, op, before, after)
 
     val withH = base.crossJoin(broadcast(hp))
     def posC(o: Int) = col("k").cast("long") * 10 + o
@@ -320,24 +346,11 @@ object Changelog {
       .otherwise(col("v"))
     val deletes = withH.filter(col("k") % 7 === 0).select(
       envelope(posC(4), "d", img(col("k"), lastInv, posC(4)), evolvedNull).as("value"))
-    val truncates = base.agg(max(col("k").cast("long")).as("mk"))
-      .select(expr("(mk * 10) div 4").as("pos"))
-      .select(to_json(struct(struct(
-        struct((lit(1700000000000L) + col("pos")).as("ts_ms"), col("pos").as("pos"),
-          lit("dev").as("db"), lit("invoice").as("table")).as("source"),
-        lit("t").as("op"),
-        (lit(1700000000000L) + col("pos")).as("ts_ms")).as("payload"))).as("value"))
-    val ddl = hp
-      .select(to_json(struct(struct(
-        struct((lit(1700000000000L) + col("hp")).as("ts_ms"),
-          col("hp").as("pos")).as("source"),
-        (lit(1700000000000L) + col("hp")).as("ts_ms"),
-        lit("dev").as("databaseName"),
-        lit("ALTER TABLE invoice ADD COLUMN region VARCHAR(16)").as("ddl"))
-        .as("payload"))).as("value"))
 
     inserts.unionByName(updates1).unionByName(updates2)
-      .unionByName(deletes).unionByName(truncates).unionByName(ddl)
+      .unionByName(deletes).unionByName(wireTruncate(base))
+      .unionByName(wireDdl(hp,
+        "ALTER TABLE invoice ADD COLUMN region VARCHAR(16)"))
   }
 
   /** Wire-format JSON changelog with a mid-stream widening
@@ -367,23 +380,14 @@ object Changelog {
       org.apache.spark.sql.types.StructField("invoice_number",
         org.apache.spark.sql.types.LongType))))
 
-    def envelope(pos: org.apache.spark.sql.Column, op: String,
-                 before: org.apache.spark.sql.Column,
-                 after: org.apache.spark.sql.Column) =
-      to_json(struct(struct(
-        before.as("before"), after.as("after"),
-        struct((lit(1700000000000L) + pos).as("ts_ms"), pos.as("pos"),
-          lit("dev").as("db"), lit("invoice").as("table")).as("source"),
-        lit(op).as("op"), (lit(1700000000000L) + pos).as("ts_ms")).as("payload")))
-
     val withH = base.crossJoin(broadcast(hp))
     def posC(o: Int) = col("k").cast("long") * 10 + o
     val inserts = withH.select(
-      envelope(posC(1), "c", nullImg, img(0, posC(1))).as("value"))
+      wireEnvelope(posC(1), "c", nullImg, img(0, posC(1))).as("value"))
     val updates1 = withH.filter(col("k") % 3 === 0).select(
-      envelope(posC(2), "u", img(0, posC(1)), img(1000, posC(2))).as("value"))
+      wireEnvelope(posC(2), "u", img(0, posC(1)), img(1000, posC(2))).as("value"))
     val updates2 = withH.filter(col("k") % 9 === 0).select(
-      envelope(posC(3), "u", img(1000, posC(2)), img(2000, posC(3))).as("value"))
+      wireEnvelope(posC(3), "u", img(1000, posC(2)), img(2000, posC(3))).as("value"))
     // before-image of the delete carries the value AS WRITTEN at its last
     // write position (not re-evaluated at the delete's own pos)
     val lastBump = when(col("k") % 9 === 0, lit(2000L))
@@ -391,30 +395,17 @@ object Changelog {
     val lastPos = when(col("k") % 9 === 0, posC(3))
       .when(col("k") % 3 === 0, posC(2)).otherwise(posC(1))
     val deletes = withH.filter(col("k") % 7 === 0).select(
-      envelope(posC(4), "d",
+      wireEnvelope(posC(4), "d",
         struct(col("k").as("order_id"),
           (col("v").cast("long") + lastBump +
             when(lastPos > col("hp"), lit(4000000000L)).otherwise(lit(0L)))
             .as("invoice_number")),
         nullImg).as("value"))
-    val truncates = base.agg(max(col("k").cast("long")).as("mk"))
-      .select(expr("(mk * 10) div 4").as("pos"))
-      .select(to_json(struct(struct(
-        struct((lit(1700000000000L) + col("pos")).as("ts_ms"), col("pos").as("pos"),
-          lit("dev").as("db"), lit("invoice").as("table")).as("source"),
-        lit("t").as("op"),
-        (lit(1700000000000L) + col("pos")).as("ts_ms")).as("payload"))).as("value"))
-    val ddl = hp
-      .select(to_json(struct(struct(
-        struct((lit(1700000000000L) + col("hp")).as("ts_ms"),
-          col("hp").as("pos")).as("source"),
-        (lit(1700000000000L) + col("hp")).as("ts_ms"),
-        lit("dev").as("databaseName"),
-        lit("ALTER TABLE invoice MODIFY COLUMN invoice_number BIGINT").as("ddl"))
-        .as("payload"))).as("value"))
 
     inserts.unionByName(updates1).unionByName(updates2)
-      .unionByName(deletes).unionByName(truncates).unionByName(ddl)
+      .unionByName(deletes).unionByName(wireTruncate(base))
+      .unionByName(wireDdl(hp,
+        "ALTER TABLE invoice MODIFY COLUMN invoice_number BIGINT"))
   }
 
   /** [[synthetic]] as a shared materialization: the `cdc_*` family all

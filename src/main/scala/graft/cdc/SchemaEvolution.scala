@@ -31,28 +31,35 @@ import org.apache.spark.sql.types._
   *
   * Scope (deliberate): ADD COLUMN and widening MODIFY COLUMN
   * (int → bigint; VARCHAR growth is a no-op at the engine's string
-  * type), single-table ingress. DROP COLUMN and RENAME are parsed as
-  * inert — dropping a column from the replica would destroy
-  * replayability (an as-of snapshot BEFORE the drop still needs the
-  * data), and the safe rename is ADD + backfill, which arrives as ADD
-  * COLUMN anyway. A NARROWING modify fails loudly: silently truncating
-  * replica values can never be the right read of the history. A
-  * multi-table ingress would additionally filter history by the DDL's
-  * target table before evolving; the reference topology captures
-  * exactly one table.
+  * type), single-table ingress. EVERYTHING ELSE in the captured
+  * history is INERT — DROP COLUMN, RENAME, CHANGE, a MODIFY that does
+  * not widen (the replica's type lattice only moves UP: a column that
+  * ever held longs keeps representing every future int exactly, so
+  * ignoring an upstream narrowing loses nothing), a MODIFY of a column
+  * the image never tracked, and ADD/MODIFY with types outside the
+  * engine's int32/int64/string carrier. Inertness here is an
+  * OPERABILITY invariant, not laxity: the history is persisted before
+  * it is folded (`CdcStream.runRoutedEvolving` writes
+  * `schemaHistoryDir` first), so a fold that THREW on an out-of-scope
+  * statement would wedge the stream permanently — every restart
+  * re-reads the same poison DDL. The full statement stays in the
+  * history for audit; the spec simply does not move. A multi-table
+  * ingress would additionally filter history by the DDL's target
+  * table before evolving; the reference topology captures exactly
+  * one table.
   */
 object SchemaEvolution {
 
   /** MySQL column type → Spark type, for the narrow set the envelope
-    * carries (SURVEY §1.2: int32 / int64 / string).
+    * carries (SURVEY §1.2: int32 / int64 / string); None for anything
+    * outside the carrier — the clause is then inert (see the scope note).
     */
-  private def sparkTypeOf(mysqlType: String): DataType =
+  private def sparkTypeOf(mysqlType: String): Option[DataType] =
     mysqlType.toUpperCase match {
-      case "INT" | "INTEGER" | "SMALLINT" | "TINYINT" | "MEDIUMINT" => IntegerType
-      case "BIGINT" => LongType
-      case "VARCHAR" | "CHAR" | "TEXT" | "TINYTEXT" | "MEDIUMTEXT" | "LONGTEXT" => StringType
-      case other => throw new IllegalArgumentException(
-        s"unsupported ADD COLUMN type $other (engine carries int32/int64/string)")
+      case "INT" | "INTEGER" | "SMALLINT" | "TINYINT" | "MEDIUMINT" => Some(IntegerType)
+      case "BIGINT" => Some(LongType)
+      case "VARCHAR" | "CHAR" | "TEXT" | "TINYTEXT" | "MEDIUMTEXT" | "LONGTEXT" => Some(StringType)
+      case _ => None
     }
 
   private val AddColRe =
@@ -63,23 +70,24 @@ object SchemaEvolution {
 
   /** Columns added by one DDL statement; empty for any non-ADD-COLUMN DDL
     * (CREATE TABLE, DROP INDEX, … are captured history too — they don't
-    * widen the image). Multiple `ADD COLUMN` clauses in one statement all
-    * apply, in clause order.
+    * widen the image) and for ADDs of out-of-carrier types (inert).
+    * Multiple `ADD COLUMN` clauses in one statement all apply, in clause
+    * order.
     */
   def addedColumns(ddl: String): Seq[StructField] =
     if (ddl == null) Seq.empty
-    else AddColRe.findAllMatchIn(ddl).map { m =>
-      StructField(m.group(1), sparkTypeOf(m.group(2)), nullable = true)
+    else AddColRe.findAllMatchIn(ddl).flatMap { m =>
+      sparkTypeOf(m.group(2)).map(t => StructField(m.group(1), t, nullable = true))
     }.toSeq
 
-  /** Columns re-typed by one DDL statement (`MODIFY [COLUMN] name TYPE`).
-    * `CHANGE` (rename + retype) stays inert like RENAME — the safe rename
-    * is ADD + backfill.
+  /** Columns re-typed by one DDL statement (`MODIFY [COLUMN] name TYPE`);
+    * out-of-carrier types are inert. `CHANGE` (rename + retype) stays
+    * inert like RENAME — the safe rename is ADD + backfill.
     */
   def modifiedColumns(ddl: String): Seq[StructField] =
     if (ddl == null) Seq.empty
-    else ModifyColRe.findAllMatchIn(ddl).map { m =>
-      StructField(m.group(1), sparkTypeOf(m.group(2)), nullable = true)
+    else ModifyColRe.findAllMatchIn(ddl).flatMap { m =>
+      sparkTypeOf(m.group(2)).map(t => StructField(m.group(1), t, nullable = true))
     }.toSeq
 
   /** true iff `to` can represent every value of `from` (the replica may
@@ -95,9 +103,10 @@ object SchemaEvolution {
     * Idempotent per column: a replayed or duplicated ADD of an existing
     * column is a no-op (so at-least-once re-processing cannot
     * double-append), and a replayed widening MODIFY finds the column
-    * already wide. A narrowing or incompatible MODIFY throws; a MODIFY of
-    * an unknown column throws (the history is inconsistent — applying the
-    * rest silently would desync the replica).
+    * already wide. A MODIFY that does not widen — narrowing, unknown
+    * column, out-of-carrier type — is INERT (see the scope note above:
+    * the wide replica type already represents every future value, and
+    * throwing on persisted history would wedge the stream).
     */
   def evolve(spec: CdcSchema.CdcTableSpec, imageType: StructType,
              ddls: Seq[String]): (CdcSchema.CdcTableSpec, StructType) =
@@ -109,14 +118,10 @@ object SchemaEvolution {
       }
       modifiedColumns(ddl).foldLeft(added) { case ((sp, ty), f) =>
         val i = ty.fieldNames.indexOf(f.name)
-        require(i >= 0, s"MODIFY COLUMN ${f.name}: unknown column (history inconsistent)")
-        val cur = ty.fields(i).dataType
-        if (cur == f.dataType) (sp, ty) // replay / VARCHAR growth: no-op
-        else {
-          require(widens(cur, f.dataType),
-            s"MODIFY COLUMN ${f.name}: $cur -> ${f.dataType} does not widen; refusing to narrow the replica")
+        if (i >= 0 && ty.fields(i).dataType != f.dataType &&
+            widens(ty.fields(i).dataType, f.dataType))
           (sp, StructType(ty.fields.updated(i, ty.fields(i).copy(dataType = f.dataType))))
-        }
+        else (sp, ty) // replay, VARCHAR growth, narrowing, unknown: inert
       }
     }
 
@@ -125,17 +130,24 @@ object SchemaEvolution {
     * the evolved image schema. Returns the evolved spec + type alongside
     * the normalized changelog so callers can fold, project, or DDL further
     * downstream sinks (e.g. `JdbcSink.ensureTable` with the widened type).
+    *
+    * `stage` wraps the two ingest-time frames (the routed DDL history and
+    * the parsed changelog) so a caller can pin them — e.g.
+    * `graft.Shared.materialize` in the query registry, where the parse
+    * must not be re-paid per fold. Identity by default.
     */
   def evolvedIngress(raw: DataFrame, spec: CdcSchema.CdcTableSpec,
-                     imageType: StructType, valueCol: String = "value")
+                     imageType: StructType, valueCol: String = "value",
+                     stage: (String, DataFrame) => DataFrame = (_, df) => df)
       : (CdcSchema.CdcTableSpec, StructType, DataFrame) = {
     // bounded driver-side read: O(schema changes), never O(events)
-    val ddls = Changelog.schemaHistory(raw, valueCol)
+    val ddls = stage("hist", Changelog.schemaHistory(raw, valueCol))
       .orderBy("pos").select("ddl").collect().map(_.getString(0)).toSeq
     val (espec, etype) = evolve(spec, imageType, ddls)
     // validity stays gated on the BASE spec (added cols are nullable);
     // the parse schema is the EVOLVED type (old events null-fill)
-    (espec, etype, Changelog.fromEnvelopeJsonFor(raw, spec, etype, valueCol))
+    (espec, etype,
+      stage("log", Changelog.fromEnvelopeJsonFor(raw, spec, etype, valueCol)))
   }
 
   /** Widened replica snapshot from a raw envelope stream containing data

@@ -269,12 +269,8 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         fixedPoint(org.apache.spark.ml.functions.vector_to_array(col("features"))).as("v"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$out/cells")
-    // the coarse quantizer rides with the index (k rows) — the serving
-    // path needs it to pick probe cells for an external query vector
-    s.createDataFrame(model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray.toSeq) })
-      .toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(s"$out/centroids")
+    // the coarse quantizer rides with the index (k rows)
+    writeCentroids(s, out, model)
   }
 
   /** Partition-pruned read of the probed cells. */
@@ -290,8 +286,7 @@ object Similarity {
     */
   def annIvfTopkFromIndexForVec(s: SparkSession, out: String,
                                 qvec: Array[Double], nProbe: Int = 4): DataFrame = {
-    def fx(x: Double): Long = math.floor(x * graft.functions.VectorFns.Scale).toLong
-    val qFx = qvec.map(fx)
+    val qFx = qvec.map(fxLong)
     def cos(a: Array[Long], b: Array[Long]): Double = {
       val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
       dot / math.sqrt(a.map(x => x.toDouble * x).sum) /
@@ -299,7 +294,7 @@ object Similarity {
     }
     val probeCells = s.read.parquet(s"$out/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .map { case (cell, c) => (cell, cos(c.map(fx), qFx)) }
+      .map { case (cell, c) => (cell, cos(c.map(fxLong), qFx)) }
       .sortBy { case (cell, sim) => (-sim, cell) }
       .take(nProbe).map(_._1)
     readIvfCells(s, out, probeCells.toSeq)
@@ -438,18 +433,59 @@ object Similarity {
         seed = 42L + j, iters = 10)).toArray
   }
 
+  /** Driver-side scalar of the dyadic fixed-point lift (VectorFns.Scale)
+    * — the one definition every serving path shares.
+    */
+  private def fxLong(x: Double): Long =
+    math.floor(x * graft.functions.VectorFns.Scale).toLong
+
+  /** The [m][k][sub] codebooks back from `out/codebooks` — shared by
+    * every from-index serving path.
+    */
+  private def loadCodebooks(s: SparkSession, out: String): Array[Array[Array[Double]]] = {
+    val raw = s.read.parquet(s"$out/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    Array.tabulate(PqM)(j => raw.filter(_._1 == j).sortBy(_._2).map(_._3))
+  }
+
+  /** Persist codebooks as (j, code, centroid) rows alongside an index. */
+  private def writeCodebooks(s: SparkSession, out: String,
+                             codebooks: Array[Array[Array[Double]]]): Unit = {
+    val rows = for {
+      (cb, j) <- codebooks.zipWithIndex.toSeq
+      (c, code) <- cb.zipWithIndex
+    } yield (j, code, c.toSeq)
+    s.createDataFrame(rows).toDF("j", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$out/codebooks")
+  }
+
+  /** Persist the k coarse centroids as (cell, centroid) rows — the
+    * serving path needs them to pick probe cells for an external query.
+    */
+  private def writeCentroids(s: SparkSession, out: String,
+                             model: org.apache.spark.ml.clustering.KMeansModel): Unit =
+    s.createDataFrame(model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$out/centroids")
+
+  /** ADC approximate dot over a stored `codes` column: the sum of one
+    * table lookup per subspace — map-only, no explode, no join.
+    */
+  private def adcDot(tables: Array[Array[Long]]): org.apache.spark.sql.Column =
+    (0 until PqM).map(j =>
+      element_at(typedLit(tables(j)), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+
   /** ADC tables: fixed-point dot of the query subvector with every
     * codeword — m×k longs, computed on the driver, shipped as literals.
     */
   private def pqTablesFor(codebooks: Array[Array[Array[Double]]],
-                          qvec: Array[Double]): Array[Array[Long]] = {
-    def fx(x: Double): Long =
-      math.floor(x * graft.functions.VectorFns.Scale).toLong
+                          qvec: Array[Double]): Array[Array[Long]] =
     Array.tabulate(PqM) { j =>
-      val q = qvec.slice(j * PqSub, (j + 1) * PqSub).map(fx)
-      codebooks(j).map(c => c.map(fx).zip(q).map { case (a, b) => a * b }.sum)
+      val q = qvec.slice(j * PqSub, (j + 1) * PqSub).map(fxLong)
+      codebooks(j).map(c => c.map(fxLong).zip(q).map { case (a, b) => a * b }.sum)
     }
-  }
 
   private def storedQueryVec(s: SparkSession, dir: String): Array[Double] =
     Tables.embeddings(s, dir).filter(col("vec_id") === QueryVec)
@@ -494,18 +530,14 @@ object Similarity {
     val codebooks = pqCodebooks(s, dir)
     val tables = pqTables(s, dir, codebooks)
 
-    // encode once (native, one fused loop), then ADC-score: the table
-    // entry per subspace joins the approximate dot sum. Two projections —
-    // CollapseProject keeps them separate because `codes` is non-cheap
-    // and consumed PqM times; collapsing would re-encode per lookup.
-    val adot = (0 until PqM).map(j =>
-      element_at(typedLit(tables(j)), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
-
+    // encode once (native, one fused loop), then ADC-score. Two
+    // projections — CollapseProject keeps them separate because `codes`
+    // is non-cheap and consumed PqM times; collapsing would re-encode
+    // per lookup.
     val candidates = vecs
       .filter(col("vec_id") =!= QueryVec)
       .select(col("vec_id"), pqNative(s, codebooks, col("embedding")).as("codes"))
-      .select(col("vec_id"), adot.as("adot"))
+      .select(col("vec_id"), adcDot(tables).as("adot"))
       .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)
     // broadcast the CONSTANT-size candidate set: without the hint the
     // re-rank would shuffle the corpus to sort-merge against 100 rows
@@ -528,12 +560,7 @@ object Similarity {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), pqNative(s, codebooks, col("embedding")).as("codes"))
       .write.mode("overwrite").parquet(s"$out/codes")
-    val rows = for {
-      (cb, j) <- codebooks.zipWithIndex.toSeq
-      (c, code) <- cb.zipWithIndex
-    } yield (j, code, c.toSeq)
-    s.createDataFrame(rows).toDF("j", "code", "centroid")
-      .write.mode("overwrite").parquet(s"$out/codebooks")
+    writeCodebooks(s, out, codebooks)
   }
 
   /** [[annPqTopk]] served FROM the persisted index: the ADC tables come
@@ -544,18 +571,11 @@ object Similarity {
     * (same deterministic codebooks) — pinned by PqSpec.
     */
   def annPqTopkFromIndex(s: SparkSession, dir: String, out: String): DataFrame = {
-    val codebooks: Array[Array[Array[Double]]] = {
-      val raw = s.read.parquet(s"$out/codebooks")
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      Array.tabulate(PqM)(j => raw.filter(_._1 == j).sortBy(_._2).map(_._3))
-    }
+    val codebooks = loadCodebooks(s, out)
     val tables = pqTables(s, dir, codebooks)
-    val adot = (0 until PqM).map(j =>
-      element_at(typedLit(tables(j)), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
     val candidates = s.read.parquet(s"$out/codes")
       .filter(col("vec_id") =!= QueryVec)
-      .select(col("vec_id"), adot.as("adot"))
+      .select(col("vec_id"), adcDot(tables).as("adot"))
       .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)
     // broadcast the CONSTANT-size candidate set: without the hint the
     // re-rank would shuffle the corpus to sort-merge against 100 rows
@@ -576,22 +596,14 @@ object Similarity {
     */
   def annPqTopkFromIndexForVec(s: SparkSession, dir: String, out: String,
                                qvec: Array[Double]): DataFrame = {
-    val codebooks: Array[Array[Array[Double]]] = {
-      val raw = s.read.parquet(s"$out/codebooks")
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      Array.tabulate(PqM)(j => raw.filter(_._1 == j).sortBy(_._2).map(_._3))
-    }
+    val codebooks = loadCodebooks(s, out)
     require(qvec.length == PqM * PqSub,
       s"query vector must have ${PqM * PqSub} dims, got ${qvec.length}")
     val tables = pqTablesFor(codebooks, qvec)
-    val adot = (0 until PqM).map(j =>
-      element_at(typedLit(tables(j)), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
     val candidates = s.read.parquet(s"$out/codes")
-      .select(col("vec_id"), adot.as("adot"))
+      .select(col("vec_id"), adcDot(tables).as("adot"))
       .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)
-    val qFx = qvec.map(x =>
-      math.floor(x * graft.functions.VectorFns.Scale).toLong)
+    val qFx = qvec.map(fxLong)
     broadcast(candidates).join(corpus(s, dir), "vec_id")
       .withColumn("qv", typedLit(qFx))
       .withColumn("cosine", cosNative(s, col("v"), col("qv")))
@@ -630,16 +642,8 @@ object Similarity {
         pqNative(s, codebooks,
           org.apache.spark.ml.functions.vector_to_array(col("features"))).as("codes"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
-    s.createDataFrame(model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray.toSeq) })
-      .toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(s"$out/centroids")
-    val rows = for {
-      (cb, j) <- codebooks.zipWithIndex.toSeq
-      (c, code) <- cb.zipWithIndex
-    } yield (j, code, c.toSeq)
-    s.createDataFrame(rows).toDF("j", "code", "centroid")
-      .write.mode("overwrite").parquet(s"$out/codebooks")
+    writeCentroids(s, out, model)
+    writeCodebooks(s, out, codebooks)
   }
 
   /** Serve an external query vector from the at-rest IVF-PQ index: probe
@@ -652,31 +656,21 @@ object Similarity {
                                   qvec: Array[Double], nProbe: Int = 4): DataFrame = {
     require(qvec.length == PqM * PqSub,
       s"query vector must have ${PqM * PqSub} dims, got ${qvec.length}")
-    def fx(x: Double): Long =
-      math.floor(x * graft.functions.VectorFns.Scale).toLong
-    val qFx = qvec.map(fx)
+    val qFx = qvec.map(fxLong)
     // driver-side probe selection: k centroid rows, exact fixed-point cosine
     val cents = s.read.parquet(s"$out/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     def cos(c: Array[Double]): Double = {
-      val cf = c.map(fx)
+      val cf = c.map(fxLong)
       val dot = cf.zip(qFx).map { case (a, b) => a * b }.sum.toDouble
       dot / math.sqrt(cf.map(x => x * x).sum.toDouble * qFx.map(x => x * x).sum.toDouble)
     }
     val probed = cents.sortBy { case (cell, c) => (-cos(c), cell) }
       .take(nProbe).map(_._1)
-    val codebooks: Array[Array[Array[Double]]] = {
-      val raw = s.read.parquet(s"$out/codebooks")
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      Array.tabulate(PqM)(j => raw.filter(_._1 == j).sortBy(_._2).map(_._3))
-    }
-    val tables = pqTablesFor(codebooks, qvec)
-    val adot = (0 until PqM).map(j =>
-      element_at(typedLit(tables(j)), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
+    val tables = pqTablesFor(loadCodebooks(s, out), qvec)
     val candidates = s.read.parquet(s"$out/codes")
-      .filter(col("cell").isin(probed.map(Int.box): _*)) // partition-pruned
-      .select(col("vec_id"), adot.as("adot"))
+      .filter(col("cell").isin(probed.toSeq.map(Int.box): _*)) // partition-pruned
+      .select(col("vec_id"), adcDot(tables).as("adot"))
       .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)
     broadcast(candidates).join(corpus(s, dir), "vec_id")
       .withColumn("qv", typedLit(qFx))

@@ -100,8 +100,11 @@ object JdbcSink {
           s"ALTER TABLE $table ADD COLUMN $c ${sqlType(imageType(c).dataType)}")
       }
       // widen live INTEGER columns an evolved spec re-typed to BIGINT
-      // (MODIFY COLUMN application) — the only retype the engine allows
-      spec.valueCols.foreach { c =>
+      // (MODIFY COLUMN application) — the only retype the engine allows.
+      // The KEY column is included: evolve() widens it in the image type
+      // like any other, and a post-DDL key past int32 range must not hit
+      // an INTEGER primary-key column
+      (spec.key +: spec.valueCols).foreach { c =>
         if (imageType(c).dataType == org.apache.spark.sql.types.LongType &&
             existing.get(c.toLowerCase).contains(java.sql.Types.INTEGER))
           st.execute(s"ALTER TABLE $table ALTER COLUMN $c SET DATA TYPE BIGINT")

@@ -63,9 +63,9 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(SchemaEvolution.addedColumns("CREATE TABLE invoice (order_id INT)") === Seq.empty)
     assert(SchemaEvolution.addedColumns("DROP INDEX idx ON invoice") === Seq.empty)
     assert(SchemaEvolution.addedColumns(null) === Seq.empty)
-    intercept[IllegalArgumentException] {
-      SchemaEvolution.addedColumns("ALTER TABLE t ADD COLUMN b BLOB")
-    }
+    // out-of-carrier type: inert, never a throw (the history is persisted
+    // before it is folded — a poison DDL must not wedge the stream)
+    assert(SchemaEvolution.addedColumns("ALTER TABLE t ADD COLUMN b BLOB") === Seq.empty)
     val (spec, ty) = SchemaEvolution.evolve(CdcSchema.invoiceSpec,
       CdcSchema.invoiceType,
       Seq("ALTER TABLE invoice ADD COLUMN region VARCHAR(16)",
@@ -74,7 +74,7 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(ty.fieldNames.toSeq === Seq("order_id", "invoice_number", "region"))
   }
 
-  test("MODIFY COLUMN widens int->bigint; narrowing and unknown columns refuse") {
+  test("MODIFY COLUMN widens int->bigint; non-widening MODIFY is inert") {
     import org.apache.spark.sql.types._
     // widen: the image type re-types in place, valueCols unchanged
     val (spec, ty) = SchemaEvolution.evolve(CdcSchema.invoiceSpec,
@@ -88,16 +88,18 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       Seq("ALTER TABLE invoice ADD COLUMN region VARCHAR(16)",
         "ALTER TABLE invoice MODIFY COLUMN region VARCHAR(64)"))
     assert(ty2("region").dataType === StringType)
-    // narrowing refuses loudly
-    intercept[IllegalArgumentException] {
-      SchemaEvolution.evolve(spec, ty,
-        Seq("ALTER TABLE invoice MODIFY COLUMN invoice_number INT"))
-    }
-    // MODIFY of a column the image never had: history is inconsistent
-    intercept[IllegalArgumentException] {
-      SchemaEvolution.evolve(CdcSchema.invoiceSpec, CdcSchema.invoiceType,
-        Seq("ALTER TABLE invoice MODIFY COLUMN ghost BIGINT"))
-    }
+    // the replica's type lattice only moves UP; everything non-widening
+    // in the persisted history is inert so a restart never re-throws:
+    // narrowing (long already represents every future int exactly),
+    // unknown column, out-of-carrier type
+    assert(SchemaEvolution.evolve(spec, ty,
+      Seq("ALTER TABLE invoice MODIFY COLUMN invoice_number INT")) === ((spec, ty)))
+    assert(SchemaEvolution.evolve(CdcSchema.invoiceSpec, CdcSchema.invoiceType,
+      Seq("ALTER TABLE invoice MODIFY COLUMN ghost BIGINT"))
+      === ((CdcSchema.invoiceSpec, CdcSchema.invoiceType)))
+    assert(SchemaEvolution.evolve(spec, ty,
+      Seq("ALTER TABLE invoice MODIFY COLUMN invoice_number DECIMAL(10,2)"))
+      === ((spec, ty)))
   }
 
   test("mid-stream MODIFY widens the snapshot; post-DDL values exceed int32") {

@@ -413,7 +413,6 @@ class PqSpec extends AnyFunSuite {
   }
 }
 
-/** Winnowing fingerprints: near-dups overlap heavily, unrelated docs don't. */
 /** Composed IVF-PQ index: cell pruning × code-only scoring. */
 class IvfPqSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -451,6 +450,7 @@ class IvfPqSpec extends AnyFunSuite {
   }
 }
 
+/** Winnowing fingerprints: near-dups overlap heavily, unrelated docs don't. */
 class WinnowSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf0001
