@@ -454,6 +454,37 @@ object Relational {
       |       THEN first_purchase_ms - first_signup_ms END AS delay_ms
       |FROM u ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------ cohorts
+  /** Cohort retention: users grouped by first-activity day, activity
+    * counted per (cohort, day-offset) — the standard retention matrix.
+    * Two bounded-key shuffles (per-user min for the cohort day, then the
+    * (cohort, day) count) plus one user-keyed join; no event self-join,
+    * so the shape is linear in event volume. All-date/integer output —
+    * exact in any engine.
+    */
+  def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"),
+        col("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private val qEventsRetentionSql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |coh AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+      |SELECT cohort_day,
+      |       CAST(ev.day - cohort_day AS INTEGER) AS day_offset,
+      |       COUNT(DISTINCT ev.user_id) AS n_active
+      |FROM ev JOIN coh USING (user_id)
+      |GROUP BY cohort_day, ev.day
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   // -------------------------------------------------------- exact stats
   /** Global moments computed exactly: decimal sums, then identical IEEE
     * double ops on both engines (variance via the sum-of-squares identity)
@@ -744,6 +775,7 @@ object Relational {
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_top_user_hourly" -> (qEventsTopUserHourly _),
     "q_events_funnel" -> (qEventsFunnel _),
+    "q_events_retention" -> (qEventsRetention _),
     "q_agg_stats" -> (qAggStats _))
 
   val oracles: Map[String, String] = Map(
@@ -776,5 +808,6 @@ object Relational {
     "q_events_sessionize" -> qEventsSessionizeSql,
     "q_events_top_user_hourly" -> qEventsTopUserHourlySql,
     "q_events_funnel" -> qEventsFunnelSql,
+    "q_events_retention" -> qEventsRetentionSql,
     "q_agg_stats" -> qAggStatsSql)
 }

@@ -208,6 +208,29 @@ object TextAnalysis {
        |SELECT doc_id, rn, term, tf, df, score
        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  // -------------------------------------------------- length histogram
+  /** Corpus length distribution in power-of-two buckets — the standard
+    * first diagnostic over a training corpus (truncation pressure, short-
+    * doc fraction). The bucket is the highest power of two ≤ n computed
+    * EXACTLY via the binary-string length (`1 << (len(bin(n)) - 1)`) —
+    * no floating log2, whose rounding at bucket boundaries would differ
+    * between engines. Map-only into a ~60-row aggregate.
+    */
+  def corpusLengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("bucket", expr("shiftleft(cast(1 as bigint), length(bin(n)) - 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+      .orderBy(col("bucket"))
+
+  private val corpusLengthHistogramSql =
+    s"""$docsCte,
+       |n AS (SELECT CAST(len(toks) AS BIGINT) AS n FROM docs)
+       |SELECT (CAST(1 AS BIGINT) << (length(bin(n)) - 1)) AS bucket,
+       |       COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+       |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------------ token rarity
   /** Corpus-statistical quality score: mean document-frequency rarity of a
     * document's tokens. A doc of corpus-ubiquitous tokens (boilerplate,
@@ -649,6 +672,7 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "text_rarity_score" -> (textRarityScore _),
+    "corpus_length_histogram" -> (corpusLengthHistogram _),
     "text_curation_pipeline" -> (textCurationPipeline _),
     "text_sample_stratified" -> (textSampleStratified _),
     "text_ngram_topk" -> (textNgramTopk _),
@@ -666,6 +690,7 @@ object TextAnalysis {
     "text_fingerprint" -> textFingerprintSql,
     "text_tfidf_topk" -> textTfidfTopkSql,
     "text_rarity_score" -> textRarityScoreSql,
+    "corpus_length_histogram" -> corpusLengthHistogramSql,
     "text_curation_pipeline" -> textCurationPipelineSql,
     "text_sample_stratified" -> textSampleStratifiedSql,
     "text_ngram_topk" -> textNgramTopkSql,

@@ -32,6 +32,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(semi + anti === total)
   }
 
+  test("retention: offset-0 row holds the full cohort and bounds every later day") {
+    val rows = Relational.qEventsRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_day"))
+    byCohort.foreach { case (c, rs) =>
+      val at0 = rs.filter(_.getAs[Int]("day_offset") == 0)
+      assert(at0.length === 1, s"cohort $c missing its day-0 row")
+      // every cohort member is active on its first day, so day 0 is max
+      assert(rs.forall(_.getAs[Long]("n_active") <= at0.head.getAs[Long]("n_active")))
+      assert(rs.forall(_.getAs[Int]("day_offset") >= 0))
+    }
+  }
+
+  test("length histogram: power-of-two buckets partition the corpus") {
+    val rows = TextAnalysis.corpusLengthHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === graft.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(java.lang.Long.bitCount(b) === 1, s"bucket $b not a power of two")
+      val (n, t) = (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"))
+      // every doc in the bucket has bucket <= tokens < 2*bucket
+      assert(t >= b * n && t < 2 * b * n)
+    }
+  }
+
   test("sessionize: n_sessions never exceeds n_events and both positive") {
     val rows = Relational.qEventsSessionize(spark, sf).collect()
     assert(rows.nonEmpty)

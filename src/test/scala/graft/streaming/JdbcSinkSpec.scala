@@ -26,8 +26,23 @@ class JdbcSinkSpec extends AnyFunSuite {
     graft.cdc.Changelog.fromEnvelopeJson(lines.toDF("raw"), "raw")
   }
 
-  private def freshDb(): String =
-    "jdbc:duckdb:" + java.nio.file.Files.createTempDirectory("jdbcsink") + "/db"
+  // One connection per test db is held open for the suite's lifetime:
+  // DuckDB checkpoints and removes the WAL when the LAST connection to a
+  // file closes, and applyBatch's per-partition connections close
+  // concurrently — two simultaneous last-closes race on the WAL unlink
+  // (observed as a rare "Could not remove file db.wal" task failure).
+  // With an anchor alive, no partition close is ever the last close. The
+  // product stance is unchanged: against a real networked store there is
+  // no embedded WAL, and a genuinely failed task is retried wholesale
+  // (pos-guarded idempotent upserts — see JdbcSink's failure stance).
+  private val anchors = scala.collection.mutable.ListBuffer.empty[java.sql.Connection]
+
+  private def freshDb(): String = {
+    val url = "jdbc:duckdb:" +
+      java.nio.file.Files.createTempDirectory("jdbcsink") + "/db"
+    anchors.synchronized { anchors += DriverManager.getConnection(url) }
+    url
+  }
 
   private def replica(url: String): Seq[(Int, Option[Int])] = {
     val c = DriverManager.getConnection(url)
