@@ -616,6 +616,17 @@ class TextCensusSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-prefiltered decontaminate == exact form; plan carries the bloom probe") {
+    val exact = Dedup.textDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val df = Dedup.textDecontaminateBloom(spark, sf)
+    // the train-side scan is pruned by might_contain BEFORE any join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("graft_bloom_contains"), plan)
+    val bloom = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(bloom === exact)
+  }
+
   test("decontaminate: train/eval partition respected, overlaps positive") {
     val rows = Dedup.textDecontaminate(spark, sf).collect()
     assert(rows.nonEmpty)
