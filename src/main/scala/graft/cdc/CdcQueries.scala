@@ -53,11 +53,14 @@ object CdcQueries {
       CdcApply.snapshotByTable(ev.unionByName(truncAlpha).cache())
     },
     "cdc_consistency_diff" -> { (s, d) =>
-      // The shared changelog feeds both snapshot formulations; cache each
-      // snapshot (each feeds two exceptAll sides) so each fold runs once.
+      // Both snapshot formulations are key-unique, so the keyed diff
+      // applies: one full-outer join instead of two whole-row exceptAll
+      // aggregations — and each fold feeds the join exactly once, so no
+      // caching is needed either. The exceptAll oracle still describes
+      // the result (equal multisets at multiplicity 1 per key).
       val log = Changelog.syntheticShared(s, d)
-      CdcApply.consistencyDiff(
-        CdcApply.snapshot(log).cache(), CdcApply.snapshotViaWindow(log).cache())
+      CdcApply.consistencyDiffByKey(
+        CdcApply.snapshot(log), CdcApply.snapshotViaWindow(log), "order_id")
     },
     "cdc_snapshot_wide" -> ((s, d) =>
       // The spec-parameterized fold over a 4-column mixed-type table —

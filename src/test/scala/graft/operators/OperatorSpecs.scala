@@ -223,6 +223,25 @@ class FormulationParitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf0001
 
+  test("keyed consistency diff == exceptAll diff on key-unique inputs") {
+    import spark.implicits._
+    // keys only-in-a, only-in-b, disagreeing, agreeing — all four shapes
+    val a = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("order_id", "invoice_number")
+    val b = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("order_id", "invoice_number")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val generic = rows(graft.cdc.CdcApply.consistencyDiff(a, b))
+    val keyed = rows(graft.cdc.CdcApply.consistencyDiffByKey(a, b, "order_id"))
+    assert(keyed === generic)
+    assert(keyed === Seq((1L, 10L, "a"), (3L, 30L, "a"), (3L, 31L, "b"), (4L, 40L, "b")))
+    // and on the real dual-formulation snapshots (expected empty)
+    val log = graft.cdc.Changelog.synthetic(spark, sf)
+    val ga = graft.cdc.CdcApply.snapshot(log).cache()
+    val gb = graft.cdc.CdcApply.snapshotViaWindow(log).cache()
+    assert(graft.cdc.CdcApply.consistencyDiffByKey(ga, gb, "order_id").count() ===
+      graft.cdc.CdcApply.consistencyDiff(ga, gb).count())
+  }
+
   test("relational shingles == HOF shingles (same (doc_id, shingle) set)") {
     import org.apache.spark.sql.functions._
     val hof = graft.Tables.documents(spark, sf)
