@@ -178,29 +178,32 @@ object CdcApply {
     a.exceptAll(b).withColumn("side", lit("a"))
       .unionByName(b.exceptAll(a).withColumn("side", lit("b")))
 
-  /** [[consistencyDiff]] specialized to KEYED relations — exactly one row
-    * per non-null key, the shape every snapshot formulation guarantees:
-    * ONE full-outer join on the key replaces the two whole-row
-    * `exceptAll`s (each of which shuffles and hash-aggregates the union
-    * of BOTH inputs on every column — at sf1 that is 4 traversals of
-    * 2.6M rows where the join makes one keyed pass per side). Output
-    * contract identical under the key-unique precondition: a row appears
-    * with its side iff the other side is missing that key or disagrees
-    * on any column (null-safe struct compare) — exactly the multiset
-    * difference when multiplicity per key is 1. Equivalence with the
-    * generic form is spec-pinned (FormulationParitySpec).
+  /** [[consistencyDiff]] specialized to KEYED relations — at most one row
+    * per key (including a possible null key), the shape every snapshot
+    * formulation guarantees: ONE full-outer join on the key replaces the
+    * two whole-row `exceptAll`s (each of which shuffles and
+    * hash-aggregates the union of BOTH inputs on every column — at sf1
+    * that is 4 traversals of 2.6M rows where the join makes one keyed
+    * pass per side). The join is NULL-SAFE (`<=>`) and row presence is
+    * tracked by markers, not key nullity, so a null-key row — e.g. a
+    * malformed envelope one formulation folds differently — still
+    * surfaces as a diff instead of silently vanishing. Output contract
+    * identical to the generic form under the one-row-per-key
+    * precondition; equivalence spec-pinned (FormulationParitySpec).
     */
   def consistencyDiffByKey(a: DataFrame, b: DataFrame, key: String): DataFrame = {
     val cols = a.columns.toSeq
+    val aj = a.withColumn("__pres", lit(true)).alias("a")
+    val bj = b.withColumn("__pres", lit(true)).alias("b")
     val as = struct(cols.map(c => col("a." + c).as(c)): _*)
     val bs = struct(cols.map(c => col("b." + c).as(c)): _*)
     val aRow = struct(cols.map(c => col("a." + c).as(c)) :+ lit("a").as("side"): _*)
     val bRow = struct(cols.map(c => col("b." + c).as(c)) :+ lit("b").as("side"): _*)
     val differ = !(as <=> bs)
-    a.alias("a").join(b.alias("b"), col(s"a.$key") === col(s"b.$key"), "full_outer")
+    aj.join(bj, col(s"a.$key") <=> col(s"b.$key"), "full_outer")
       .select(explode(array(
-        when(col(s"a.$key").isNotNull && differ, aRow),
-        when(col(s"b.$key").isNotNull && differ, bRow))).as("p"))
+        when(col("a.__pres").isNotNull && differ, aRow),
+        when(col("b.__pres").isNotNull && differ, bRow))).as("p"))
       .filter(col("p").isNotNull)
       .select(col("p.*"))
   }

@@ -326,26 +326,21 @@ object Changelog {
     val evolvedNull = lit(null).cast(org.apache.spark.sql.types.StructType(
       CdcSchema.invoiceType.fields :+ org.apache.spark.sql.types.StructField(
         "region", org.apache.spark.sql.types.StringType)))
-    def envelope(pos: org.apache.spark.sql.Column, op: String,
-                 before: org.apache.spark.sql.Column,
-                 after: org.apache.spark.sql.Column) =
-      wireEnvelope(pos, op, before, after)
-
     val withH = base.crossJoin(broadcast(hp))
     def posC(o: Int) = col("k").cast("long") * 10 + o
     val inserts = withH.select(
-      envelope(posC(1), "c", evolvedNull, img(col("k"), col("v"), posC(1))).as("value"))
+      wireEnvelope(posC(1), "c", evolvedNull, img(col("k"), col("v"), posC(1))).as("value"))
     val updates1 = withH.filter(col("k") % 3 === 0).select(
-      envelope(posC(2), "u", img(col("k"), col("v"), posC(1)),
+      wireEnvelope(posC(2), "u", img(col("k"), col("v"), posC(1)),
         img(col("k"), col("v") + 1000, posC(2))).as("value"))
     val updates2 = withH.filter(col("k") % 9 === 0).select(
-      envelope(posC(3), "u", img(col("k"), col("v") + 1000, posC(2)),
+      wireEnvelope(posC(3), "u", img(col("k"), col("v") + 1000, posC(2)),
         img(col("k"), col("v") + 2000, posC(3))).as("value"))
     val lastInv = when(col("k") % 9 === 0, col("v") + 2000)
       .when(col("k") % 3 === 0, col("v") + 1000)
       .otherwise(col("v"))
     val deletes = withH.filter(col("k") % 7 === 0).select(
-      envelope(posC(4), "d", img(col("k"), lastInv, posC(4)), evolvedNull).as("value"))
+      wireEnvelope(posC(4), "d", img(col("k"), lastInv, posC(4)), evolvedNull).as("value"))
 
     inserts.unionByName(updates1).unionByName(updates2)
       .unionByName(deletes).unionByName(wireTruncate(base))

@@ -219,6 +219,9 @@ object TextAnalysis {
   def corpusLengthHistogram(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      // n >= 1 keeps the invariant bucket <= n true: a zero-token doc has
+      // no highest-power-of-two bucket (bin(0) would land it in bucket 1)
+      .filter(col("n") >= 1)
       .withColumn("bucket", expr("shiftleft(cast(1 as bigint), length(bin(n)) - 1)"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
@@ -226,7 +229,7 @@ object TextAnalysis {
 
   private val corpusLengthHistogramSql =
     s"""$docsCte,
-       |n AS (SELECT CAST(len(toks) AS BIGINT) AS n FROM docs)
+       |n AS (SELECT CAST(len(toks) AS BIGINT) AS n FROM docs WHERE len(toks) >= 1)
        |SELECT (CAST(1 AS BIGINT) << (length(bin(n)) - 1)) AS bucket,
        |       COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
        |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin

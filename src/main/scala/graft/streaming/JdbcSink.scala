@@ -100,14 +100,26 @@ object JdbcSink {
           s"ALTER TABLE $table ADD COLUMN $c ${sqlType(imageType(c).dataType)}")
       }
       // widen live INTEGER columns an evolved spec re-typed to BIGINT
-      // (MODIFY COLUMN application) — the only retype the engine allows.
-      // The KEY column is included: evolve() widens it in the image type
-      // like any other, and a post-DDL key past int32 range must not hit
-      // an INTEGER primary-key column
-      (spec.key +: spec.valueCols).foreach { c =>
-        if (imageType(c).dataType == org.apache.spark.sql.types.LongType &&
-            existing.get(c.toLowerCase).contains(java.sql.Types.INTEGER))
-          st.execute(s"ALTER TABLE $table ALTER COLUMN $c SET DATA TYPE BIGINT")
+      // (MODIFY COLUMN application) — the only retype the engine allows
+      def needsWiden(c: String): Boolean =
+        imageType(c).dataType == org.apache.spark.sql.types.LongType &&
+          existing.get(c.toLowerCase).contains(java.sql.Types.INTEGER)
+      spec.valueCols.filter(needsWiden).foreach { c =>
+        st.execute(s"ALTER TABLE $table ALTER COLUMN $c SET DATA TYPE BIGINT")
+      }
+      // a widened KEY cannot be retyped in place: stores reject ALTERing
+      // a PRIMARY KEY column (DuckDB: "Cannot change the type of a column
+      // that has a UNIQUE or PRIMARY KEY constraint"). Rebuild instead —
+      // one transaction, so a crash mid-migration leaves the old table
+      if (needsWiden(spec.key)) {
+        st.execute("BEGIN TRANSACTION")
+        st.execute(
+          s"""CREATE TABLE ${table}__wide (
+             |  ${spec.key} BIGINT PRIMARY KEY, pos BIGINT NOT NULL, $valueDdl)""".stripMargin)
+        st.execute(s"INSERT INTO ${table}__wide SELECT * FROM $table")
+        st.execute(s"DROP TABLE $table")
+        st.execute(s"ALTER TABLE ${table}__wide RENAME TO $table")
+        st.execute("COMMIT")
       }
       st.execute(s"CREATE TABLE IF NOT EXISTS ${table}_meta (horizon BIGINT NOT NULL)")
       val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${table}_meta")

@@ -11,8 +11,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * idempotent re-apply, out-of-order convergence, and equality with the
   * parquet-state fold on identical input.
   */
-class JdbcSinkSpec extends AnyFunSuite {
+class JdbcSinkSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = graft.TestSpark.spark
+
+  override def afterAll(): Unit =
+    anchors.synchronized {
+      anchors.foreach(c => scala.util.Try(c.close()))
+      anchors.clear()
+    }
 
   private lazy val driverAvailable =
     try { Class.forName("org.duckdb.DuckDBDriver"); true }
@@ -170,6 +176,40 @@ class JdbcSinkSpec extends AnyFunSuite {
       while (rs.next()) buf += ((rs.getInt(1), rs.getLong(2)))
       // the pre-widening row survives the retype; the wide row lands
       assert(buf.toList === List((1, 10L), (2, 4000000020L)))
+    } finally c.close()
+  }
+
+  test("widened KEY rebuilds the replica table (PK cannot be retyped in place)") {
+    assume(driverAvailable, "duckdb jdbc driver not on test classpath")
+    import org.apache.spark.sql.types._
+    val url = freshDb()
+    // narrow batch creates the table with order_id INTEGER PRIMARY KEY
+    JdbcSink.applyBatch(batchOf(
+      env("null", """{"order_id":1,"invoice_number":10}""", "c", 1)), url, "invoice")
+    val (espec, etype) = graft.cdc.SchemaEvolution.evolve(
+      graft.cdc.CdcSchema.invoiceSpec, graft.cdc.CdcSchema.invoiceType,
+      Seq("ALTER TABLE invoice MODIFY COLUMN order_id BIGINT"))
+    val wide = {
+      import spark.implicits._
+      graft.cdc.Changelog.fromEnvelopeJsonFor(
+        Seq("""{"payload":{"after":{"order_id":4000000002,"invoice_number":20},"source":{"pos":2}}}""")
+          .toDF("raw"),
+        graft.cdc.CdcSchema.invoiceSpec, etype.asInstanceOf[StructType], "raw")
+    }
+    JdbcSink.applyBatch(wide, url, "invoice", spec = espec)
+    val c = DriverManager.getConnection(url)
+    try {
+      val md = c.createStatement().executeQuery(
+        "SELECT * FROM invoice WHERE 1=0").getMetaData
+      val types = (1 to md.getColumnCount)
+        .map(i => md.getColumnName(i).toLowerCase -> md.getColumnType(i)).toMap
+      assert(types("order_id") === java.sql.Types.BIGINT)
+      val rs = c.createStatement().executeQuery(
+        "SELECT order_id, invoice_number FROM invoice ORDER BY order_id")
+      val buf = scala.collection.mutable.ListBuffer.empty[(Long, Int)]
+      while (rs.next()) buf += ((rs.getLong(1), rs.getInt(2)))
+      // the narrow-key row survives the rebuild; the wide key lands
+      assert(buf.toList === List((1L, 10), (4000000002L, 20)))
     } finally c.close()
   }
 
