@@ -199,7 +199,10 @@ object CdcApply {
     val bs = struct(cols.map(c => col("b." + c).as(c)): _*)
     val aRow = struct(cols.map(c => col("a." + c).as(c)) :+ lit("a").as("side"): _*)
     val bRow = struct(cols.map(c => col("b." + c).as(c)) :+ lit("b").as("side"): _*)
-    val differ = !(as <=> bs)
+    // Presence must be part of the inequality: an unmatched row whose
+    // columns are ALL null makes `as <=> bs` true against the null-extended
+    // side, which would otherwise suppress both marker branches.
+    val differ = !(as <=> bs) || col("a.__pres").isNull || col("b.__pres").isNull
     aj.join(bj, col(s"a.$key") <=> col(s"b.$key"), "full_outer")
       .select(explode(array(
         when(col("a.__pres").isNotNull && differ, aRow),

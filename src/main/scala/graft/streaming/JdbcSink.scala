@@ -54,6 +54,13 @@ object JdbcSink {
     */
   val DefaultBatchSize = 1000
 
+  /** Row count above which the PK-widening rebuild logs an offline-migration
+    * warning ([[ensureTable]]) — the rebuild copies the whole replica through
+    * one connection in one transaction, which is fine for test-scale tables
+    * and an operations event for multi-TB ones.
+    */
+  val WidenRebuildWarnRows = 10_000_000L
+
   /** SQL type for the narrow set of image column types the envelope
     * carries (SURVEY §1.2: int32/int64/string).
     */
@@ -110,13 +117,28 @@ object JdbcSink {
       // a widened KEY cannot be retyped in place: stores reject ALTERing
       // a PRIMARY KEY column (DuckDB: "Cannot change the type of a column
       // that has a UNIQUE or PRIMARY KEY constraint"). Rebuild instead —
-      // one transaction, so a crash mid-migration leaves the old table
+      // one transaction, so a crash mid-migration leaves the old table.
+      // NOTE: this copies the ENTIRE replica through one connection; for a
+      // large (multi-TB) replica treat a key widening as an OFFLINE
+      // migration window, not a live schema change — the size guard below
+      // logs the row count so operators can see what they signed up for.
       if (needsWiden(spec.key)) {
+        val cnt = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+        cnt.next()
+        val nRows = cnt.getLong(1)
+        if (nRows > WidenRebuildWarnRows)
+          System.err.println(
+            s"[graft.JdbcSink] PK-widening rebuild of $table copies $nRows rows " +
+              "through one connection in one transaction; schedule as an offline migration")
+        // name columns on BOTH sides: the copy must not depend on the live
+        // table's physical column order (manual DDL or a store with
+        // different ordering rules would silently mis-map a SELECT *)
+        val colList = (Seq(spec.key, "pos") ++ spec.valueCols).mkString(", ")
         st.execute("BEGIN TRANSACTION")
         st.execute(
           s"""CREATE TABLE ${table}__wide (
              |  ${spec.key} BIGINT PRIMARY KEY, pos BIGINT NOT NULL, $valueDdl)""".stripMargin)
-        st.execute(s"INSERT INTO ${table}__wide SELECT * FROM $table")
+        st.execute(s"INSERT INTO ${table}__wide ($colList) SELECT $colList FROM $table")
         st.execute(s"DROP TABLE $table")
         st.execute(s"ALTER TABLE ${table}__wide RENAME TO $table")
         st.execute("COMMIT")

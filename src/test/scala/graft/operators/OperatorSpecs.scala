@@ -242,6 +242,24 @@ class FormulationParitySpec extends AnyFunSuite {
       graft.cdc.CdcApply.consistencyDiff(ga, gb).count())
   }
 
+  test("keyed consistency diff surfaces an unmatched ALL-NULL row") {
+    import spark.implicits._
+    // an all-null row present only in `a`: the null-extended outer-join
+    // side makes the row structs null-safe-EQUAL, so only the presence
+    // markers can reveal it — regression for the ADVICE r5 finding
+    val a = Seq[(Option[Long], Option[Long])]((Some(1L), Some(10L)), (None, None))
+      .toDF("order_id", "invoice_number")
+    val b = Seq[(Option[Long], Option[Long])]((Some(1L), Some(10L)))
+      .toDF("order_id", "invoice_number")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).sorted.toSeq
+    val generic = rows(graft.cdc.CdcApply.consistencyDiff(a, b))
+    val keyed = rows(graft.cdc.CdcApply.consistencyDiffByKey(a, b, "order_id"))
+    assert(keyed === generic)
+    assert(keyed === Seq((-1L, -1L, "a")))
+  }
+
   test("relational shingles == HOF shingles (same (doc_id, shingle) set)") {
     import org.apache.spark.sql.functions._
     val hof = graft.Tables.documents(spark, sf)
@@ -641,7 +659,7 @@ class TextCensusSpec extends AnyFunSuite {
     val df = Dedup.textDecontaminateBloom(spark, sf)
     // the train-side scan is pruned by might_contain BEFORE any join
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("might_contain") || plan.contains("graft_bloom_contains"), plan)
+    assert(plan.contains("might_contain") || plan.contains("bloom_might_contain_bcast"), plan)
     val bloom = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(bloom === exact)
   }
