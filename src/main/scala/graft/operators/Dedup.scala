@@ -11,9 +11,11 @@ import graft.functions.TextFns
   *
   *  1. [[dedupExact]] — exact dedup by normalized-content hash (one
   *     hash-shuffle on a 32-byte key, regardless of document size);
-  *  2. [[dedupNgramJaccard]] — exact word-3-gram Jaccard on candidate pairs
-  *     generated by a shingle-equality join (relational blocking: only
-  *     documents sharing a shingle ever meet);
+  *  2. [[dedupNgramJaccard]] — exact word-3-gram Jaccard from a DF-SPLIT
+  *     shingle-equality join: co-occurrence counting on bounded-df COLD
+  *     shingles (linear in corpus), hot-shingle contributions via per-doc
+  *     hot-set intersection, and a prefix-filtered rescue join for
+  *     all-hot pairs — provably lossless at the thresholds;
   *  3. [[dedupMinhashLsh]] — MinHash signatures + banded LSH: the 100 TB
   *     path. Candidate generation is |bands| equality joins on 64-bit keys;
   *     cost is linear in corpus size + output pairs, never all-pairs;
@@ -120,32 +122,110 @@ object Dedup {
   /** (lo, hi, i, nlo, nhi, jaccard, c_lo, c_hi) for every unordered
     * document pair that clears ANY overlap threshold (jaccard ≥ 0.8 or
     * containment ≥ 0.9 in either direction) — the ONE materialization of
-    * the expensive shingle-equality candidate join (its size is driven by
-    * hot-shingle document frequency: 82× candidate pairs at 10× docs on
-    * the sf1 fixture). The threshold union is applied INSIDE the build:
-    * what the session retains is the small interesting-pair set, not the
-    * quadratic candidate stream (an unfiltered materialization measurably
-    * degraded later queries at sf1 through block-memory pressure). Exact
-    * Jaccard and containment are cheap filters over this frame, so the
-    * quadratic join runs once per (session, sfDir), not once per overlap
-    * measure.
+    * the exact-overlap stage, now DF-SPLIT so hot-shingle skew cannot go
+    * quadratic while benign corpora keep the single-pass count-join plan.
+    * See [[overlapPairsPlan]] for the construction and the
+    * zero-recall-loss argument. The threshold union is applied INSIDE the
+    * build, so the session retains the small interesting-pair set, not
+    * the candidate stream; exact Jaccard and containment are cheap
+    * filters over this frame, so the expensive stage runs once per
+    * (session, sfDir), not once per overlap measure.
     */
+  /** Document-frequency split point for [[overlapPairsPlan]]: shingles
+    * with df above this are HOT and excluded from the co-occurrence count
+    * join, bounding that join's output at `HotDf · |shingle occurrences|`
+    * — linear in corpus size — instead of `Σ df²` (data-dependent
+    * quadratic: one boilerplate shingle shared by 1% of a 100 TB corpus
+    * is ~10¹⁰ join rows). 256 keeps the cold join's per-shingle fan-out
+    * bounded while staying far above the df of genuinely contentful
+    * shingles, so on benign corpora the hot side is empty and the plan
+    * degenerates to the plain count join.
+    */
+  val HotDf = 256L
+
+  /** The un-materialized exact-overlap plan; `hotDf` is exposed so the
+    * parity spec can force both the hot and cold branches on the tiny
+    * fixture (default [[HotDf]] in production via [[overlapPairs]]).
+    */
+  private[graft] def overlapPairsPlan(s: SparkSession, dir: String,
+                                      hotDf: Long): DataFrame = {
+    val sh = docShingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val tagged = sh.join(dfreq, "sh")
+    val cold = tagged.filter(col("df") <= hotDf).select(col("doc_id"), col("sh"))
+    // per-doc HOT shingle set as a sorted array — small for real docs
+    // (hot = boilerplate); worst case bounded by doc length
+    val hotSets = tagged.filter(col("df") > hotDf)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("hs"))
+    // exact shared-shingle counts from COLD shingles: the one shuffle-agg
+    // pass, output ≤ hotDf · |occurrences|
+    val coldPairs = cold.as("x").join(cold.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("lo"), col("y.doc_id").as("hi"))
+      .agg(count(lit(1)).as("i_cold"))
+    val emptyArr = array().cast("array<string>")
+    val hotLo = hotSets.select(col("doc_id").as("lo"), col("hs").as("hs_lo"))
+    val hotHi = hotSets.select(col("doc_id").as("hi"), col("hs").as("hs_hi"))
+    // full overlap for cold-connected pairs: cold count + exact hot-set
+    // intersection (array_intersect on the docs' small hot arrays —
+    // distinct shingles, so set size IS the count; strings, so the DuckDB
+    // oracle contract stays hash-exact)
+    val viaCold = coldPairs
+      .join(hotLo, Seq("lo"), "left").join(hotHi, Seq("hi"), "left")
+      .select(col("lo"), col("hi"),
+        (col("i_cold") + size(array_intersect(
+          coalesce(col("hs_lo"), emptyArr),
+          coalesce(col("hs_hi"), emptyArr)))).as("i"))
+    // HOT-ONLY rescue: a qualifying pair with NO shared cold shingle
+    // (pure-boilerplate near-dups). Prefix filtering (Chaudhuri et al.
+    // SSJoin / Bayardo et al. All-Pairs) with a PPJoin positional bound:
+    // rank every doc's shingles rarest-first by (df, sh) — a global total
+    // order, so the common shingles of any pair sort identically in both
+    // docs. If the pair qualifies, its guaranteed side X has
+    // i ≥ q_x = ⌈0.8·n_x⌉ shared shingles (jaccard ≥ 0.8: either side,
+    // i ≥ 0.8·max(n_a,n_b); containment ≥ 0.9: the contained side,
+    // i ≥ 0.9·n_x ≥ 0.8·n_x), and the SMALLEST common shingle s* has
+    // rank ≤ n − i + 1 ≤ n − q_x + 1 in BOTH docs (the i common shingles
+    // occupy distinct ranks at or above s*'s). s* is hot here, so joining
+    // hot prefix entries (rank ≤ n − q + 1) against hot full entries with
+    // the positional bound on the probe side finds every such pair —
+    // ZERO recall loss, spec-pinned. Deeper matches are dropped inside
+    // the join probe and never reach the distinct.
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val ranked = tagged
+      .withColumn("rn", row_number().over(wDoc))
+      .join(sizes, "doc_id")
+      .withColumn("q", expr("(n * 4 + 4) div 5")) // ⌈0.8·n⌉, integer-exact
+    val hotRanked = ranked.filter(col("df") > hotDf)
+      .select(col("doc_id"), col("sh"), col("rn"), col("n"), col("q"))
+    val hotPrefix = hotRanked.filter(col("rn") <= col("n") - col("q") + 1)
+      .select(col("doc_id"), col("sh"), col("q"))
+    val hotOnly = hotPrefix.as("p").join(hotRanked.as("f"),
+        col("p.sh") === col("f.sh") && col("p.doc_id") =!= col("f.doc_id") &&
+          col("f.rn") <= col("f.n") - col("p.q") + 1)
+      .select(least(col("p.doc_id"), col("f.doc_id")).as("lo"),
+        greatest(col("p.doc_id"), col("f.doc_id")).as("hi"))
+      .distinct()
+      .join(coldPairs.select(col("lo"), col("hi")), Seq("lo", "hi"), "left_anti")
+      .join(hotLo, "lo").join(hotHi, "hi")
+      .select(col("lo"), col("hi"),
+        size(array_intersect(col("hs_lo"), col("hs_hi"))).cast("long").as("i"))
+    viaCold.unionByName(hotOnly)
+      .join(sizes.withColumnRenamed("doc_id", "lo").withColumnRenamed("n", "nlo"), "lo")
+      .join(sizes.withColumnRenamed("doc_id", "hi").withColumnRenamed("n", "nhi"), "hi")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("nlo") + col("nhi") - col("i")))
+      .withColumn("c_lo", col("i").cast("double") / col("nlo"))
+      .withColumn("c_hi", col("i").cast("double") / col("nhi"))
+      .filter(col("jaccard") >= 0.8 || col("c_lo") >= 0.9 || col("c_hi") >= 0.9)
+  }
+
   private def overlapPairs(s: SparkSession, dir: String): DataFrame =
-    graft.Shared.materialize(s, dir, "overlap_pairs") {
-      val sh = docShingles(s, dir)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      sh.as("x").join(sh.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("lo"), col("y.doc_id").as("hi"))
-        .agg(count(lit(1)).as("i"))
-        .join(sizes.withColumnRenamed("doc_id", "lo").withColumnRenamed("n", "nlo"), "lo")
-        .join(sizes.withColumnRenamed("doc_id", "hi").withColumnRenamed("n", "nhi"), "hi")
-        .withColumn("jaccard",
-          col("i").cast("double") / (col("nlo") + col("nhi") - col("i")))
-        .withColumn("c_lo", col("i").cast("double") / col("nlo"))
-        .withColumn("c_hi", col("i").cast("double") / col("nhi"))
-        .filter(col("jaccard") >= 0.8 || col("c_lo") >= 0.9 || col("c_hi") >= 0.9)
-    }
+    graft.Shared.materialize(s, dir, "overlap_pairs")(
+      overlapPairsPlan(s, dir, HotDf))
 
   /** Unordered jaccard ≥ 0.8 pair set — a cheap filter over the shared
     * [[overlapPairs]] frame, consumed by `dedup_ngram_jaccard` and

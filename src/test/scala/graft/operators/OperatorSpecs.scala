@@ -130,6 +130,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("df-split overlap == pure count join at every split point (hot path lossless)") {
+    // hotDf = MaxValue is the pure count join (every shingle cold: no hot
+    // sets, no rescue join) — ground truth by construction. Tiny split
+    // points force most shingles HOT, exercising the array-intersect
+    // contribution and the prefix+positional rescue join. Equality of the
+    // full measure rows (not just pair keys) pins zero recall loss AND
+    // exact i on both branches.
+    def rows(hotDf: Long) = Dedup.overlapPairsPlan(spark, sf, hotDf).collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("i"),
+        r.getAs[Long]("nlo"), r.getAs[Long]("nhi"),
+        r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2)).toSeq
+    val truth = rows(Long.MaxValue)
+    assert(truth.nonEmpty)
+    for (t <- Seq(1L, 2L, 5L, 20L)) {
+      assert(rows(t) === truth, s"df-split at hotDf=$t diverges from count join")
+    }
+  }
+
   test("exact dedup keeps one representative per fingerprint") {
     val df = Dedup.dedupExact(spark, sf)
     val total = graft.Tables.documents(spark, sf).count()
