@@ -74,6 +74,30 @@ object CdcQueries {
         Changelog.syntheticEvolvedJson)
       CdcApply.snapshotFor(log, espec)
     },
+    "cdc_snapshot_multitable_evolved" -> { (s, d) =>
+      // PER-TABLE schema evolution end-to-end: two tables interleaved on
+      // one wire stream, a mid-stream ADD COLUMN targeting only 'alpha',
+      // an alpha-only truncate. The DDL is routed by its parsed target
+      // table, so beta's spec does not move (spec-pinned in
+      // SchemaEvolutionSpec); the fold runs once under the merged image
+      // type, beta rows null-filling the alpha-only column.
+      import org.apache.spark.sql.functions.col
+      val raw = graft.Shared.materialize(s, d, "cdc_mt_evolved_json")(
+        Changelog.syntheticMultitableEvolvedJson(s, d))
+      val specs = Map(
+        "alpha" -> ((CdcSchema.invoiceSpec, CdcSchema.invoiceType)),
+        "beta" -> ((CdcSchema.invoiceSpec, CdcSchema.invoiceType)))
+      val (_, merged, log) = SchemaEvolution.evolvedIngressByTable(
+        raw, specs,
+        stage = (n, df) => graft.Shared.materialize(s, d, s"cdc_mt_evolved_$n")(df))
+      val mergedSpec = CdcSchema.CdcTableSpec("order_id",
+        merged.fieldNames.toSeq.filterNot(_ == "order_id"))
+      CdcApply.snapshotByTableFor(log, mergedSpec)
+        .select(col("db"), col("table"),
+          col("order_id").cast("long").as("order_id"),
+          col("invoice_number").cast("long").as("invoice_number"),
+          col("region"))
+    },
     "cdc_snapshot_widened" -> { (s, d) =>
       // Type-widening APPLICATION: a mid-stream MODIFY COLUMN int→bigint;
       // the evolved parse reads the whole stream under the wide type
@@ -196,6 +220,36 @@ object CdcQueries {
          |       CASE WHEN pos > (SELECT hp FROM hddl)
          |            THEN 'r' || CAST(key % 3 AS VARCHAR) END AS region
          |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin,
+    "cdc_snapshot_multitable_evolved" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS INTEGER) AS k,
+        |         CAST(o_custkey % 100000 AS INTEGER) AS v
+        |  FROM orders),
+        |hp AS (SELECT (CAST(MAX(k) AS BIGINT)*10)//2 AS hp FROM base),
+        |ev AS (
+        |  SELECT CAST(k AS BIGINT)*10+1 AS pos, k AS key, v AS inv,
+        |         FALSE AS is_del FROM base
+        |  UNION ALL
+        |  SELECT CAST(k AS BIGINT)*10+2, k, v + 1000, FALSE FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(k AS BIGINT)*10+4, k, NULL, TRUE FROM base WHERE k % 7 = 0),
+        |tev AS (
+        |  SELECT *, CASE WHEN key % 2 = 0 THEN 'alpha' ELSE 'beta' END AS tbl
+        |  FROM ev),
+        |hor AS (SELECT 'alpha' AS tbl, (CAST(MAX(k) AS BIGINT)*10)//4 AS h FROM base),
+        |live AS (
+        |  SELECT tev.* FROM tev LEFT JOIN hor ON tev.tbl = hor.tbl
+        |  WHERE hor.h IS NULL OR tev.pos > hor.h),
+        |ranked AS (
+        |  SELECT tbl, key, inv, is_del, pos,
+        |         ROW_NUMBER() OVER (PARTITION BY tbl, key ORDER BY pos DESC) AS rn
+        |  FROM live)
+        |SELECT 'dev' AS db, tbl AS "table",
+        |       CAST(key AS BIGINT) AS order_id, CAST(inv AS BIGINT) AS invoice_number,
+        |       CASE WHEN tbl = 'alpha' AND pos > (SELECT hp FROM hp)
+        |            THEN 'r' || CAST(key % 3 AS VARCHAR) END AS region
+        |FROM ranked WHERE rn = 1 AND NOT is_del
+        |ORDER BY db, "table", order_id""".stripMargin,
     "cdc_snapshot_widened" ->
       """WITH base AS (
         |  SELECT CAST(o_orderkey AS INTEGER) AS k,

@@ -118,6 +118,34 @@ object Changelog {
         col("e.payload.after").as("after"),
         col("e.payload.ts_ms").as("ts_ms"))
 
+  /** [[fromEnvelopeJsonMulti]] for heterogeneous per-table shapes: one
+    * parse under the MERGED image type (each table's events null-fill the
+    * other tables' columns), with validity gated PER TABLE on that
+    * table's own base spec — table names compare lower-cased, matching
+    * [[SchemaEvolution.targetTable]]. Events of uncaptured tables fail
+    * the gate (no spec to certify their image completeness) and flow to
+    * dead letters, never silently into the fold.
+    */
+  def fromEnvelopeJsonMultiFor(df: DataFrame,
+                               baseSpecs: Map[String, CdcSchema.CdcTableSpec],
+                               imageType: org.apache.spark.sql.types.StructType,
+                               valueCol: String = "value"): DataFrame = {
+    val tbl = lower(col("e.payload.source.table"))
+    val valid = baseSpecs
+      .map { case (t, sp) => tbl === t && isValidEnvelope(col("e"), sp) }
+      .reduce(_ || _)
+    parsedEnvelopes(df, valueCol, imageType)
+      .filter(valid)
+      .select(
+        col("e.payload.source.db").as("db"),
+        col("e.payload.source.table").as("table"),
+        col("e.payload.source.pos").as("pos"),
+        col("e.payload.op").as("op"),
+        col("e.payload.before").as("before"),
+        col("e.payload.after").as("after"),
+        col("e.payload.ts_ms").as("ts_ms"))
+  }
+
   /** Malformed-envelope dead-letter routing — the engine's live analogue of
     * the reference's unreachable fallback branch (`main.py:92-93` C5): a
     * non-tombstone message that does not parse to a positioned payload is
@@ -285,20 +313,22 @@ object Changelog {
   // fixtures cannot drift apart.
   private def wireEnvelope(pos: org.apache.spark.sql.Column, op: String,
                            before: org.apache.spark.sql.Column,
-                           after: org.apache.spark.sql.Column) =
+                           after: org.apache.spark.sql.Column,
+                           table: org.apache.spark.sql.Column = lit("invoice")) =
     to_json(struct(struct(
       before.as("before"), after.as("after"),
       struct((lit(1700000000000L) + pos).as("ts_ms"), pos.as("pos"),
-        lit("dev").as("db"), lit("invoice").as("table")).as("source"),
+        lit("dev").as("db"), table.as("table")).as("source"),
       lit(op).as("op"), (lit(1700000000000L) + pos).as("ts_ms")).as("payload")))
 
   /** One truncate envelope at pos = (max(k)·10) div 4. */
-  private def wireTruncate(base: DataFrame): DataFrame =
+  private def wireTruncate(base: DataFrame,
+                           table: org.apache.spark.sql.Column = lit("invoice")): DataFrame =
     base.agg(max(col("k").cast("long")).as("mk"))
       .select(expr("(mk * 10) div 4").as("pos"))
       .select(to_json(struct(struct(
         struct((lit(1700000000000L) + col("pos")).as("ts_ms"), col("pos").as("pos"),
-          lit("dev").as("db"), lit("invoice").as("table")).as("source"),
+          lit("dev").as("db"), table.as("table")).as("source"),
         lit("t").as("op"),
         (lit(1700000000000L) + col("pos")).as("ts_ms")).as("payload"))).as("value"))
 
@@ -346,6 +376,62 @@ object Changelog {
       .unionByName(deletes).unionByName(wireTruncate(base))
       .unionByName(wireDdl(hp,
         "ALTER TABLE invoice ADD COLUMN region VARCHAR(16)"))
+  }
+
+  /** Wire-format JSON changelog over TWO tables (`alpha` = even keys,
+    * `beta` = odd) with a mid-stream `ALTER TABLE alpha ADD COLUMN` at
+    * the midpoint position and an alpha-only truncate at the quarter
+    * position: the per-table evolution fixture. Alpha events after the
+    * DDL carry `region`; beta events NEVER carry it (their image struct
+    * has no such field — `to_json` emits what a non-evolved producer
+    * physically emits), so a fold that let alpha's DDL evolve beta's
+    * spec would be visibly wrong, not silently compatible.
+    */
+  def syntheticMultitableEvolvedJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey").cast("int").as("k"),
+        (col("o_custkey") % 100000).cast("int").as("v"))
+    val hp = base.agg(expr("(max(cast(k as bigint)) * 10) div 2").as("hp"))
+    val tbl = when(col("k") % 2 === 0, "alpha").otherwise("beta")
+
+    val evolvedType = org.apache.spark.sql.types.StructType(
+      CdcSchema.invoiceType.fields :+ org.apache.spark.sql.types.StructField(
+        "region", org.apache.spark.sql.types.StringType))
+    // alpha images carry region post-DDL; beta images are the BASE struct
+    def imgA(inv: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column) =
+      struct(col("k").as("order_id"), inv.as("invoice_number"),
+        when(pos > col("hp"), concat(lit("r"), (col("k") % 3).cast("string")))
+          .otherwise(lit(null).cast("string")).as("region"))
+    def imgB(inv: org.apache.spark.sql.Column) =
+      struct(col("k").as("order_id"), inv.as("invoice_number"))
+    val nullA = lit(null).cast(evolvedType)
+    val nullB = lit(null).cast(CdcSchema.invoiceType)
+
+    val withH = base.crossJoin(broadcast(hp))
+    val alpha = withH.filter(col("k") % 2 === 0)
+    val beta = withH.filter(col("k") % 2 =!= 0)
+    def posC(o: Int) = col("k").cast("long") * 10 + o
+    val lastInv = when(col("k") % 3 === 0, col("v") + 1000).otherwise(col("v"))
+
+    val events =
+      alpha.select(wireEnvelope(posC(1), "c", nullA,
+          imgA(col("v"), posC(1)), tbl).as("value"))
+        .unionByName(alpha.filter(col("k") % 3 === 0).select(
+          wireEnvelope(posC(2), "u", imgA(col("v"), posC(1)),
+            imgA(col("v") + 1000, posC(2)), tbl).as("value")))
+        .unionByName(alpha.filter(col("k") % 7 === 0).select(
+          wireEnvelope(posC(4), "d", imgA(lastInv, posC(4)), nullA, tbl).as("value")))
+        .unionByName(beta.select(
+          wireEnvelope(posC(1), "c", nullB, imgB(col("v")), tbl).as("value")))
+        .unionByName(beta.filter(col("k") % 3 === 0).select(
+          wireEnvelope(posC(2), "u", imgB(col("v")),
+            imgB(col("v") + 1000), tbl).as("value")))
+        .unionByName(beta.filter(col("k") % 7 === 0).select(
+          wireEnvelope(posC(4), "d", imgB(lastInv), nullB, tbl).as("value")))
+    events
+      .unionByName(wireTruncate(base, lit("alpha")))
+      .unionByName(wireDdl(hp, "ALTER TABLE alpha ADD COLUMN region VARCHAR(16)"))
   }
 
   /** Wire-format JSON changelog with a mid-stream widening

@@ -43,10 +43,17 @@ import org.apache.spark.sql.types._
   * `schemaHistoryDir` first), so a fold that THREW on an out-of-scope
   * statement would wedge the stream permanently — every restart
   * re-reads the same poison DDL. The full statement stays in the
-  * history for audit; the spec simply does not move. A multi-table
-  * ingress would additionally filter history by the DDL's target
-  * table before evolving; the reference topology captures exactly
-  * one table.
+  * history for audit; the spec simply does not move.
+  *
+  * Multi-table ingress (the reference's actual capture scope is the
+  * whole `dev` database — `database.include.list=dev`,
+  * `/root/reference/debezium-config-push.sh:16-17`): DDL is routed by
+  * its parsed target table ([[targetTable]]) and evolves ONLY that
+  * table's spec ([[evolveByTable]] / [[evolvedIngressByTable]]) — a
+  * second table's `ALTER TABLE` cannot evolve the wrong spec. A
+  * statement naming an uncaptured table, or one with no parseable
+  * `ALTER TABLE` target, is inert under the same operability stance
+  * as out-of-scope clauses.
   */
 object SchemaEvolution {
 
@@ -61,6 +68,18 @@ object SchemaEvolution {
       case "VARCHAR" | "CHAR" | "TEXT" | "TINYTEXT" | "MEDIUMTEXT" | "LONGTEXT" => Some(StringType)
       case _ => None
     }
+
+  private val AlterTableRe =
+    """(?i)ALTER\s+TABLE\s+(?:`?(\w+)`?\s*\.\s*)?`?(\w+)`?""".r
+
+  /** Target table of an `ALTER TABLE` statement — database qualifier and
+    * backticks stripped, lower-cased (MySQL table identifiers compare
+    * case-insensitively on the default collations); None when the
+    * statement has no parseable target (CREATE/DROP INDEX etc.).
+    */
+  def targetTable(ddl: String): Option[String] =
+    Option(ddl).flatMap(AlterTableRe.findFirstMatchIn(_))
+      .map(_.group(2).toLowerCase)
 
   private val AddColRe =
     """(?i)ADD\s+(?:COLUMN\s+)?`?(\w+)`?\s+([A-Za-z]+)(?:\s*\(\s*\d+\s*\))?""".r
@@ -124,6 +143,72 @@ object SchemaEvolution {
         else (sp, ty) // replay, VARCHAR growth, narrowing, unknown: inert
       }
     }
+
+  /** Per-table evolution over a DDL history from a WHOLE-DATABASE capture:
+    * each statement evolves only the spec of its parsed target table.
+    * `specs` maps lower-cased table name → (base spec, base image type);
+    * statements targeting uncaptured tables are inert. Same fold, same
+    * idempotence, same lattice-only-up rules as [[evolve]] — routing is
+    * the only addition.
+    */
+  def evolveByTable(specs: Map[String, (CdcSchema.CdcTableSpec, StructType)],
+                    ddls: Seq[String])
+      : Map[String, (CdcSchema.CdcTableSpec, StructType)] =
+    ddls.foldLeft(specs) { (acc, ddl) =>
+      targetTable(ddl).filter(acc.contains) match {
+        case Some(t) =>
+          val (sp, ty) = acc(t)
+          acc.updated(t, evolve(sp, ty, Seq(ddl)))
+        case None => acc // uncaptured table / no ALTER TABLE target: inert
+      }
+    }
+
+  /** Union of several image types by field NAME, for the single shared
+    * parse of a multi-table stream: a field present in any table's image
+    * appears once; a name carried at both int and long resolves to long
+    * (the only widening in the carrier — a table whose events stay narrow
+    * parses exactly under the wide type, the same upcast the evolved
+    * single-table parse relies on). Field order: first appearance, so
+    * the shared base columns stay in base order.
+    */
+  def mergedImageType(types: Seq[StructType]): StructType =
+    types.foldLeft(StructType(Nil)) { (acc, ty) =>
+      ty.fields.foldLeft(acc) { (a, f) =>
+        a.fieldNames.indexOf(f.name) match {
+          case -1 => StructType(a.fields :+ f)
+          case i if a.fields(i).dataType != f.dataType &&
+              widens(a.fields(i).dataType, f.dataType) =>
+            StructType(a.fields.updated(i, a.fields(i).copy(dataType = f.dataType)))
+          case _ => a
+        }
+      }
+    }
+
+  /** Multi-table evolved ingress: route the schema history, evolve each
+    * captured table's spec from ITS OWN statements, and parse the stream
+    * ONCE under the merged evolved image type (each table's events
+    * null-fill the other tables' columns — to_json drops null fields on
+    * the wire, so this is also what a heterogeneous topic physically
+    * looks like). Validity stays gated per table on that table's BASE
+    * spec. Returns the evolved spec map (for per-table sinks — e.g.
+    * `JdbcSink.ensureTable` per table), the merged type, and the
+    * normalized changelog with `db`/`table` routing columns
+    * (fold with `CdcApply.snapshotByTableFor`).
+    */
+  def evolvedIngressByTable(raw: DataFrame,
+                            specs: Map[String, (CdcSchema.CdcTableSpec, StructType)],
+                            valueCol: String = "value",
+                            stage: (String, DataFrame) => DataFrame = (_, df) => df)
+      : (Map[String, (CdcSchema.CdcTableSpec, StructType)], StructType, DataFrame) = {
+    // bounded driver-side read: O(schema changes), never O(events)
+    val ddls = stage("hist", Changelog.schemaHistory(raw, valueCol))
+      .orderBy("pos").select("ddl").collect().map(_.getString(0)).toSeq
+    val especs = evolveByTable(specs, ddls)
+    val merged = mergedImageType(especs.valuesIterator.map(_._2).toSeq)
+    (especs, merged,
+      stage("log", Changelog.fromEnvelopeJsonMultiFor(
+        raw, specs.map { case (t, (sp, _)) => t -> sp }, merged, valueCol)))
+  }
 
   /** End-to-end evolved ingress: route the schema history out of the raw
     * envelope stream, evolve the spec, and re-parse the SAME stream under

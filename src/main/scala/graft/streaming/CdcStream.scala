@@ -334,7 +334,8 @@ object CdcStream {
                         nBuckets: Int = 64,
                         spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
                         imageType: org.apache.spark.sql.types.StructType =
-                          CdcSchema.invoiceType): StreamingQuery =
+                          CdcSchema.invoiceType,
+                        tableName: String = "invoice"): StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -344,7 +345,8 @@ object CdcStream {
         try {
           Changelog.schemaHistory(cached, valueCol)
             .write.mode("overwrite").parquet(s"$schemaHistoryDir/batch=$batchId")
-          val (espec, etype) = evolvedSpec(spark, schemaHistoryDir, spec, imageType)
+          val (espec, etype) =
+            evolvedSpec(spark, schemaHistoryDir, spec, imageType, tableName)
           val parsed = Changelog.parsedEnvelopes(cached, valueCol, etype)
           Changelog.deadLettersOfParsed(parsed, valueCol)
             .write.mode("overwrite").parquet(s"$deadLetterDir/batch=$batchId")
@@ -360,18 +362,25 @@ object CdcStream {
       .start()
 
   /** The evolved (spec, imageType) implied by a schema-history dir — the
-    * base shape when the dir is absent/empty.
+    * base shape when the dir is absent/empty. The history is a
+    * WHOLE-DATABASE capture (`database.include.list=dev`), so statements
+    * are routed by their parsed target table and only `tableName`'s own
+    * DDL evolves this spec — another table's ALTER cannot desync it
+    * (statements with no parseable ALTER TABLE target were already inert
+    * in the fold and stay filtered here).
     */
   def evolvedSpec(spark: SparkSession, schemaHistoryDir: String,
                   spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
                   imageType: org.apache.spark.sql.types.StructType =
-                    CdcSchema.invoiceType)
+                    CdcSchema.invoiceType,
+                  tableName: String = "invoice")
       : (CdcSchema.CdcTableSpec, org.apache.spark.sql.types.StructType) = {
     val fs = hadoopFs(spark, schemaHistoryDir)
     if (!fs.exists(new org.apache.hadoop.fs.Path(schemaHistoryDir)))
       return (spec, imageType)
     val ddls = spark.read.parquet(schemaHistoryDir)
       .orderBy("pos").select("ddl").collect().map(_.getString(0)).toSeq
+      .filter(graft.cdc.SchemaEvolution.targetTable(_).contains(tableName))
     graft.cdc.SchemaEvolution.evolve(spec, imageType, ddls)
   }
 
@@ -398,8 +407,10 @@ object CdcStream {
                                  schemaHistoryDir: String,
                                  spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
                                  imageType: org.apache.spark.sql.types.StructType =
-                                   CdcSchema.invoiceType): DataFrame = {
-    val (espec, etype) = evolvedSpec(spark, schemaHistoryDir, spec, imageType)
+                                   CdcSchema.invoiceType,
+                                 tableName: String = "invoice"): DataFrame = {
+    val (espec, etype) =
+      evolvedSpec(spark, schemaHistoryDir, spec, imageType, tableName)
     snapshotOfFor(
       BucketState.readBuckets(spark, stateDir,
         readManifest(spark, stateDir).buckets,

@@ -231,4 +231,103 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val rows = parse(Seq(withSchemaBlock)).collect()
     assert(rows.length === 1 && rows.head.getAs[Long]("pos") === 3L)
   }
+
+  test("targetTable: plain / backticked / db-qualified / non-ALTER statements") {
+    assert(SchemaEvolution.targetTable("ALTER TABLE invoice ADD COLUMN r INT")
+      === Some("invoice"))
+    assert(SchemaEvolution.targetTable("alter table `Invoice` add column r int")
+      === Some("invoice"))
+    assert(SchemaEvolution.targetTable("ALTER TABLE dev.invoice ADD COLUMN r INT")
+      === Some("invoice"))
+    assert(SchemaEvolution.targetTable("ALTER TABLE `dev`.`orders` DROP COLUMN x")
+      === Some("orders"))
+    assert(SchemaEvolution.targetTable("CREATE INDEX idx ON invoice(order_id)")
+      === None)
+    assert(SchemaEvolution.targetTable(null) === None)
+  }
+
+  test("evolveByTable: a second table's ALTER cannot evolve the wrong spec") {
+    import org.apache.spark.sql.types._
+    val base = Map(
+      "alpha" -> ((CdcSchema.invoiceSpec, CdcSchema.invoiceType)),
+      "beta" -> ((CdcSchema.invoiceSpec, CdcSchema.invoiceType)))
+    val out = SchemaEvolution.evolveByTable(base, Seq(
+      "ALTER TABLE alpha ADD COLUMN region VARCHAR(16)",
+      "ALTER TABLE gamma ADD COLUMN ghost INT", // uncaptured: inert
+      "ALTER TABLE beta MODIFY COLUMN invoice_number BIGINT"))
+    assert(out("alpha")._1.valueCols === Seq("invoice_number", "region"))
+    assert(out("beta")._1.valueCols === Seq("invoice_number")) // no region
+    assert(out("beta")._2("invoice_number").dataType === LongType) // widened
+    assert(out("alpha")._2("invoice_number").dataType === IntegerType) // not
+    assert(!out.contains("gamma"))
+  }
+
+  test("mergedImageType: union by name, int/long conflict resolves wide") {
+    import org.apache.spark.sql.types._
+    val a = StructType(Seq(StructField("order_id", IntegerType),
+      StructField("invoice_number", LongType), StructField("region", StringType)))
+    val b = StructType(Seq(StructField("order_id", IntegerType),
+      StructField("invoice_number", IntegerType), StructField("note", StringType)))
+    val m = SchemaEvolution.mergedImageType(Seq(b, a))
+    assert(m.fieldNames.toSeq === Seq("order_id", "invoice_number", "note", "region"))
+    assert(m("invoice_number").dataType === LongType)
+  }
+
+  test("evolvedIngressByTable: per-table evolution + one merged parse end-to-end") {
+    val lines = Seq(
+      """{"payload":{"after":{"order_id":1,"invoice_number":10},"source":{"pos":1,"db":"dev","table":"alpha"}}}""",
+      """{"payload":{"after":{"order_id":2,"invoice_number":20},"source":{"pos":2,"db":"dev","table":"beta"}}}""",
+      """{"payload":{"source":{"pos":3},"ts_ms":3,"databaseName":"dev","ddl":"ALTER TABLE alpha ADD COLUMN region VARCHAR(16)"}}""",
+      """{"payload":{"after":{"order_id":3,"invoice_number":30,"region":"emea"},"source":{"pos":4,"db":"dev","table":"alpha"}}}""",
+      // uncaptured table: fails the per-table validity gate, never folds
+      """{"payload":{"after":{"order_id":9,"invoice_number":90},"source":{"pos":5,"db":"dev","table":"gamma"}}}""")
+    val raw = spark.createDataset(lines)(
+      org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val specs = Map(
+      "alpha" -> ((CdcSchema.invoiceSpec, CdcSchema.invoiceType)),
+      "beta" -> ((CdcSchema.invoiceSpec, CdcSchema.invoiceType)))
+    val (especs, merged, log) = SchemaEvolution.evolvedIngressByTable(raw, specs)
+    assert(especs("alpha")._1.valueCols === Seq("invoice_number", "region"))
+    assert(especs("beta")._1.valueCols === Seq("invoice_number"))
+    assert(merged.fieldNames.toSeq === Seq("order_id", "invoice_number", "region"))
+    val snap = CdcApply.snapshotByTableFor(log,
+      CdcSchema.CdcTableSpec("order_id", Seq("invoice_number", "region"))).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getAs[String]("region")))
+    assert(snap.toSeq === Seq(
+      ("alpha", 1, 10, null), ("alpha", 3, 30, "emea"), ("beta", 2, 20, null)))
+  }
+
+  test("streaming evolution routes DDL by table: foreign ALTER stays inert") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft-evolve-route").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      """{"payload":{"after":{"order_id":1,"invoice_number":10},"source":{"pos":1}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    // batch 2: invoice's own DDL + a FOREIGN table's DDL that would add a
+    // column if mis-routed
+    Files.write(Paths.get(s"$in/b2.json"), Seq(
+      """{"payload":{"source":{"pos":5},"ts_ms":5,"databaseName":"dev","ddl":"ALTER TABLE invoice ADD COLUMN region VARCHAR(16)"}}""",
+      """{"payload":{"source":{"pos":6},"ts_ms":6,"databaseName":"dev","ddl":"ALTER TABLE other ADD COLUMN junk INT"}}""",
+      """{"payload":{"before":{"order_id":1,"invoice_number":10},"after":{"order_id":1,"invoice_number":11,"region":"emea"},"source":{"pos":7}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    assert(new java.io.File(s"$in/b1.json").setLastModified(
+      new java.io.File(s"$in/b2.json").lastModified() - 60000))
+    val q = graft.streaming.CdcStream.runRoutedEvolving(
+      spark.readStream.option("maxFilesPerTrigger", 1).text(in)
+        .withColumnRenamed("value", "raw"), "raw",
+      s"$base/dead", s"$base/schema", s"$base/audit", s"$base/state", s"$base/ckpt")
+    q.awaitTermination(120000)
+    // both DDLs are in the persisted history (audit), but only invoice's
+    // own statement evolved the spec
+    val hist = spark.read.parquet(s"$base/schema").collect()
+    assert(hist.length === 2)
+    val (espec, _) = graft.streaming.CdcStream.evolvedSpec(spark, s"$base/schema")
+    assert(espec.valueCols === Seq("invoice_number", "region")) // no junk
+    val snap = graft.streaming.CdcStream.partitionedSnapshotEvolved(
+      spark, s"$base/state", s"$base/schema")
+    assert(snap.columns.toSeq === Seq("order_id", "invoice_number", "region"))
+    assert(snap.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+      === Seq((1, 11, "emea")))
+  }
 }
