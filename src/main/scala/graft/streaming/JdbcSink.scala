@@ -31,10 +31,12 @@ import graft.cdc.CdcSchema
   * one prepared upsert per key from `foreachPartition`: work and SQL
   * round-trips are O(|delta|), connections are per-partition (the standard
   * executor-side JDBC pattern; `numPartitions` bounds the fan-in for
-  * stores that dislike many writers). The upsert dialect is ANSI
-  * `ON CONFLICT` (DuckDB/Postgres/SQLite); a ClickHouse deployment swaps
-  * [[upsertSql]] for a ReplacingMergeTree insert — the contract (keyed
-  * last-writer-wins by pos) is what this object fixes, not the dialect.
+  * stores that dislike many writers). SQL generation is behind
+  * [[SinkDialect]], selected by URL scheme: ANSI `ON CONFLICT`
+  * (DuckDB/Postgres/SQLite) by default, `ReplacingMergeTree(pos)`
+  * appends for a `jdbc:clickhouse:` URL (the reference's terminal
+  * store) — the contract (keyed last-writer-wins by pos) is what this
+  * object fixes, not the dialect.
   *
   * Everything here is plain `java.sql` — no driver classes referenced; the
   * driver jar on the executor classpath is discovered by DriverManager.
@@ -61,17 +63,6 @@ object JdbcSink {
     */
   val WidenRebuildWarnRows = 10_000_000L
 
-  /** SQL type for the narrow set of image column types the envelope
-    * carries (SURVEY §1.2: int32/int64/string).
-    */
-  private def sqlType(dt: DataType): String = dt match {
-    case IntegerType => "INTEGER"
-    case LongType => "BIGINT"
-    case StringType => "VARCHAR"
-    case other => throw new IllegalArgumentException(
-      s"unsupported image column type $other (envelope carries int32/int64/string)")
-  }
-
   private def jdbcType(dt: DataType): Int = dt match {
     case IntegerType => java.sql.Types.INTEGER
     case LongType => java.sql.Types.BIGINT
@@ -87,15 +78,11 @@ object JdbcSink {
     * and the parquet replica's lazy read-time widening.
     */
   def ensureTable(conn: Connection, table: String,
-                  spec: CdcSchema.CdcTableSpec, imageType: StructType): Unit = {
-    val valueDdl = spec.valueCols
-      .map(c => s"$c ${sqlType(imageType(c).dataType)}").mkString(", ")
+                  spec: CdcSchema.CdcTableSpec, imageType: StructType,
+                  dialect: SinkDialect = AnsiDialect): Unit = {
     val st = conn.createStatement()
     try {
-      st.execute(
-        s"""CREATE TABLE IF NOT EXISTS $table (
-           |  ${spec.key} ${sqlType(imageType(spec.key).dataType)} PRIMARY KEY,
-           |  pos BIGINT NOT NULL, $valueDdl)""".stripMargin)
+      st.execute(dialect.createTableSql(table, spec, imageType))
       // portable existing-column probe (empty result set metadata — no
       // reliance on engine-specific catalog case conventions)
       val probe = st.executeQuery(s"SELECT * FROM $table WHERE 1=0")
@@ -103,8 +90,7 @@ object JdbcSink {
       val existing = (1 to md.getColumnCount)
         .map(i => md.getColumnName(i).toLowerCase -> md.getColumnType(i)).toMap
       spec.valueCols.filterNot(c => existing.contains(c.toLowerCase)).foreach { c =>
-        st.execute(
-          s"ALTER TABLE $table ADD COLUMN $c ${sqlType(imageType(c).dataType)}")
+        st.execute(dialect.addColumnSql(table, c, imageType(c).dataType))
       }
       // widen live INTEGER columns an evolved spec re-typed to BIGINT
       // (MODIFY COLUMN application) — the only retype the engine allows
@@ -112,7 +98,7 @@ object JdbcSink {
         imageType(c).dataType == org.apache.spark.sql.types.LongType &&
           existing.get(c.toLowerCase).contains(java.sql.Types.INTEGER)
       spec.valueCols.filter(needsWiden).foreach { c =>
-        st.execute(s"ALTER TABLE $table ALTER COLUMN $c SET DATA TYPE BIGINT")
+        st.execute(dialect.widenValueColumnSql(table, c))
       }
       // a widened KEY cannot be retyped in place: stores reject ALTERing
       // a PRIMARY KEY column (DuckDB: "Cannot change the type of a column
@@ -123,6 +109,11 @@ object JdbcSink {
       // migration window, not a live schema change — the size guard below
       // logs the row count so operators can see what they signed up for.
       if (needsWiden(spec.key)) {
+        if (!dialect.supportsPkWidenRebuild)
+          throw new UnsupportedOperationException(
+            s"${dialect.name}: cannot retype the ORDER BY/PRIMARY KEY column " +
+              s"${spec.key} in place and has no transactional copy-swap; " +
+              "run the key widening as an offline rebuild migration")
         val cnt = st.executeQuery(s"SELECT COUNT(*) FROM $table")
         cnt.next()
         val nRows = cnt.getLong(1)
@@ -134,6 +125,9 @@ object JdbcSink {
         // table's physical column order (manual DDL or a store with
         // different ordering rules would silently mis-map a SELECT *)
         val colList = (Seq(spec.key, "pos") ++ spec.valueCols).mkString(", ")
+        val valueDdl = spec.valueCols
+          .map(c => s"$c ${dialect.sqlType(imageType(c).dataType, nullable = true)}")
+          .mkString(", ")
         st.execute("BEGIN TRANSACTION")
         st.execute(
           s"""CREATE TABLE ${table}__wide (
@@ -143,23 +137,12 @@ object JdbcSink {
         st.execute(s"ALTER TABLE ${table}__wide RENAME TO $table")
         st.execute("COMMIT")
       }
-      st.execute(s"CREATE TABLE IF NOT EXISTS ${table}_meta (horizon BIGINT NOT NULL)")
+      st.execute(dialect.metaDdlSql(table))
       val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${table}_meta")
       rs.next()
       if (rs.getLong(1) == 0)
         st.execute(s"INSERT INTO ${table}_meta VALUES (${Long.MinValue})")
     } finally st.close()
-  }
-
-  /** The conditional upsert implementing last-writer-wins by pos. */
-  private def upsertSql(table: String, spec: CdcSchema.CdcTableSpec): String = {
-    val cols = (Seq(spec.key, "pos") ++ spec.valueCols).mkString(", ")
-    val marks = (Seq(spec.key, "pos") ++ spec.valueCols).map(_ => "?").mkString(", ")
-    val sets = ("pos" +: spec.valueCols)
-      .map(c => s"$c = excluded.$c").mkString(", ")
-    s"""INSERT INTO $table ($cols) VALUES ($marks)
-       |ON CONFLICT (${spec.key}) DO UPDATE SET $sets
-       |WHERE excluded.pos > $table.pos""".stripMargin
   }
 
   private def readHorizon(conn: Connection, table: String): Long = {
@@ -180,6 +163,7 @@ object JdbcSink {
                  numPartitions: Int = 8,
                  batchSize: Int = DefaultBatchSize): Unit = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val dialect = SinkDialect.forUrl(url)
     val spark = batch.sparkSession
     val imageType = batch.schema("after").dataType.asInstanceOf[StructType]
     val keyJdbc = jdbcType(imageType(spec.key).dataType)
@@ -195,21 +179,21 @@ object JdbcSink {
       val conn = DriverManager.getConnection(url)
       val storedHorizon =
         try {
-          ensureTable(conn, table, spec, imageType)
+          ensureTable(conn, table, spec, imageType, dialect)
           val stored = readHorizon(conn, table)
           if (batchHorizon > stored) {
             val st = conn.createStatement()
             try {
               // C4: erase everything at-or-below the horizon, then persist
               // it so stragglers in LATER batches are filtered too
-              st.execute(s"DELETE FROM $table WHERE pos <= $batchHorizon")
-              st.execute(s"UPDATE ${table}_meta SET horizon = $batchHorizon")
+              st.execute(dialect.horizonDeleteSql(table, batchHorizon))
+              st.execute(dialect.persistHorizonSql(table, batchHorizon))
             } finally st.close()
           }
           math.max(stored, batchHorizon)
         } finally conn.close()
 
-      val sql = upsertSql(table, spec)
+      val sql = dialect.upsertSql(table, spec)
       val valueCols = spec.valueCols
       folded
         .filter(col("key").isNotNull && col("pos") > storedHorizon)
