@@ -20,7 +20,13 @@ object Bench {
     // Warm up the session (codegen compiler, FS client, broadcast machinery)
     // so JVM boot isn't billed to whichever query happens to run first.
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Optional subset (comma-separated names) for targeted scale steps —
+    // e.g. the dedup/ANN/decontaminate/cdc scale-path families at sf10,
+    // where running all 80+ queries per scale decade buys nothing.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toVector
+      .filter(n => only.forall(_.contains(n)))
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def onePass(): Map[String, Double] =
       names.map { name =>

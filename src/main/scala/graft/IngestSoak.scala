@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * index grows — the O(batch), never O(state), claim measured rather
   * than argued.
   *
-  * Usage: `graft.IngestSoak [nDocs] [nBatches] [workDir] [compactEvery]`.
+  * Usage: `graft.IngestSoak [nDocs] [nBatches] [workDir] [compactEvery]
+  * [compactWhenSegments]` — at most one compaction policy nonzero.
   */
 object IngestSoak {
   def main(args: Array[String]): Unit = {
@@ -26,6 +27,7 @@ object IngestSoak {
     val base = args.lift(2).filter(_.nonEmpty).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-ingest-soak").toString)
     val compactEvery = args.lift(3).map(_.toInt).getOrElse(0)
+    val compactWhenSegments = args.lift(4).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -51,13 +53,18 @@ object IngestSoak {
     }
 
     val indexDir = s"$base/index"
+    // worst read amplification actually hit during the run (the final
+    // manifest alone can't show it — a compaction may have just folded)
+    val observedMax = new java.util.concurrent.atomic.AtomicInteger(0)
     val t0 = System.nanoTime()
     val q = IncrementalDedup.runIngest(
       spark.readStream
         .schema(corpus.schema)
         .option("maxFilesPerTrigger", 1) // one drop per micro-batch
         .parquet(s"$base/drops/d*"),
-      indexDir, s"$base/ckpt", compactEvery = compactEvery)
+      indexDir, s"$base/ckpt", compactEvery = compactEvery,
+      compactWhenSegments = compactWhenSegments,
+      onBatch = (_, segs) => { observedMax.getAndAccumulate(segs, math.max); () })
     q.processAllAvailable(); q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
 
@@ -74,10 +81,12 @@ object IngestSoak {
     val maxSegs = if (buckets.isEmpty) 0 else buckets.values.map(_.size).max
     println(s"""{"metric":"ingest_soak","docs":$nDocs,"batches":$nBatches,""" +
       s""""compact_every":$compactEvery,""" +
+      s""""compact_when_segments":$compactWhenSegments,""" +
       s""""sec":${math.round(sec * 1000) / 1000.0},""" +
       s""""docs_per_sec":${math.round(nDocs / sec)},""" +
       s""""admitted":${admitted.count()},"snapshot_diff":$diff,""" +
-      s""""live_versions":$versions,"max_segments_per_bucket":$maxSegs}""")
+      s""""live_versions":$versions,"max_segments_per_bucket":$maxSegs,""" +
+      s""""max_segments_observed":${observedMax.get()}}""")
     spark.stop()
   }
 

@@ -124,24 +124,52 @@ object IncrementalDedup {
     * contract (a crash between the manifest commit and the checkpoint
     * commit replays the batch; the fingerprint check makes it a no-op).
     *
-    * `compactEvery` > 0 folds the accumulated segments back to one dir
-    * after every N batches (from the stream's own thread, so the
-    * single-writer contract holds): appends keep writes O(batch), the
-    * periodic compaction bounds read amplification at N segments per
-    * bucket — the standard LSM trade, here as an explicit knob.
+    * Two compaction policies, at most one active (both fold the
+    * accumulated segments back to one dir from the stream's own thread,
+    * so the single-writer contract holds):
+    *
+    *  - `compactEvery` = N: fixed cadence, every N batches. Bounds read
+    *    amplification at N segments/bucket, but fires on schedule even
+    *    when the state shape doesn't need it — a narrow drop that touched
+    *    3 of 64 buckets still triggers a whole-index rewrite.
+    *  - `compactWhenSegments` = K: ADAPTIVE — compact when the MEASURED
+    *    max segments-per-bucket (one tiny manifest read per batch)
+    *    reaches K. Read amplification is bounded at K by construction,
+    *    and the rewrite runs only when the state shape demands it: skewed
+    *    or narrow drops accumulate segments per bucket slowly, so the
+    *    index can absorb many more batches between rewrites than any
+    *    cadence guess for the same bound. This is the production knob;
+    *    cadence remains for deterministic-schedule tests.
+    *
+    * `onBatch` (batchId, maxSegmentsPerBucket-after-ingest) is a probe
+    * hook for soaks/specs; default no-op.
     */
   def runIngest(docs: DataFrame, indexDir: String, checkpointDir: String,
-                compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+                compactEvery: Int = 0, compactWhenSegments: Int = 0,
+                nBuckets: Int = 64,
+                onBatch: (Long, Int) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery == 0 || compactWhenSegments == 0,
+      "set at most one compaction policy: compactEvery (cadence) or " +
+        "compactWhenSegments (adaptive)")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingest(batch.sparkSession, indexDir, batch, batchId)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          BucketState.compact(batch.sparkSession, indexDir)
+        val spark = batch.sparkSession
+        ingest(spark, indexDir, batch, batchId, nBuckets = nBuckets)
+        val m = BucketState.readManifest(spark, indexDir)
+        val maxSegs =
+          if (m.buckets.isEmpty) 0 else m.buckets.values.map(_.size).max
+        onBatch(batchId, maxSegs)
+        val due =
+          (compactEvery > 0 && (batchId + 1) % compactEvery == 0) ||
+            (compactWhenSegments > 0 && maxSegs >= compactWhenSegments)
+        if (due) BucketState.compact(spark, indexDir)
         ()
       }
       .start()
+  }
 
   /** The full deduped corpus registry: every admitted (fp, doc_id),
     * resolved through the committed manifest.

@@ -124,6 +124,69 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(live.size <= 2, s"segments not compacted: $live")
   }
 
+  test("adaptive policy: compacts when MEASURED segments/bucket reach the bound") {
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("increm-adapt").toString
+    val dir = tmp(); val ckpt = tmp()
+    (0 until 4).foreach { b =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/d$b.json"),
+        s"""{"doc_id":${b + 1},"text":"w$b x$b"}""".getBytes)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // nBuckets=1 forces every batch onto one bucket: segments grow 1/batch
+    val observed = scala.collection.mutable.ListBuffer.empty[Int]
+    val q = IncrementalDedup.runIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in),
+      dir, ckpt, compactWhenSegments = 2, nBuckets = 1,
+      onBatch = (_, segs) => { observed.synchronized { observed += segs }; () })
+    q.processAllAvailable(); q.stop()
+    assert(IncrementalDedup.snapshot(spark, dir).count() === 4)
+    // the bound held at every observation point, and was actually hit
+    // (compaction fired, not vacuously bounded)
+    assert(observed.nonEmpty && observed.max === 2, s"observed=$observed")
+    val live = graft.streaming.BucketState.readManifest(spark, dir)
+      .buckets.values.flatten.toSet
+    assert(live.size === 1, s"expected compacted index, live versions: $live")
+  }
+
+  test("adaptive policy: does NOT compact while drops land in disjoint buckets") {
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("increm-adapt2").toString
+    val dir = tmp(); val ckpt = tmp()
+    (0 until 4).foreach { b =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/d$b.json"),
+        s"""{"doc_id":${b + 1},"text":"w$b x$b"}""".getBytes)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // 64 buckets, four distinct single-doc drops: each touches its own
+    // bucket (deterministic — xxhash64 over fixed fps), so measured
+    // segments/bucket stays 1 and the adaptive policy never rewrites —
+    // where compactEvery=2 would have compacted the index twice
+    val q = IncrementalDedup.runIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in),
+      dir, ckpt, compactWhenSegments = 2, nBuckets = 64)
+    q.processAllAvailable(); q.stop()
+    assert(IncrementalDedup.snapshot(spark, dir).count() === 4)
+    val live = graft.streaming.BucketState.readManifest(spark, dir)
+      .buckets.values.flatten.toSet
+    assert(live.size === 4, s"adaptive policy must not have compacted: $live")
+  }
+
+  test("cadence and adaptive compaction policies are mutually exclusive") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .json(java.nio.file.Files.createTempDirectory("increm-excl").toString)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.runIngest(stream, tmp(), tmp(),
+        compactEvery = 2, compactWhenSegments = 2)
+    }
+    assert(e.getMessage.contains("at most one compaction policy"))
+  }
+
   test("compaction folds many versions into one; reads and ingest continue") {
     val dir = tmp()
     // three batches → manifest references up to three version dirs
