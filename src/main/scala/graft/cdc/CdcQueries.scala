@@ -98,6 +98,21 @@ object CdcQueries {
           col("invoice_number").cast("long").as("invoice_number"),
           col("region"))
     },
+    "cdc_snapshot_renamed" -> { (s, d) =>
+      // FULL column DDL applied end-to-end (opt-in evolveFull path): a
+      // mid-stream DROP COLUMN memo, then RENAME COLUMN invoice_number
+      // TO invoice_no. The epoch-sliced parse reads each event under the
+      // schema its pos lived in; invoice_number values cross the rename
+      // boundary by logical identity, memo is retired for all rows.
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val raw = graft.Shared.materialize(s, d, "cdc_renamed_json")(
+        Changelog.syntheticRenamedJson(s, d))
+      val (espec, _, log) = SchemaEvolution.evolvedIngressFull(
+        raw, CdcSchema.CdcTableSpec("order_id", Seq("invoice_number", "memo")),
+        StructType(CdcSchema.invoiceType.fields :+ StructField("memo", StringType)),
+        stage = (n, df) => graft.Shared.materialize(s, d, s"cdc_renamed_$n")(df))
+      CdcApply.snapshotFor(log, espec)
+    },
     "cdc_snapshot_widened" -> { (s, d) =>
       // Type-widening APPLICATION: a mid-stream MODIFY COLUMN int→bigint;
       // the evolved parse reads the whole stream under the wide type
@@ -250,6 +265,13 @@ object CdcQueries {
         |            THEN 'r' || CAST(key % 3 AS VARCHAR) END AS region
         |FROM ranked WHERE rn = 1 AND NOT is_del
         |ORDER BY db, "table", order_id""".stripMargin,
+    "cdc_snapshot_renamed" ->
+      s"""$cte, ranked AS (
+         |  SELECT key, a_inv, is_del,
+         |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos DESC) AS rn
+         |  FROM live)
+         |SELECT key AS order_id, a_inv AS invoice_no
+         |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin,
     "cdc_snapshot_widened" ->
       """WITH base AS (
         |  SELECT CAST(o_orderkey AS INTEGER) AS k,

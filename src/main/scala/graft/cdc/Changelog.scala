@@ -146,6 +146,70 @@ object Changelog {
         col("e.payload.ts_ms").as("ts_ms"))
   }
 
+  /** EPOCH-SLICED parse for full-DDL evolution
+    * ([[SchemaEvolution.evolveFull]]): the DDL history divides the
+    * stream into pos-ranges that each lived under a different table
+    * schema — a RENAMEd column's events carry the old name before the
+    * DDL and the new name after; a DROPped column simply stops existing.
+    * One parse under one schema cannot represent that, so each event is
+    * parsed under ITS OWN epoch's image type and normalized to the final
+    * shape via the epoch's logical-identity column map.
+    *
+    * Still a SINGLE map-only scan: the epoch is chosen per row by a
+    * cheap positional pre-read (`get_json_object` on `payload.source.pos`
+    * — one scalar extraction, no shuffle), and the per-epoch `from_json`
+    * sits inside a CASE branch, so exactly one full parse runs per row
+    * regardless of epoch count. Epochs are O(schema changes) — human-
+    * initiated DDL, the same bound as the history collect — so the plan
+    * stays small. Validity gates per epoch on that epoch's OWN required
+    * columns (base-required logical columns still alive, under their
+    * epoch names); events that fail it, DDL envelopes, and events with
+    * no parseable pos all normalize to null and drop here, exactly like
+    * the single-schema ingress.
+    */
+  def fromEnvelopeJsonEpochs(df: DataFrame,
+                             epochs: Seq[SchemaEvolution.Epoch],
+                             finalType: org.apache.spark.sql.types.StructType,
+                             valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(epochs.nonEmpty, "epoch list must be non-empty")
+    val outType = StructType(Seq(
+      StructField("pos", LongType), StructField("op", StringType),
+      StructField("before", finalType), StructField("after", finalType),
+      StructField("ts_ms", LongType)))
+    def norm(img: org.apache.spark.sql.Column,
+             ep: SchemaEvolution.Epoch): org.apache.spark.sql.Column =
+      when(img.isNull, lit(null).cast(finalType)).otherwise(struct(
+        finalType.fields.map { f =>
+          ep.colMap.get(f.name) match {
+            case Some(n) => img.getField(n).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*))
+    val posRaw = get_json_object(col(valueCol), "$.payload.source.pos").cast("long")
+    val normalized = epochs.foldRight(lit(null).cast(outType)) { (ep, acc) =>
+      val e = from_json(col(valueCol), CdcSchema.envelopeTypeFor(ep.imageType))
+      val inEpoch = posRaw.isNotNull &&
+        (if (ep.fromPos == Long.MinValue) lit(true) else posRaw > ep.fromPos) &&
+        (if (ep.toPos == Long.MaxValue) lit(true) else posRaw <= ep.toPos)
+      when(inEpoch,
+        when(isValidEnvelope(e, ep.gateSpec), struct(
+          e.getField("payload").getField("source").getField("pos").as("pos"),
+          e.getField("payload").getField("op").as("op"),
+          norm(e.getField("payload").getField("before"), ep).as("before"),
+          norm(e.getField("payload").getField("after"), ep).as("after"),
+          e.getField("payload").getField("ts_ms").as("ts_ms")))
+          .otherwise(lit(null).cast(outType)))
+        .otherwise(acc)
+    }
+    df.filter(col(valueCol).isNotNull)                      // P1 tombstone filter
+      .withColumn("n", normalized)
+      .filter(col("n").isNotNull)
+      .select(col("n.pos").as("pos"), col("n.op").as("op"),
+        col("n.before").as("before"), col("n.after").as("after"),
+        col("n.ts_ms").as("ts_ms"))
+  }
+
   /** Malformed-envelope dead-letter routing — the engine's live analogue of
     * the reference's unreachable fallback branch (`main.py:92-93` C5): a
     * non-tombstone message that does not parse to a positioned payload is
@@ -487,6 +551,77 @@ object Changelog {
       .unionByName(deletes).unionByName(wireTruncate(base))
       .unionByName(wireDdl(hp,
         "ALTER TABLE invoice MODIFY COLUMN invoice_number BIGINT"))
+  }
+
+  /** Wire-format JSON changelog exercising FULL column DDL
+    * ([[SchemaEvolution.evolveFull]]): the table starts as
+    * (order_id, invoice_number, memo), a `DROP COLUMN memo` lands at the
+    * one-third position and a `RENAME COLUMN invoice_number TO
+    * invoice_no` at two-thirds. Every event's images are emitted in the
+    * shape the table had AT THAT POS — pre-drop events carry `memo`,
+    * post-rename events carry `invoice_no` and no `invoice_number` — so
+    * a single-schema parse physically cannot fold this stream: the
+    * epoch-sliced ingress must carry `invoice_number` values across the
+    * rename boundary by logical identity and retire `memo` everywhere.
+    * Data events mirror [[synthetic]]'s pos/op scheme exactly, so the
+    * oracle is [[oracleEventsCte]] with the output column renamed.
+    */
+  def syntheticRenamedJson(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey").cast("int").as("k"),
+        (col("o_custkey") % 100000).cast("int").as("v"))
+    val hps = base.agg(
+      expr("(max(cast(k as bigint)) * 10) div 3").as("hp1"),
+      expr("(max(cast(k as bigint)) * 10 * 2) div 3").as("hp2"))
+    val withH = base.crossJoin(broadcast(hps))
+
+    val type0 = StructType(CdcSchema.invoiceType.fields :+
+      StructField("memo", StringType))
+    val type2 = StructType(Seq(
+      StructField("order_id", IntegerType), StructField("invoice_no", IntegerType)))
+    type C = org.apache.spark.sql.Column
+    // image builders + null literals per epoch shape (0: with memo,
+    // 1: base, 2: renamed)
+    val imgs: Seq[C => C] = Seq(
+      inv => struct(col("k").as("order_id"), inv.as("invoice_number"),
+        concat(lit("m"), (col("k") % 5).cast("string")).as("memo")),
+      inv => struct(col("k").as("order_id"), inv.as("invoice_number")),
+      inv => struct(col("k").as("order_id"), inv.as("invoice_no")))
+    val nulls: Seq[C] = Seq(lit(null).cast(type0),
+      lit(null).cast(CdcSchema.invoiceType), lit(null).cast(type2))
+
+    def posC(o: Int) = col("k").cast("long") * 10 + o
+    // one family of events in all three epoch shapes, sliced by pos
+    def sliced(rows: DataFrame, posO: Int, op: String,
+               befV: Option[C], aftV: Option[C]): Seq[DataFrame] = {
+      val p = posC(posO)
+      Seq(p <= col("hp1"),
+        p > col("hp1") && p <= col("hp2"),
+        p > col("hp2")).zipWithIndex.map { case (cond, i) =>
+        rows.filter(cond).select(wireEnvelope(p, op,
+          befV.map(imgs(i)).getOrElse(nulls(i)),
+          aftV.map(imgs(i)).getOrElse(nulls(i))).as("value"))
+      }
+    }
+    val lastInv = when(col("k") % 9 === 0, col("v") + 2000)
+      .when(col("k") % 3 === 0, col("v") + 1000)
+      .otherwise(col("v"))
+    val families =
+      sliced(withH, 1, "c", None, Some(col("v"))) ++
+        sliced(withH.filter(col("k") % 3 === 0), 2, "u",
+          Some(col("v")), Some(col("v") + 1000)) ++
+        sliced(withH.filter(col("k") % 9 === 0), 3, "u",
+          Some(col("v") + 1000), Some(col("v") + 2000)) ++
+        sliced(withH.filter(col("k") % 7 === 0), 4, "d",
+          Some(lastInv), None)
+    families.reduce(_ unionByName _)
+      .unionByName(wireTruncate(base))
+      .unionByName(wireDdl(hps.select(col("hp1").as("hp")),
+        "ALTER TABLE invoice DROP COLUMN memo"))
+      .unionByName(wireDdl(hps.select(col("hp2").as("hp")),
+        "ALTER TABLE invoice RENAME COLUMN invoice_number TO invoice_no"))
   }
 
   /** [[synthetic]] as a shared materialization: the `cdc_*` family all

@@ -29,11 +29,15 @@ import org.apache.spark.sql.types._
   * (MySQL `ADD COLUMN` without `NOT NULL`), so a null/absent value in any
   * event — pre- or post-DDL — is legitimate data, not a partial parse.
   *
-  * Scope (deliberate): ADD COLUMN and widening MODIFY COLUMN
-  * (int → bigint; VARCHAR growth is a no-op at the engine's string
-  * type), single-table ingress. EVERYTHING ELSE in the captured
-  * history is INERT — DROP COLUMN, RENAME, CHANGE, a MODIFY that does
-  * not widen (the replica's type lattice only moves UP: a column that
+  * Scope of the DEFAULT fold ([[evolve]], deliberate): ADD COLUMN and
+  * widening MODIFY COLUMN (int → bigint; VARCHAR growth is a no-op at
+  * the engine's string type), single-table ingress. EVERYTHING ELSE in
+  * the captured history is INERT — DROP COLUMN, RENAME, CHANGE (these
+  * three have an OPT-IN application path: [[evolveFull]] +
+  * [[evolvedIngressFull]], which slice the stream into schema epochs at
+  * DDL positions and track columns by logical identity so renames carry
+  * values across the boundary and drops retire them for all rows — see
+  * the full-DDL section below), a MODIFY that does not widen (the replica's type lattice only moves UP: a column that
   * ever held longs keeps representing every future int exactly, so
   * ignoring an upstream narrowing loses nothing), a MODIFY of a column
   * the image never tracked, and ADD/MODIFY with types outside the
@@ -143,6 +147,186 @@ object SchemaEvolution {
         else (sp, ty) // replay, VARCHAR growth, narrowing, unknown: inert
       }
     }
+
+  // ------------------------------------------------------------------
+  // FULL-DDL mode (opt-in): DROP / RENAME / CHANGE COLUMN applied via
+  // epoch-sliced parse
+  // ------------------------------------------------------------------
+
+  private val RenameColRe =
+    """(?i)RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?""".r
+
+  private val ChangeColRe =
+    """(?i)CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+([A-Za-z]+)(?:\s*\(\s*\d+\s*\))?""".r
+
+  // the lookahead keeps DROP PRIMARY KEY / DROP INDEX / DROP FOREIGN KEY /
+  // DROP CONSTRAINT / DROP PARTITION / DROP CHECK from reading as columns
+  private val DropColRe =
+    """(?i)DROP\s+(?:COLUMN\s+)?(?!(?:PRIMARY|FOREIGN|INDEX|KEY|CONSTRAINT|PARTITION|CHECK)\b)`?(\w+)`?""".r
+
+  /** `RENAME COLUMN a TO b` clauses as (old, new) pairs. */
+  def renamedColumns(ddl: String): Seq[(String, String)] =
+    if (ddl == null) Seq.empty
+    else RenameColRe.findAllMatchIn(ddl).map(m => (m.group(1), m.group(2))).toSeq
+
+  /** `CHANGE [COLUMN] old new TYPE` clauses as (old, new, type); an
+    * out-of-carrier type keeps the rename but leaves the type untouched
+    * (the lattice still only moves up).
+    */
+  def changedColumns(ddl: String): Seq[(String, String, Option[DataType])] =
+    if (ddl == null) Seq.empty
+    else ChangeColRe.findAllMatchIn(ddl)
+      .map(m => (m.group(1), m.group(2), sparkTypeOf(m.group(3)))).toSeq
+
+  /** `DROP [COLUMN] c` clauses (constraint/index forms excluded). */
+  def droppedColumns(ddl: String): Seq[String] =
+    if (ddl == null) Seq.empty
+    else DropColRe.findAllMatchIn(ddl).map(_.group(1)).toSeq
+
+  /** One pos-range of the stream sharing a single table schema, produced
+    * by [[evolveFull]]: events with `fromPos < pos <= toPos` parse under
+    * `imageType` (the columns as THEY WERE NAMED then), gate validity on
+    * `gateSpec` (the base-required columns still alive in this epoch,
+    * under their epoch names), and normalize into the final schema via
+    * `colMap` (final column name → this epoch's name for the same
+    * LOGICAL column; absent = the logical column does not exist in this
+    * epoch — e.g. not yet added, or a re-add after a drop whose earlier
+    * namesake must NOT resurface).
+    */
+  final case class Epoch(fromPos: Long, toPos: Long, imageType: StructType,
+                         gateSpec: CdcSchema.CdcTableSpec,
+                         colMap: Map[String, String])
+
+  private final case class ColSt(id: Int, name: String, dt: DataType)
+
+  /** Fold a pos-ordered DDL history with FULL column DDL applied — the
+    * opt-in companion to [[evolve]] for deployments that want DROP /
+    * RENAME / CHANGE reflected in the replica rather than held inert.
+    *
+    * Columns are tracked by LOGICAL IDENTITY, not name: RENAME (and the
+    * rename half of CHANGE) keeps the column's identity under a new
+    * name; DROP ends the identity (MySQL semantics: the data is gone for
+    * ALL rows, instantly); a later ADD of the same name is a FRESH
+    * column — pre-drop values must not resurface, which is exactly what
+    * the per-epoch `colMap` encodes (the old epochs simply have no
+    * mapping into the re-added column). The type lattice still only
+    * moves up (a CHANGE that narrows keeps the wide type); dropping or
+    * type-narrowing the KEY column is inert — a keyed replica cannot
+    * lose its key mid-stream, and the statement stays in the audit
+    * history like every other inert clause.
+    *
+    * Returns the final (spec, imageType) plus the epoch list for the
+    * sliced parse ([[Changelog.fromEnvelopeJsonEpochs]]); adjacent
+    * epochs an inert statement failed to distinguish are merged, so the
+    * epoch count is O(effective schema changes).
+    */
+  def evolveFull(spec: CdcSchema.CdcTableSpec, imageType: StructType,
+                 ddls: Seq[(Long, String)])
+      : (CdcSchema.CdcTableSpec, StructType, Seq[Epoch]) = {
+    val baseCols = imageType.fields.zipWithIndex
+      .map { case (f, i) => ColSt(i, f.name, f.dataType) }.toVector
+    val keyId = baseCols(imageType.fieldNames.indexOf(spec.key)).id
+    val requiredIds = spec.allCols.map(c =>
+      baseCols(imageType.fieldNames.indexOf(c)).id).toSet
+
+    def applyDdl(cols: Vector[ColSt], nextId: Int, ddl: String): (Vector[ColSt], Int) = {
+      var cs = cols; var nid = nextId
+      addedColumns(ddl).foreach { f =>
+        if (!cs.exists(_.name == f.name)) { cs = cs :+ ColSt(nid, f.name, f.dataType); nid += 1 }
+      }
+      modifiedColumns(ddl).foreach { f =>
+        cs = cs.map(c => if (c.name == f.name && widens(c.dt, f.dataType))
+          c.copy(dt = f.dataType) else c)
+      }
+      (renamedColumns(ddl) ++ changedColumns(ddl).map(c => (c._1, c._2))).foreach {
+        case (from, to) =>
+          if (cs.exists(_.name == from) && !cs.exists(_.name == to))
+            cs = cs.map(c => if (c.name == from) c.copy(name = to) else c)
+      }
+      changedColumns(ddl).foreach { case (_, to, t) =>
+        t.foreach(dt => cs = cs.map(c =>
+          if (c.name == to && widens(c.dt, dt)) c.copy(dt = dt) else c))
+      }
+      droppedColumns(ddl).foreach { d =>
+        cs = cs.filterNot(c => c.name == d && c.id != keyId) // key drop inert
+      }
+      (cs, nid)
+    }
+
+    // fold: collect (epochUpperBound, colsInEffectUpTo) snapshots
+    val sorted = ddls.sortBy(_._1)
+    val (snaps, finalCols, _) =
+      sorted.foldLeft((Vector.empty[(Long, Vector[ColSt])], baseCols, baseCols.length)) {
+        case ((acc, cols, nid), (pos, ddl)) =>
+          val (ncols, nnid) = applyDdl(cols, nid, ddl)
+          (acc :+ (pos, cols), ncols, nnid)
+      }
+
+    val finalType = StructType(finalCols.map(c => StructField(c.name, c.dt, nullable = true)))
+    val finalKeyName = finalCols.find(_.id == keyId).get.name
+    val finalSpec = CdcSchema.CdcTableSpec(finalKeyName,
+      finalCols.filterNot(_.id == keyId).map(_.name))
+    val finalById = finalCols.map(c => c.id -> c.name).toMap
+
+    def epochOf(from: Long, to: Long, cols: Vector[ColSt]): Epoch = {
+      // epoch columns take the FINAL (widest) type their identity ever
+      // reaches — from_json upcasts narrow wire values exactly, the same
+      // one-parse widening the MODIFY path relies on
+      val ty = StructType(cols.map(c => StructField(c.name,
+        finalCols.find(_.id == c.id).map(_.dt).getOrElse(c.dt), nullable = true)))
+      val aliveRequired = cols.filter(c => requiredIds.contains(c.id))
+      val gate = CdcSchema.CdcTableSpec(
+        cols.find(_.id == keyId).get.name,
+        aliveRequired.filterNot(_.id == keyId).map(_.name))
+      Epoch(from, to,
+        ty, gate,
+        cols.flatMap(c => finalById.get(c.id).map(_ -> c.name)).toMap)
+    }
+
+    val bounds = snaps.map(_._1)
+    val raw = (snaps :+ (Long.MaxValue, finalCols)).zipWithIndex.map {
+      case ((to, cols), i) =>
+        epochOf(if (i == 0) Long.MinValue else bounds(i - 1), to, cols)
+    }
+    // merge adjacent epochs an inert statement failed to distinguish
+    val merged = raw.foldLeft(Vector.empty[Epoch]) { (acc, e) =>
+      acc.lastOption match {
+        case Some(p) if p.imageType == e.imageType && p.gateSpec == e.gateSpec &&
+            p.colMap == e.colMap =>
+          acc.init :+ p.copy(toPos = e.toPos)
+        case _ => acc :+ e
+      }
+    }
+    (finalSpec, finalType, merged)
+  }
+
+  /** Full-DDL evolved ingress: route the schema history, fold it with
+    * [[evolveFull]], and parse the stream ONCE with the epoch-sliced
+    * dispatch — each event under the schema its pos lived in, normalized
+    * to the final shape. Opt-in counterpart of [[evolvedIngress]]; same
+    * bounded driver-side history read, same `stage` hook.
+    */
+  def evolvedIngressFull(raw: DataFrame, spec: CdcSchema.CdcTableSpec,
+                         imageType: StructType, valueCol: String = "value",
+                         stage: (String, DataFrame) => DataFrame = (_, df) => df)
+      : (CdcSchema.CdcTableSpec, StructType, DataFrame) = {
+    // bounded driver-side read: O(schema changes), never O(events)
+    val ddls = stage("hist", Changelog.schemaHistory(raw, valueCol))
+      .orderBy("pos").select("pos", "ddl").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (espec, etype, epochs) = evolveFull(spec, imageType, ddls)
+    (espec, etype,
+      stage("log", Changelog.fromEnvelopeJsonEpochs(raw, epochs, etype, valueCol)))
+  }
+
+  /** [[snapshotEvolved]] with full column DDL applied. */
+  def snapshotEvolvedFull(raw: DataFrame,
+                          spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                          imageType: StructType = CdcSchema.invoiceType,
+                          valueCol: String = "value"): DataFrame = {
+    val (espec, _, log) = evolvedIngressFull(raw, spec, imageType, valueCol)
+    CdcApply.snapshotFor(log, espec)
+  }
 
   /** Per-table evolution over a DDL history from a WHOLE-DATABASE capture:
     * each statement evolves only the spec of its parsed target table.

@@ -330,4 +330,106 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(snap.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
       === Seq((1, 11, "emea")))
   }
+
+  // ---------------------------------------------------------- full DDL
+
+  test("full-DDL clause parsers: RENAME / CHANGE / DROP, constraint forms excluded") {
+    import org.apache.spark.sql.types._
+    assert(SchemaEvolution.renamedColumns(
+      "ALTER TABLE t RENAME COLUMN `a` TO `b`, RENAME COLUMN c TO d")
+      === Seq(("a", "b"), ("c", "d")))
+    assert(SchemaEvolution.changedColumns(
+      "ALTER TABLE t CHANGE COLUMN old_n new_n BIGINT, CHANGE x y GEOMETRY")
+      === Seq(("old_n", "new_n", Some(LongType)), ("x", "y", None)))
+    assert(SchemaEvolution.droppedColumns(
+      "ALTER TABLE t DROP COLUMN memo, DROP old_flag") === Seq("memo", "old_flag"))
+    assert(SchemaEvolution.droppedColumns(
+      "ALTER TABLE t DROP PRIMARY KEY, DROP INDEX idx, DROP FOREIGN KEY fk, " +
+        "DROP CONSTRAINT ck, DROP PARTITION p0") === Seq.empty)
+  }
+
+  test("evolveFull: rename keeps logical identity; drop retires it; re-add is fresh") {
+    import org.apache.spark.sql.types._
+    val baseTy = StructType(Seq(
+      StructField("order_id", IntegerType), StructField("inv", IntegerType),
+      StructField("memo", StringType)))
+    val baseSpec = CdcSchema.CdcTableSpec("order_id", Seq("inv", "memo"))
+    val (espec, etype, epochs) = SchemaEvolution.evolveFull(baseSpec, baseTy, Seq(
+      100L -> "ALTER TABLE t DROP COLUMN memo",
+      200L -> "ALTER TABLE t RENAME COLUMN inv TO invoice_no",
+      300L -> "ALTER TABLE t ADD COLUMN memo VARCHAR(8)"))
+    assert(espec === CdcSchema.CdcTableSpec("order_id", Seq("invoice_no", "memo")))
+    assert(etype.fieldNames.toSeq === Seq("order_id", "invoice_no", "memo"))
+    assert(epochs.map(e => (e.fromPos, e.toPos)) === Seq(
+      (Long.MinValue, 100L), (100L, 200L), (200L, 300L), (300L, Long.MaxValue)))
+    // epoch 0: inv feeds invoice_no by identity; its memo does NOT feed
+    // the re-added memo (fresh column — pre-drop values must not resurface)
+    assert(epochs(0).colMap === Map("order_id" -> "order_id", "invoice_no" -> "inv"))
+    assert(epochs(1).colMap === Map("order_id" -> "order_id", "invoice_no" -> "inv"))
+    assert(epochs(2).colMap === Map("order_id" -> "order_id", "invoice_no" -> "invoice_no"))
+    assert(epochs(3).colMap === Map("order_id" -> "order_id",
+      "invoice_no" -> "invoice_no", "memo" -> "memo"))
+    // gate: memo was base-required, so epoch 0 gates on it; after the drop
+    // it is gone from the gate; the RE-ADDED memo is nullable, never gated
+    assert(epochs(0).gateSpec === CdcSchema.CdcTableSpec("order_id", Seq("inv", "memo")))
+    assert(epochs(1).gateSpec === CdcSchema.CdcTableSpec("order_id", Seq("inv")))
+    assert(epochs(3).gateSpec === CdcSchema.CdcTableSpec("order_id", Seq("invoice_no")))
+  }
+
+  test("evolveFull: key drop is inert, key rename applies; inert DDL merges epochs") {
+    import org.apache.spark.sql.types._
+    val baseTy = StructType(Seq(
+      StructField("order_id", IntegerType), StructField("inv", IntegerType)))
+    val baseSpec = CdcSchema.CdcTableSpec("order_id", Seq("inv"))
+    val (espec, _, epochs) = SchemaEvolution.evolveFull(baseSpec, baseTy, Seq(
+      100L -> "ALTER TABLE t DROP COLUMN order_id",        // inert: key
+      200L -> "DROP INDEX something",                      // inert: not a column
+      300L -> "ALTER TABLE t RENAME COLUMN order_id TO oid"))
+    assert(espec === CdcSchema.CdcTableSpec("oid", Seq("inv")))
+    // the two inert statements created no epoch boundary
+    assert(epochs.map(e => (e.fromPos, e.toPos)) === Seq(
+      (Long.MinValue, 300L), (300L, Long.MaxValue)))
+    assert(epochs(0).colMap === Map("oid" -> "order_id", "inv" -> "inv"))
+  }
+
+  test("CHANGE renames and widens in one clause; values cross both boundaries") {
+    import org.apache.spark.sql.types._
+    val baseTy = StructType(Seq(
+      StructField("order_id", IntegerType), StructField("inv", IntegerType)))
+    val (espec, etype, _) = SchemaEvolution.evolveFull(
+      CdcSchema.CdcTableSpec("order_id", Seq("inv")), baseTy,
+      Seq(100L -> "ALTER TABLE t CHANGE COLUMN inv invoice_no BIGINT"))
+    assert(espec.valueCols === Seq("invoice_no"))
+    assert(etype("invoice_no").dataType === LongType)
+  }
+
+  test("epoch-sliced ingress end-to-end: drop + rename fold to the final shape") {
+    import org.apache.spark.sql.types._
+    def env(pos: Long, after: String) =
+      s"""{"payload":{"before":null,"after":$after,"source":{"ts_ms":$pos,"pos":$pos,"db":"dev","table":"t"},"op":"c","ts_ms":$pos}}"""
+    def ddl(pos: Long, stmt: String) =
+      s"""{"payload":{"source":{"ts_ms":$pos,"pos":$pos},"ts_ms":$pos,"databaseName":"dev","ddl":"$stmt"}}"""
+    val lines = Seq(
+      // epoch 0: (order_id, inv, memo) — both keys get values; memo required
+      env(1, """{"order_id":1,"inv":10,"memo":"a"}"""),
+      env(2, """{"order_id":2,"inv":20,"memo":"b"}"""),
+      ddl(100, "ALTER TABLE t DROP COLUMN memo"),
+      // epoch 1: (order_id, inv) — key 2 updated post-drop
+      env(150, """{"order_id":2,"inv":21}"""),
+      ddl(200, "ALTER TABLE t RENAME COLUMN inv TO invoice_no"),
+      // epoch 2: (order_id, invoice_no) — key 3 born post-rename
+      env(250, """{"order_id":3,"invoice_no":30}"""))
+    val raw = spark.createDataset(lines)(
+      org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val baseTy = StructType(Seq(
+      StructField("order_id", IntegerType), StructField("inv", IntegerType),
+      StructField("memo", StringType)))
+    val snap = SchemaEvolution.snapshotEvolvedFull(
+      raw, CdcSchema.CdcTableSpec("order_id", Seq("inv", "memo")), baseTy)
+    assert(snap.columns.toSeq === Seq("order_id", "invoice_no"))
+    // key 1's value crossed BOTH boundaries by identity (written as `inv`
+    // pre-drop, read out as `invoice_no`); memo is gone for all rows
+    assert(snap.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      === Seq((1, 10), (2, 21), (3, 30)))
+  }
 }
