@@ -170,7 +170,37 @@ object Changelog {
   def fromEnvelopeJsonEpochs(df: DataFrame,
                              epochs: Seq[SchemaEvolution.Epoch],
                              finalType: org.apache.spark.sql.types.StructType,
-                             valueCol: String = "value"): DataFrame = {
+                             valueCol: String = "value"): DataFrame =
+    normalizedEpochs(df, epochs, finalType, valueCol)
+      .filter(col("n").isNotNull)
+      .select(col("n.pos").as("pos"), col("n.op").as("op"),
+        col("n.before").as("before"), col("n.after").as("after"),
+        col("n.ts_ms").as("ts_ms"))
+
+  /** Dead letters under the epoch-sliced parse: a non-tombstone value that
+    * normalizes to null under ITS epoch's schema+gate and is not a
+    * schema-change event (checked by an exact scalar pre-read of
+    * `payload.ddl` — no second full parse). The live full-DDL ingress
+    * ([[graft.streaming.CdcStream.runRoutedEvolvingFull]]) forks this off
+    * the same cached batch the changelog head reads.
+    */
+  def deadLettersEpochs(df: DataFrame,
+                        epochs: Seq[SchemaEvolution.Epoch],
+                        finalType: org.apache.spark.sql.types.StructType,
+                        valueCol: String = "value"): DataFrame =
+    normalizedEpochs(df, epochs, finalType, valueCol)
+      .filter(col("n").isNull &&
+        get_json_object(col(valueCol), "$.payload.ddl").isNull)
+      .select(col(valueCol).as("raw"), lit("unparseable_envelope").as("reason"))
+
+  /** Shared body of the epoch-sliced heads: tombstones dropped, each row
+    * carrying its normalized changelog struct in `n` (null = DDL event,
+    * dead letter, or no parseable pos) alongside the raw value column.
+    */
+  private def normalizedEpochs(df: DataFrame,
+                               epochs: Seq[SchemaEvolution.Epoch],
+                               finalType: org.apache.spark.sql.types.StructType,
+                               valueCol: String): DataFrame = {
     import org.apache.spark.sql.types._
     require(epochs.nonEmpty, "epoch list must be non-empty")
     val outType = StructType(Seq(
@@ -204,10 +234,6 @@ object Changelog {
     }
     df.filter(col(valueCol).isNotNull)                      // P1 tombstone filter
       .withColumn("n", normalized)
-      .filter(col("n").isNotNull)
-      .select(col("n.pos").as("pos"), col("n.op").as("op"),
-        col("n.before").as("before"), col("n.after").as("after"),
-        col("n.ts_ms").as("ts_ms"))
   }
 
   /** Malformed-envelope dead-letter routing — the engine's live analogue of

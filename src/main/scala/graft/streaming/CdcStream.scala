@@ -547,12 +547,20 @@ object CdcStream {
     * delegating here). `stateReadSchema`, when given, pins the bucket
     * reads to an explicit (wider) schema so state written under an older
     * image struct null-fills instead of failing the union — see
-    * `BucketState.readBuckets`.
+    * `BucketState.readBuckets`. `stateReader`, when given, REPLACES the
+    * bucket read entirely (it receives the relevant slice of the
+    * manifest and must return state in the CURRENT merge schema — the
+    * full-DDL runner's per-version identity remap). `onStaged` runs with
+    * the freshly staged version dir path BEFORE the manifest commit —
+    * the full-DDL runner writes its schema-watermark sidecar there, so a
+    * commit can never reference a version whose watermark is missing.
     */
   private[graft] def applyPartitionedBatch(
       rawBatch: DataFrame, batchId: Long, auditDir: String, stateDir: String,
       nBuckets: Int, spec: CdcSchema.CdcTableSpec,
-      stateReadSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+      stateReadSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      stateReader: Option[Map[Long, Set[Long]] => DataFrame] = None,
+      onStaged: Option[String => Unit] = None): Unit = {
     val spark = rawBatch.sparkSession
     val bucketOf = bucketFn(nBuckets) _
     val batch = rawBatch.persist() // 3 more actions below; scan the source once
@@ -599,9 +607,12 @@ object CdcStream {
             val relevant =
               if (hasTruncate) manifest
               else manifest.view.filterKeys(touched).toMap
-            BucketState.readBuckets(spark, stateDir, relevant,
-              emptyStateFor(spark, spec, imageType).withColumn("p", lit(-1L)),
-              stateReadSchema)
+            stateReader match {
+              case Some(rd) => rd(relevant)
+              case None => BucketState.readBuckets(spark, stateDir, relevant,
+                emptyStateFor(spark, spec, imageType).withColumn("p", lit(-1L)),
+                stateReadSchema)
+            }
           }
 
         // (1) Stage this batch's buckets under its OWN version dir —
@@ -615,6 +626,7 @@ object CdcStream {
               .otherwise(bucketOf(col("key"), keyType)))
           .repartition(col("p"))
           .write.mode("overwrite").partitionBy("p").parquet(s"$stateDir/v=$newVersion")
+        onStaged.foreach(_(s"$stateDir/v=$newVersion"))
 
         // Buckets actually present in the output (a truncate can empty a
         // bucket entirely — it must drop out of the manifest, the case
