@@ -14,11 +14,23 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `graft.CandidateVolume [sfDir] [boilerPct]`
   * (defaults /root/testdata/sf0.01, 5 — i.e. 5% of docs get boilerplate).
+  *
+  * ADVERSARIAL mode — `graft.CandidateVolume tinyboiler [nDocs]`
+  * (default 5000, the sf0.1 document count): a synthetic corpus of TINY
+  * docs that are 100% boilerplate — every doc is 4 sentences drawn
+  * deterministically from a pool of 12, so EVERY shingle is hot
+  * (df ≈ nDocs/3), the cold count join is empty, and each doc's prefix
+  * is a large fraction of the whole doc. This is the one shape the
+  * hot-only rescue join's prefix filter gets the least leverage on:
+  * near-all pairs share a prefix shingle while few clear the 0.8/0.9
+  * thresholds, so the cell measures pure rescue-join fan-out with small
+  * qualifying output. Only the df_split plan is timed here — the count
+  * join on an all-hot corpus is the known-quadratic shape the split
+  * replaced (it times out by construction; that result is already
+  * recorded for the injected corpus).
   */
 object CandidateVolume {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.filter(_.nonEmpty).getOrElse("/root/testdata/sf0.01")
-    val pct = args.lift(1).map(_.toInt).getOrElse(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -30,16 +42,6 @@ object CandidateVolume {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // boilerplate-injected copy: one fixed 12-token sentence appended to
-    // pct% of docs → ~10 shingles whose df is pct% of the corpus
-    val boilerDir = "/tmp/graft_boiler"
-    val boiler = "terms of service apply to this content all rights reserved worldwide"
-    spark.read.parquet(s"$dir/documents.parquet")
-      .withColumn("text",
-        when(col("doc_id") % 100 < pct, concat(col("text"), lit(" " + boiler)))
-          .otherwise(col("text")))
-      .write.mode("overwrite").parquet(s"$boilerDir/documents.parquet")
-
     def timePlan(d: String, hotDf: Long, tag: String): Long = {
       val t0 = System.nanoTime()
       val n = graft.operators.Dedup.overlapPairsPlan(spark, d, hotDf).count()
@@ -47,6 +49,52 @@ object CandidateVolume {
       println(f"""{"corpus":"$d","plan":"$tag","hotDf":$hotDf,"pairs":$n,"sec":$sec%.2f}""")
       n
     }
+
+    if (args.headOption.contains("tinyboiler")) {
+      val nDocs = args.lift(1).map(_.toInt).getOrElse(5000)
+      // per-run scratch dir: runs with different sizes never clobber
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_tinyboiler_$nDocs"
+      val pool = Seq(
+        "terms of service apply to this content all rights reserved worldwide",
+        "click here to subscribe to our newsletter for weekly updates today",
+        "copyright notice this page is protected by applicable international law",
+        "all trademarks are property of their respective owners in all regions",
+        "by continuing to browse you accept our use of tracking cookies",
+        "this site uses cookies to improve your experience and our service",
+        "please enable javascript in your browser to view this page correctly",
+        "sign in to your account to continue reading the full article",
+        "the opinions expressed here are those of the authors alone entirely",
+        "for customer support contact our help desk via the form below",
+        "unauthorized reproduction of this material is strictly prohibited by law",
+        "prices and availability are subject to change without any prior notice")
+      // 4 deterministic pseudo-random sentences per doc: multiplicative
+      // stepping by a unit coprime to 12 gives 4 DISTINCT indices per doc
+      // and a different subset mix across docs — no RNG, replayable
+      val poolCol = array(pool.map(lit): _*)
+      spark.range(nDocs.toLong).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 4).map(k =>
+          element_at(poolCol, (pmod(col("id") * 7 + lit(k) * (col("id") % 5 + 1), lit(12))) + 1)): _*)
+          .as("text"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      timePlan(dir, operators.Dedup.HotDf, "df_split")
+      spark.stop()
+      return
+    }
+
+    val dir = args.headOption.filter(_.nonEmpty).getOrElse("/root/testdata/sf0.01")
+    val pct = args.lift(1).map(_.toInt).getOrElse(5)
+    // scratch dir derived from the input corpus and injection rate, so
+    // concurrent or successive runs with different fixtures never
+    // clobber each other's corpus mid-measurement
+    val boilerDir = s"${System.getProperty("java.io.tmpdir")}/graft_boiler_" +
+      s"${new java.io.File(dir).getName}_$pct"
+    val boiler = "terms of service apply to this content all rights reserved worldwide"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") % 100 < pct, concat(col("text"), lit(" " + boiler)))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$boilerDir/documents.parquet")
+
     val a = timePlan(dir, operators.Dedup.HotDf, "df_split")
     val b = timePlan(dir, Long.MaxValue, "count_join")
     require(a == b, s"plan mismatch on clean corpus: $a vs $b")

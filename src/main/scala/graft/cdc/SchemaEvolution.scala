@@ -160,9 +160,12 @@ object SchemaEvolution {
     """(?i)CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+([A-Za-z]+)(?:\s*\(\s*\d+\s*\))?""".r
 
   // the lookahead keeps DROP PRIMARY KEY / DROP INDEX / DROP FOREIGN KEY /
-  // DROP CONSTRAINT / DROP PARTITION / DROP CHECK from reading as columns
+  // DROP CONSTRAINT / DROP PARTITION / DROP CHECK / DROP DEFAULT (the
+  // `ALTER COLUMN x DROP DEFAULT` form — not a column drop) from reading
+  // as columns; `IF EXISTS` (MariaDB) is consumed so the real column name
+  // is captured, not `IF`
   private val DropColRe =
-    """(?i)DROP\s+(?:COLUMN\s+)?(?!(?:PRIMARY|FOREIGN|INDEX|KEY|CONSTRAINT|PARTITION|CHECK)\b)`?(\w+)`?""".r
+    """(?i)DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?(?!(?:PRIMARY|FOREIGN|INDEX|KEY|CONSTRAINT|PARTITION|CHECK|DEFAULT)\b)`?(\w+)`?""".r
 
   /** `RENAME COLUMN a TO b` clauses as (old, new) pairs. */
   def renamedColumns(ddl: String): Seq[(String, String)] =
@@ -199,6 +202,67 @@ object SchemaEvolution {
 
   private final case class ColSt(id: Int, name: String, dt: DataType)
 
+  /** One DDL statement applied to the identity-tracked column vector —
+    * the single fold step under [[evolveFull]] and [[identityRemapAt]]
+    * (both must agree on identity assignment, so there is exactly one
+    * implementation).
+    */
+  private def applyFullDdl(keyId: Int)(cols: Vector[ColSt], nextId: Int,
+                                       ddl: String): (Vector[ColSt], Int) = {
+    var cs = cols; var nid = nextId
+    addedColumns(ddl).foreach { f =>
+      if (!cs.exists(_.name == f.name)) { cs = cs :+ ColSt(nid, f.name, f.dataType); nid += 1 }
+    }
+    modifiedColumns(ddl).foreach { f =>
+      cs = cs.map(c => if (c.name == f.name && widens(c.dt, f.dataType))
+        c.copy(dt = f.dataType) else c)
+    }
+    (renamedColumns(ddl) ++ changedColumns(ddl).map(c => (c._1, c._2))).foreach {
+      case (from, to) =>
+        if (cs.exists(_.name == from) && !cs.exists(_.name == to))
+          cs = cs.map(c => if (c.name == from) c.copy(name = to) else c)
+    }
+    changedColumns(ddl).foreach { case (_, to, t) =>
+      t.foreach(dt => cs = cs.map(c =>
+        if (c.name == to && widens(c.dt, dt)) c.copy(dt = dt) else c))
+    }
+    droppedColumns(ddl).foreach { d =>
+      cs = cs.filterNot(c => c.name == d && c.id != keyId) // key drop inert
+    }
+    (cs, nid)
+  }
+
+  private def baseColsOf(imageType: StructType): Vector[ColSt] =
+    imageType.fields.zipWithIndex
+      .map { case (f, i) => ColSt(i, f.name, f.dataType) }.toVector
+
+  /** Identity remap between the FULL history's final schema and its
+    * prefix at `watermark` (statements with pos ≤ watermark applied):
+    * final column name → the SAME logical column's name at the
+    * watermark, None when the identity did not exist then (added — or
+    * re-added after a drop — later; state written at the watermark must
+    * null-fill it, never resurrect a dropped namesake). Identity
+    * assignment is deterministic in pos order, so the prefix fold sees
+    * exactly the ids the full fold assigned to those statements — this
+    * is what lets a bucket-state version dir stamped with its history
+    * watermark ([[graft.streaming.CdcStream.runRoutedEvolvingFull]]) be
+    * read back under ANY later schema.
+    */
+  def identityRemapAt(spec: CdcSchema.CdcTableSpec, imageType: StructType,
+                      ddls: Seq[(Long, String)], watermark: Long)
+      : Map[String, Option[String]] = {
+    val base = baseColsOf(imageType)
+    val keyId = base(imageType.fieldNames.indexOf(spec.key)).id
+    val step = applyFullDdl(keyId) _
+    def fold(stmts: Seq[(Long, String)]): Vector[ColSt] =
+      stmts.sortBy(_._1).foldLeft((base, base.length)) {
+        case ((cs, nid), (_, ddl)) => step(cs, nid, ddl)
+      }._1
+    val atW = fold(ddls.filter(_._1 <= watermark))
+    val atWById = atW.map(c => c.id -> c.name).toMap
+    fold(ddls).map(c => c.name -> atWById.get(c.id)).toMap
+  }
+
   /** Fold a pos-ordered DDL history with FULL column DDL applied — the
     * opt-in companion to [[evolve]] for deployments that want DROP /
     * RENAME / CHANGE reflected in the replica rather than held inert.
@@ -223,35 +287,11 @@ object SchemaEvolution {
   def evolveFull(spec: CdcSchema.CdcTableSpec, imageType: StructType,
                  ddls: Seq[(Long, String)])
       : (CdcSchema.CdcTableSpec, StructType, Seq[Epoch]) = {
-    val baseCols = imageType.fields.zipWithIndex
-      .map { case (f, i) => ColSt(i, f.name, f.dataType) }.toVector
+    val baseCols = baseColsOf(imageType)
     val keyId = baseCols(imageType.fieldNames.indexOf(spec.key)).id
     val requiredIds = spec.allCols.map(c =>
       baseCols(imageType.fieldNames.indexOf(c)).id).toSet
-
-    def applyDdl(cols: Vector[ColSt], nextId: Int, ddl: String): (Vector[ColSt], Int) = {
-      var cs = cols; var nid = nextId
-      addedColumns(ddl).foreach { f =>
-        if (!cs.exists(_.name == f.name)) { cs = cs :+ ColSt(nid, f.name, f.dataType); nid += 1 }
-      }
-      modifiedColumns(ddl).foreach { f =>
-        cs = cs.map(c => if (c.name == f.name && widens(c.dt, f.dataType))
-          c.copy(dt = f.dataType) else c)
-      }
-      (renamedColumns(ddl) ++ changedColumns(ddl).map(c => (c._1, c._2))).foreach {
-        case (from, to) =>
-          if (cs.exists(_.name == from) && !cs.exists(_.name == to))
-            cs = cs.map(c => if (c.name == from) c.copy(name = to) else c)
-      }
-      changedColumns(ddl).foreach { case (_, to, t) =>
-        t.foreach(dt => cs = cs.map(c =>
-          if (c.name == to && widens(c.dt, dt)) c.copy(dt = dt) else c))
-      }
-      droppedColumns(ddl).foreach { d =>
-        cs = cs.filterNot(c => c.name == d && c.id != keyId) // key drop inert
-      }
-      (cs, nid)
-    }
+    val applyDdl = applyFullDdl(keyId) _
 
     // fold: collect (epochUpperBound, colsInEffectUpTo) snapshots
     val sorted = ddls.sortBy(_._1)
@@ -354,6 +394,15 @@ object SchemaEvolution {
     * parses exactly under the wide type, the same upcast the evolved
     * single-table parse relies on). Field order: first appearance, so
     * the shared base columns stay in base order.
+    *
+    * A same-name field at IRRECONCILABLE types (e.g. string vs int —
+    * neither direction widens) THROWS rather than silently keeping the
+    * first-seen type: under a silent resolution the losing table's
+    * envelopes would fail `from_json`/the per-table gate and vanish from
+    * the fold with no error. The conflict is structural — one shared
+    * parse cannot carry both types — so it must surface at ingress
+    * setup, where the operator can split those tables onto separate
+    * ingresses, not as invisible data loss downstream.
     */
   def mergedImageType(types: Seq[StructType]): StructType =
     types.foldLeft(StructType(Nil)) { (acc, ty) =>
@@ -363,6 +412,13 @@ object SchemaEvolution {
           case i if a.fields(i).dataType != f.dataType &&
               widens(a.fields(i).dataType, f.dataType) =>
             StructType(a.fields.updated(i, a.fields(i).copy(dataType = f.dataType)))
+          case i if a.fields(i).dataType != f.dataType &&
+              !widens(f.dataType, a.fields(i).dataType) =>
+            throw new IllegalArgumentException(
+              s"column '${f.name}' is carried at irreconcilable types " +
+                s"${a.fields(i).dataType.simpleString} and ${f.dataType.simpleString} " +
+                "by different captured tables: one shared parse cannot represent " +
+                "both — ingest these tables on separate (per-table) ingresses")
           case _ => a
         }
       }

@@ -361,6 +361,187 @@ object CdcStream {
       }
       .start()
 
+  /** [[runRoutedEvolving]] with FULL column DDL applied live — the
+    * streaming counterpart of [[graft.cdc.SchemaEvolution.evolveFull]]:
+    * a mid-stream DROP / RENAME / CHANGE is reflected in the replica
+    * instead of held inert. The reference's capture scope is the whole
+    * `dev` database with schema-change events on
+    * (`/root/reference/debezium-config-push.sh:16-21`); this is the
+    * runner that lets a live replica actually FOLLOW those statements.
+    *
+    * Per batch: (1) schema-change events route to
+    * `schemaHistoryDir/batch=<id>` (idempotent overwrite); (2) the
+    * ACCUMULATED history — `tableName`'s own statements, pos-ordered —
+    * folds via `evolveFull` into the final (spec, type) plus the epoch
+    * list; (3) the batch parses ONCE epoch-sliced
+    * ([[Changelog.fromEnvelopeJsonEpochs]] — each event under the schema
+    * its pos lived in, normalized to the final shape by logical column
+    * identity); (4) dead letters ([[Changelog.deadLettersEpochs]]) fork
+    * off the same cached batch; (5) the manifest-committed bucket merge
+    * runs under the final spec.
+    *
+    * State written under an OLDER schema cannot be read back by a
+    * null-filling schema pin alone — a RENAME changes the at-rest field
+    * name (null-fill would silently erase the column) and a re-added
+    * namesake must NOT inherit pre-drop values. So each staged version
+    * dir is stamped with a SCHEMA WATERMARK sidecar (the max DDL pos
+    * folded when it was written) via the `onStaged` hook — written
+    * before the manifest commit, so a committed version can never lack
+    * its watermark — and the `stateReader` hook replaces the bucket read
+    * with a PER-VERSION identity remap: each version's files are read
+    * under their own schema and remapped to the current shape by
+    * [[graft.cdc.SchemaEvolution.identityRemapAt]] (rename follows the
+    * identity, drop nulls it, fresh columns null-fill). Cost is the same
+    * partition-pruned read as before — the remap is a per-version
+    * projection, no extra pass, no state rewrite at DDL time.
+    *
+    * Replay safety is unchanged: a committed batch's replay re-derives
+    * the identical epochs from the identical history, so the input
+    * fingerprint matches and the batch no-ops. Read the replica with
+    * [[partitionedSnapshotEvolvedFull]].
+    */
+  def runRoutedEvolvingFull(raw: DataFrame, valueCol: String,
+                            deadLetterDir: String, schemaHistoryDir: String,
+                            auditDir: String, stateDir: String, checkpointDir: String,
+                            nBuckets: Int = 64,
+                            spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                            imageType: org.apache.spark.sql.types.StructType =
+                              CdcSchema.invoiceType,
+                            tableName: String = "invoice"): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val spark = rawBatch.sparkSession
+        val cached = rawBatch.persist() // history route + sliced parse + dead letters
+        try {
+          Changelog.schemaHistory(cached, valueCol)
+            .write.mode("overwrite").parquet(s"$schemaHistoryDir/batch=$batchId")
+          val ddls = fullHistory(spark, schemaHistoryDir, tableName)
+          val (espec, etype, epochs) =
+            graft.cdc.SchemaEvolution.evolveFull(spec, imageType, ddls)
+          Changelog.deadLettersEpochs(cached, epochs, etype, valueCol)
+            .write.mode("overwrite").parquet(s"$deadLetterDir/batch=$batchId")
+          val changelog = Changelog.fromEnvelopeJsonEpochs(cached, epochs, etype, valueCol)
+          val watermark = ddls.map(_._1).maxOption.getOrElse(Long.MinValue)
+          applyPartitionedBatch(changelog, batchId, auditDir, stateDir,
+            nBuckets, espec,
+            stateReader = Some(relevant => remappedBucketRead(
+              spark, stateDir, relevant, spec, imageType, ddls, espec, etype)),
+            onStaged = Some(dir => writeSchemaWatermark(spark, dir, watermark)))
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+
+  /** `tableName`'s own full-DDL history implied by a schema-history dir:
+    * (pos, statement) in pos order — the bounded driver-side read
+    * (O(schema changes), never O(events)) both the live runner and the
+    * snapshot reader fold.
+    */
+  private def fullHistory(spark: SparkSession, schemaHistoryDir: String,
+                          tableName: String): Seq[(Long, String)] = {
+    val fs = hadoopFs(spark, schemaHistoryDir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(schemaHistoryDir))) Seq.empty
+    else spark.read.parquet(schemaHistoryDir)
+      .orderBy("pos").select("pos", "ddl").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .filter(t => graft.cdc.SchemaEvolution.targetTable(t._2).contains(tableName))
+  }
+
+  /** Sidecar file stamping a staged version dir with the schema
+    * watermark (max folded DDL pos) it was written under. Written by the
+    * full-DDL runner's `onStaged` hook — after the version's parquet,
+    * BEFORE the manifest commit — so a committed version always carries
+    * it; a replayed batch re-stages the dir and re-stamps identically.
+    */
+  private val SchemaWatermarkFile = "_SCHEMA_WATERMARK"
+
+  private def writeSchemaWatermark(spark: SparkSession, versionDir: String,
+                                   watermark: Long): Unit = {
+    val fs = hadoopFs(spark, versionDir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$versionDir/$SchemaWatermarkFile"), true)
+    try out.write(watermark.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSchemaWatermark(spark: SparkSession,
+                                  versionDir: String): Option[Long] = {
+    val fs = hadoopFs(spark, versionDir)
+    val p = new org.apache.hadoop.fs.Path(s"$versionDir/$SchemaWatermarkFile")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Bucket read with PER-VERSION identity remap — the full-DDL
+    * `stateReader`: each referenced version dir is read under its own
+    * at-rest schema (partition-pruned to the relevant buckets, exactly
+    * like `BucketState.readBuckets`) and projected to the CURRENT shape
+    * through the identity map at its schema watermark — a renamed
+    * column's values follow the identity to the new name, a dropped
+    * column's values retire, a re-added namesake null-fills (pre-drop
+    * values must not resurface). A version dir with no watermark sidecar
+    * (written before full-DDL mode) reads under current names — add-only
+    * evolution never renames, so its names are already final.
+    */
+  private def remappedBucketRead(spark: SparkSession, stateDir: String,
+                                 relevant: Map[Long, Set[Long]],
+                                 spec: CdcSchema.CdcTableSpec,
+                                 imageType: org.apache.spark.sql.types.StructType,
+                                 ddls: Seq[(Long, String)],
+                                 espec: CdcSchema.CdcTableSpec,
+                                 etype: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val pairs = relevant.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) }
+    if (pairs.isEmpty)
+      return emptyStateFor(spark, espec, etype).withColumn("p", lit(-1L))
+    val keyType = etype(espec.key).dataType
+    pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, entries) =>
+      val vdir = s"$stateDir/v=$v"
+      val remap: Map[String, Option[String]] = readSchemaWatermark(spark, vdir) match {
+        case Some(w) =>
+          graft.cdc.SchemaEvolution.identityRemapAt(spec, imageType, ddls, w)
+        case None => etype.fieldNames.map(n => n -> Option(n)).toMap
+      }
+      val df = spark.read.option("basePath", vdir)
+        .parquet(entries.map(_._2).sorted.map(b => s"$vdir/p=$b"): _*)
+      val physAfter = df.schema("after").dataType.asInstanceOf[StructType]
+      val afterCol = when(col("after").isNull, lit(null).cast(etype)).otherwise(struct(
+        etype.fields.map { f =>
+          remap.get(f.name).flatten match {
+            case Some(old) if physAfter.fieldNames.contains(old) =>
+              col(s"after.$old").cast(f.dataType).as(f.name)
+            case _ => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*))
+      df.select(col("key").cast(keyType).as("key"), col("pos"),
+        afterCol.as("after"), col("p"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** [[partitionedSnapshotFor]] under FULL column DDL: the manifest's
+    * buckets read through the per-version identity remap, folded to the
+    * final-shape replica.
+    */
+  def partitionedSnapshotEvolvedFull(spark: SparkSession, stateDir: String,
+                                     schemaHistoryDir: String,
+                                     spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                                     imageType: org.apache.spark.sql.types.StructType =
+                                       CdcSchema.invoiceType,
+                                     tableName: String = "invoice"): DataFrame = {
+    val ddls = fullHistory(spark, schemaHistoryDir, tableName)
+    val (espec, etype, _) =
+      graft.cdc.SchemaEvolution.evolveFull(spec, imageType, ddls)
+    snapshotOfFor(
+      remappedBucketRead(spark, stateDir, readManifest(spark, stateDir).buckets,
+        spec, imageType, ddls, espec, etype).drop("p"),
+      espec)
+  }
+
   /** The evolved (spec, imageType) implied by a schema-history dir — the
     * base shape when the dir is absent/empty. The history is a
     * WHOLE-DATABASE capture (`database.include.list=dev`), so statements

@@ -403,6 +403,58 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(etype("invoice_no").dataType === LongType)
   }
 
+  test("DropColRe: DROP DEFAULT and IF EXISTS forms parse correctly") {
+    // `ALTER COLUMN x DROP DEFAULT` is not a column drop
+    assert(SchemaEvolution.droppedColumns(
+      "ALTER TABLE t ALTER COLUMN x DROP DEFAULT") === Seq.empty)
+    // MariaDB `DROP COLUMN IF EXISTS memo` drops memo, not `IF`
+    assert(SchemaEvolution.droppedColumns(
+      "ALTER TABLE t DROP COLUMN IF EXISTS memo") === Seq("memo"))
+    assert(SchemaEvolution.droppedColumns(
+      "ALTER TABLE t DROP IF EXISTS old_flag") === Seq("old_flag"))
+    // a column whose name merely starts with an excluded keyword still drops
+    assert(SchemaEvolution.droppedColumns(
+      "ALTER TABLE t DROP COLUMN default_val") === Seq("default_val"))
+  }
+
+  test("mergedImageType throws on an irreconcilable same-name type conflict") {
+    import org.apache.spark.sql.types._
+    val a = StructType(Seq(StructField("order_id", IntegerType),
+      StructField("x", StringType)))
+    val b = StructType(Seq(StructField("order_id", IntegerType),
+      StructField("x", IntegerType)))
+    val e = intercept[IllegalArgumentException](
+      SchemaEvolution.mergedImageType(Seq(a, b)))
+    assert(e.getMessage.contains("irreconcilable"))
+    // both orders throw — first-seen must not silently win
+    intercept[IllegalArgumentException](SchemaEvolution.mergedImageType(Seq(b, a)))
+  }
+
+  test("identityRemapAt: rename follows identity, drop retires, re-add is fresh") {
+    import org.apache.spark.sql.types._
+    val baseTy = StructType(Seq(
+      StructField("order_id", IntegerType), StructField("inv", IntegerType),
+      StructField("memo", StringType)))
+    val spec = CdcSchema.CdcTableSpec("order_id", Seq("inv", "memo"))
+    val ddls = Seq(
+      100L -> "ALTER TABLE t DROP COLUMN memo",
+      200L -> "ALTER TABLE t RENAME COLUMN inv TO invoice_no",
+      300L -> "ALTER TABLE t ADD COLUMN memo VARCHAR(8)")
+    // state written BEFORE any DDL: invoice_no feeds from `inv` by
+    // identity; the re-added memo must NOT read the old memo
+    assert(SchemaEvolution.identityRemapAt(spec, baseTy, ddls, Long.MinValue)
+      === Map("order_id" -> Some("order_id"), "invoice_no" -> Some("inv"),
+        "memo" -> None))
+    // state written between drop and rename
+    assert(SchemaEvolution.identityRemapAt(spec, baseTy, ddls, 150L)
+      === Map("order_id" -> Some("order_id"), "invoice_no" -> Some("inv"),
+        "memo" -> None))
+    // state written after everything: identity map
+    assert(SchemaEvolution.identityRemapAt(spec, baseTy, ddls, 300L)
+      === Map("order_id" -> Some("order_id"),
+        "invoice_no" -> Some("invoice_no"), "memo" -> Some("memo")))
+  }
+
   test("epoch-sliced ingress end-to-end: drop + rename fold to the final shape") {
     import org.apache.spark.sql.types._
     def env(pos: Long, after: String) =
@@ -431,5 +483,71 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     // pre-drop, read out as `invoice_no`); memo is gone for all rows
     assert(snap.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
       === Seq((1, 10), (2, 21), (3, 30)))
+  }
+
+  test("live full-DDL stream: RENAME + DROP applied across a restart") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft-evolve-full").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    def stream() = graft.streaming.CdcStream.runRoutedEvolvingFull(
+      spark.readStream.option("maxFilesPerTrigger", 1).text(in)
+        .withColumnRenamed("value", "raw"), "raw",
+      s"$base/dead", s"$base/schema", s"$base/audit", s"$base/state", s"$base/ckpt",
+      nBuckets = 4)
+    def snap() = graft.streaming.CdcStream.partitionedSnapshotEvolvedFull(
+      spark, s"$base/state", s"$base/schema")
+
+    // ---- run 1: base inserts, then RENAME with a post-rename rewrite
+    // micro-batch 1: keys 1 and 2 under the base wire shape; key 9's
+    // event is missing the gate-required invoice_number — a dead letter
+    Files.write(Paths.get(s"$in/b1.json"), Seq(
+      """{"payload":{"after":{"order_id":1,"invoice_number":10},"source":{"pos":1}}}""",
+      """{"payload":{"after":{"order_id":2,"invoice_number":20},"source":{"pos":2}}}""",
+      """{"payload":{"after":{"order_id":9},"source":{"pos":3}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    // micro-batch 2: the RENAME, then key 1 rewritten UNDER THE NEW NAME;
+    // key 2's bucket is never touched again — its state file keeps the
+    // OLD field name at rest and must remap by identity on every read
+    Files.write(Paths.get(s"$in/b2.json"), Seq(
+      """{"payload":{"source":{"pos":5},"ts_ms":5,"databaseName":"dev","ddl":"ALTER TABLE invoice RENAME COLUMN invoice_number TO inv_no"}}""",
+      """{"payload":{"before":{"order_id":1,"inv_no":10},"after":{"order_id":1,"inv_no":11},"source":{"pos":6}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    assert(new java.io.File(s"$in/b1.json").setLastModified(
+      new java.io.File(s"$in/b2.json").lastModified() - 60000))
+    stream().awaitTermination(120000)
+
+    assert(snap().columns.toSeq === Seq("order_id", "inv_no"))
+    assert(snap().collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      === Seq((1, 11), (2, 20)))
+    // the gate-failing event is quarantined, not silently dropped
+    val dead = spark.read.parquet(s"$base/dead").collect()
+    assert(dead.length === 1)
+    assert(dead.head.getAs[String]("raw").contains("\"order_id\":9"))
+    assert(dead.head.getAs[String]("reason") === "unparseable_envelope")
+
+    // ---- run 2 (RESTART, same checkpoint): ADD a column, then DROP it
+    Files.write(Paths.get(s"$in/b3.json"), Seq(
+      """{"payload":{"source":{"pos":7},"ts_ms":7,"databaseName":"dev","ddl":"ALTER TABLE invoice ADD COLUMN region VARCHAR(16)"}}""",
+      """{"payload":{"after":{"order_id":3,"inv_no":30,"region":"emea"},"source":{"pos":8}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(s"$in/b4.json"), Seq(
+      """{"payload":{"source":{"pos":9},"ts_ms":9,"databaseName":"dev","ddl":"ALTER TABLE invoice DROP COLUMN region"}}""",
+      """{"payload":{"after":{"order_id":4,"inv_no":40},"source":{"pos":10}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    assert(new java.io.File(s"$in/b3.json").setLastModified(
+      new java.io.File(s"$in/b4.json").lastModified() - 60000))
+    stream().awaitTermination(120000)
+
+    // region existed for one epoch and was dropped: gone for ALL rows
+    // (key 3's value retired with it), inv_no carried across every
+    // version by identity — keys 1/2 still read from pre-rename files
+    assert(snap().columns.toSeq === Seq("order_id", "inv_no"))
+    assert(snap().collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      === Seq((1, 11), (2, 20), (3, 30), (4, 40)))
+
+    // ---- run 3: nothing new — replay must no-op, snapshot unchanged
+    stream().awaitTermination(120000)
+    assert(snap().collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      === Seq((1, 11), (2, 20), (3, 30), (4, 40)))
   }
 }
