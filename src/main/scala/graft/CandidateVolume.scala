@@ -73,7 +73,8 @@ object CandidateVolume {
       val poolCol = array(pool.map(lit): _*)
       spark.range(nDocs.toLong).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 4).map(k =>
-          element_at(poolCol, (pmod(col("id") * 7 + lit(k) * (col("id") % 5 + 1), lit(12))) + 1)): _*)
+          element_at(poolCol,
+            (pmod(col("id") * 7 + lit(k) * (col("id") % 5 + 1), lit(12)) + 1).cast("int"))): _*)
           .as("text"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       timePlan(dir, operators.Dedup.HotDf, "df_split")
