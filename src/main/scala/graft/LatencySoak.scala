@@ -44,10 +44,16 @@ object LatencySoak {
     val nBuckets = args.lift(5).map(_.toInt).getOrElse(64)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // AQE is a per-stage re-planning pass — pure win on big shuffles,
+    // pure latency tax at micro-batch sizes (every exchange becomes a
+    // separately scheduled+re-optimized stage). The latency soak's job
+    // is to find the commit floor, so AQE defaults OFF here (the batch
+    // engine keeps it on); SPARK_GRAFT_AQE=1 measures the difference.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "0") == "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

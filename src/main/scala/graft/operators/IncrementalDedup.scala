@@ -67,9 +67,10 @@ object IncrementalDedup {
       .select(col("fp"), col("doc_id"))
       .persist()
     try {
-      val batchFp = BucketState.inputFingerprint(batchFps)
-      val touched = batchFps.select(bucketOf(col("fp"), nBuckets).as("p"))
-        .distinct().collect().map(_.getLong(0)).toSet
+      // one action for fingerprint + touched buckets — the second full
+      // pass over the batch was pure per-commit fixed overhead
+      val (batchFp, touched) = BucketState.inputFingerprintAndBuckets(
+        batchFps, bucketOf(col("fp"), nBuckets))
 
       val m = BucketState.readManifest(spark, indexDir)
       // Stale-sequence + committed-replay guards shared with the CDC
@@ -87,11 +88,15 @@ object IncrementalDedup {
 
         val survivors = batchFps
           .join(prev.select(col("fp")), Seq("fp"), "left_anti")
+          .persist()
 
         // stage survivors FIRST (they are part of the batch's durable
         // effect), then the batch's index SEGMENT, then commit; natural
         // partitioning — a single-task coalesce would bottleneck at real
-        // batch sizes
+        // batch sizes. Both writes come off the SAME persisted frame —
+        // re-reading the staged parquet to build the segment was a whole
+        // extra scan per batch, and the manifest rename below is still
+        // the only commit point, so crash consistency is unchanged.
         survivors.write.mode("overwrite").parquet(survivorsDir)
         // append-only LSM segment: the new version dir holds ONLY this
         // batch's survivors — prior segments are never rewritten, so the
@@ -100,11 +105,12 @@ object IncrementalDedup {
         // bucket; at K batches that is quadratic total writes — measured
         // by graft.IngestSoak before the fix.) Read amplification grows
         // one segment per batch until BucketState.compact folds them.
-        spark.read.schema(survivorSchema).parquet(survivorsDir)
+        survivors
           .withColumn("p", bucketOf(col("fp"), nBuckets))
           .repartition(col("p"))
           .write.mode("overwrite").partitionBy("p")
           .parquet(s"$indexDir/v=$physicalVersion")
+        survivors.unpersist()
 
         val outBuckets = BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
         val next = outBuckets.foldLeft(m.buckets)((acc, b) =>

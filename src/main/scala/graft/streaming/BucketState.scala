@@ -74,6 +74,27 @@ private[graft] object BucketState {
     r.getLong(0) ^ java.lang.Long.rotateLeft(r.getLong(1), 32)
   }
 
+  /** [[inputFingerprint]] and the batch's touched-bucket set in ONE
+    * action (the fingerprint formula is bit-identical — manifests
+    * recorded by either path replay against the other). Incremental
+    * writers need both before staging; computing them separately costs a
+    * second full pass over the batch, which at micro-batch cadence is
+    * pure per-commit fixed overhead.
+    */
+  def inputFingerprintAndBuckets(batch: DataFrame,
+                                 bucketCol: org.apache.spark.sql.Column)
+      : (Long, Set[Long]) = {
+    import org.apache.spark.sql.functions._
+    val colList = batch.columns.sorted.map(c => s"`$c`").mkString(", ")
+    val r = batch
+      .select(expr(s"xxhash64(struct($colList))").as("h"), bucketCol.as("p"))
+      .agg(coalesce(bit_xor(col("h")), lit(0L)), count(lit(1)),
+        collect_set(col("p")))
+      .collect()(0)
+    (r.getLong(0) ^ java.lang.Long.rotateLeft(r.getLong(1), 32),
+      r.getSeq[Long](2).toSet)
+  }
+
   /** Check an incoming data batch against the manifest. Returns the
     * PHYSICAL version dir to stage under when the batch should proceed —
     * strictly greater than every referenced dir (so the pre-state read

@@ -742,27 +742,60 @@ object CdcStream {
       stateReadSchema: Option[org.apache.spark.sql.types.StructType] = None,
       stateReader: Option[Map[Long, Set[Long]] => DataFrame] = None,
       onStaged: Option[String => Unit] = None): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val spark = rawBatch.sparkSession
     val bucketOf = bucketFn(nBuckets) _
-    val batch = rawBatch.persist() // 3 more actions below; scan the source once
+    // opt-in phase timing (SPARK_GRAFT_COMMIT_TRACE=1): the commit path
+    // is latency-critical, so its cost must be attributable per phase,
+    // not guessed — LatencySoak quantifies the total, this names it
+    val trace = sys.env.contains("SPARK_GRAFT_COMMIT_TRACE")
+    def tr[T](tag: String)(f: => T): T =
+      if (!trace) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[commit-trace] b$batchId $tag ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        r
+      }
+    val batch = rawBatch.persist() // 2 more actions below; scan the source once
+    // The audit append is independent of the merge until the commit
+    // point, so it runs CONCURRENTLY with the stats pass + state merge
+    // (two driver threads, two Spark jobs over the same cached batch) and
+    // is awaited before the manifest rename — audit durable before the
+    // commit names the version, exactly the old ordering, minus the
+    // serialized wall time. At micro-batch cadence this overlap is a
+    // direct commit-latency cut (LatencySoak measures it).
+    val auditF = Future { writeAudit(batch, auditDir, batchId) }
     try {
         val imageType = batch.schema("after").dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val keyType = imageType(spec.key).dataType
-        writeAudit(batch, auditDir, batchId)
 
-        val hasTruncate = batch
-          .filter(col("before").isNull && col("after").isNull).limit(1).count() > 0
-        val batchBuckets = batch
-          .select(bucketOf(
-            coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}")),
-            keyType).as("p"))
-          .filter(col("p").isNotNull).distinct()
-          .collect().map(_.getLong(0))
+        // ONE action for input fingerprint + touched buckets + truncate
+        // flag (was three — each a full pass over the cached batch, pure
+        // per-commit fixed overhead at micro-batch sizes). The
+        // fingerprint formula is bit-identical to
+        // BucketState.inputFingerprint: manifests recorded by either
+        // path replay against the other.
+        val statCols = batch.columns.sorted.map(c => s"`$c`").mkString(", ")
+        val statRow = tr("stats")(batch.select(
+            expr(s"xxhash64(struct($statCols))").as("h"),
+            bucketOf(
+              coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}")),
+              keyType).as("p"),
+            (col("before").isNull && col("after").isNull).cast("int").as("t"))
+          .agg(coalesce(bit_xor(col("h")), lit(0L)), count(lit(1)),
+            collect_set(col("p")), coalesce(max(col("t")), lit(0)))
+          .collect()(0))
+        val hasTruncate = statRow.getInt(3) > 0
+        val batchBuckets = statRow.getSeq[Long](2)
 
         val m = readManifest(spark, stateDir)
         val manifest = m.buckets
-        val batchFp = inputFingerprint(batch)
+        val batchFp = statRow.getLong(0) ^
+          java.lang.Long.rotateLeft(statRow.getLong(1), 32)
         // Stale-checkpoint + replay-of-committed-batch guards live in
         // BucketState.checkBatch (shared with IncrementalDedup): a
         // manifest committed beyond this batch fails loudly; a manifest
@@ -774,8 +807,9 @@ object CdcStream {
           case BucketState.AlreadyCommitted =>
           // The batch's effect is durable — re-merging would read bucket
           // dirs under its own version while overwriting that very dir.
-          // The audit rewrite above is idempotent; just redo the GC the
-          // crash may have skipped.
+          // The audit rewrite is idempotent; just redo the GC the crash
+          // may have skipped.
+          Await.result(auditF, Duration.Inf)
           BucketState.gcVersions(spark, stateDir, manifest.values.flatten.toSet)
           case BucketState.Proceed(newVersion) =>
         val touched = (batchBuckets :+ -1L).toSet
@@ -799,32 +833,45 @@ object CdcStream {
         // (1) Stage this batch's buckets under its OWN version dir —
         // strictly newer than anything `prev` reads (checkBatch
         // guarantees it), so no overwrite-what-you-read hazard and no
-        // extra staging copy. repartition by p: one file per bucket
-        // dir, not buckets×partitions slivers.
-        mergeBatch(prev.drop("p"), batch, spec = spec)
+        // extra staging copy. repartition by p, RIGHT-SIZED to the
+        // touched-bucket count: a delta touching 5 of 64 buckets gets 5
+        // merge tasks, not shuffle-partitions-many mostly-empty ones —
+        // scheduling overhead is the dominant per-commit cost at
+        // micro-batch sizes, and one task per bucket dir still writes
+        // one file per dir (a big backfill touches every bucket, so its
+        // task count is nBuckets — same layout as before).
+        tr("merge_write")(mergeBatch(prev.drop("p"), batch, spec = spec)
           .withColumn("p",
             when(col("key").isNull, lit(-1L))
               .otherwise(bucketOf(col("key"), keyType)))
-          .repartition(col("p"))
-          .write.mode("overwrite").partitionBy("p").parquet(s"$stateDir/v=$newVersion")
+          .repartition(touched.size, col("p"))
+          .write.mode("overwrite").partitionBy("p").parquet(s"$stateDir/v=$newVersion"))
         onStaged.foreach(_(s"$stateDir/v=$newVersion"))
 
         // Buckets actually present in the output (a truncate can empty a
         // bucket entirely — it must drop out of the manifest, the case
         // dynamic partition overwrite silently got wrong).
-        val outBuckets = listBuckets(spark, s"$stateDir/v=$newVersion")
+        val outBuckets = tr("list_buckets")(listBuckets(spark, s"$stateDir/v=$newVersion"))
         val base = if (hasTruncate) Map.empty[Long, Set[Long]] else manifest
         val next = (base -- touched) ++ outBuckets.map(_ -> Set(newVersion))
 
         // (2) THE commit point: atomic rename over _CURRENT. The fp line
         // records the LOGICAL batch version (batchId+1) — what a replay
-        // will look for — independent of the physical dir number.
-        commitManifest(spark, stateDir, next, Some((batchId + 1) -> batchFp))
+        // will look for — independent of the physical dir number. Audit
+        // durability precedes the commit (await), as before.
+        tr("audit_await")(Await.result(auditF, Duration.Inf))
+        tr("manifest_commit")(commitManifest(spark, stateDir, next, Some((batchId + 1) -> batchFp)))
 
         // (3) GC version dirs nothing references anymore.
-        BucketState.gcVersions(spark, stateDir, next.values.flatten.toSet + newVersion)
+        tr("gc")(BucketState.gcVersions(spark, stateDir, next.values.flatten.toSet + newVersion))
         }
-    } finally batch.unpersist()
+    } finally {
+      // sync the audit job before dropping the cache it reads (an early
+      // throw above must not leave it racing a recompute); result/failure
+      // was already propagated at the commit sites
+      Await.ready(auditF, Duration.Inf)
+      batch.unpersist()
+    }
     ()
   }
 
