@@ -93,6 +93,18 @@ sealed trait SinkDialect {
     */
   def replicaSelectSql(table: String, spec: CdcTableSpec): String
 
+  /** Periodic horizon-meta maintenance: drop meta rows strictly below
+    * `keepAtOrAbove` (the caller passes the current MAX(horizon), so the
+    * winning row always survives). ANSI stores keep a single row UPDATEd
+    * in place, so this is a cheap no-op DELETE; ClickHouse's meta is
+    * append-per-advance — without occasional cleanup a long-running sink
+    * grows the meta table (and each advance queues one async mutation)
+    * without bound. Run at maintenance cadence, not per batch; both the
+    * statement and the `MAX(horizon)` read stay correct whether or not
+    * cleanup has happened.
+    */
+  def metaCleanupSql(table: String, keepAtOrAbove: Long): String
+
   protected def liveRowPredicate(spec: CdcTableSpec): String =
     spec.valueCols.map(c => s"$c IS NOT NULL").mkString("(", " OR ", ")")
 }
@@ -161,6 +173,9 @@ case object AnsiDialect extends SinkDialect {
   def replicaSelectSql(table: String, spec: CdcTableSpec): String =
     s"SELECT ${spec.allCols.mkString(", ")} FROM $table " +
       s"WHERE ${liveRowPredicate(spec)}"
+
+  def metaCleanupSql(table: String, keepAtOrAbove: Long): String =
+    s"DELETE FROM ${table}_meta WHERE horizon < $keepAtOrAbove"
 }
 
 /** ClickHouse `ReplacingMergeTree(pos)` dialect — append-only LWW. */
@@ -218,4 +233,9 @@ case object ClickHouseDialect extends SinkDialect {
   def replicaSelectSql(table: String, spec: CdcTableSpec): String =
     s"SELECT ${spec.allCols.mkString(", ")} FROM $table FINAL " +
       s"WHERE ${liveRowPredicate(spec)}"
+
+  // async mutation, like the horizon delete; the MAX row is kept by the
+  // caller-supplied bound, so a read racing the mutation is unaffected
+  def metaCleanupSql(table: String, keepAtOrAbove: Long): String =
+    s"ALTER TABLE ${table}_meta DELETE WHERE horizon < $keepAtOrAbove"
 }
