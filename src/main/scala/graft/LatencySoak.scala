@@ -29,8 +29,12 @@ import org.apache.spark.sql.streaming.Trigger
   * Reported twice: overall, and STEADY-STATE (first two batches dropped —
   * they carry one-time JVM/codegen warmup, not the operating regime).
   *
-  * Usage: `graft.LatencySoak [nTicks] [perTick] [tickMs] [triggerMs] [workDir] [nBuckets]`
-  * (defaults 60 × 2000 events, 250 ms tick, 1000 ms trigger, 64 buckets).
+  * Usage: `graft.LatencySoak [nTicks] [perTick] [tickMs] [triggerMs] [workDir] [nBuckets] [mode]`
+  * (defaults 60 × 2000 events, 250 ms tick, 1000 ms trigger, 64 buckets,
+  * mode `merge`). Mode `lsm` runs the append-only replica
+  * (`CdcStream.applyLsmBatch` — O(delta) commit, read-time resolution)
+  * instead of the replace-merge, with a compaction every 8 batches'
+  * worth of segments; the two modes quantify the LSM trade end-to-end.
   */
 object LatencySoak {
 
@@ -42,6 +46,8 @@ object LatencySoak {
     val base = args.lift(4).filter(_.nonEmpty).getOrElse(
       Files.createTempDirectory("graft-latency").toString)
     val nBuckets = args.lift(5).map(_.toInt).getOrElse(64)
+    val mode = args.lift(6).getOrElse("merge")
+    require(mode == "merge" || mode == "lsm", s"mode must be merge|lsm, got $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     // AQE is a per-stage re-planning pass — pure win on big shuffles,
@@ -100,9 +106,19 @@ object LatencySoak {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val t0 = System.currentTimeMillis()
-        streaming.CdcStream.applyPartitionedBatch(
-          batch, batchId, s"$base/audit", s"$base/state", nBuckets,
-          cdc.CdcSchema.invoiceSpec)
+        if (mode == "lsm") {
+          streaming.CdcStream.applyLsmBatch(
+            batch, batchId, s"$base/audit", s"$base/state", nBuckets,
+            cdc.CdcSchema.invoiceSpec)
+          val m = streaming.BucketState.readManifest(batch.sparkSession, s"$base/state")
+          val maxSegs =
+            if (m.buckets.isEmpty) 0 else m.buckets.values.map(_.size).max
+          if (maxSegs >= 8)
+            streaming.CdcStream.compactLsm(batch.sparkSession, s"$base/state", nBuckets)
+        } else
+          streaming.CdcStream.applyPartitionedBatch(
+            batch, batchId, s"$base/audit", s"$base/state", nBuckets,
+            cdc.CdcSchema.invoiceSpec)
         val commit = System.currentTimeMillis()
         // stamps read AFTER the commit window so the latency probe does
         // not sit inside the measured commit cost (ts_ms values are
@@ -133,7 +149,7 @@ object LatencySoak {
     val st = steady.asScala.map(_.longValue()).toArray.sorted
     val sp = if (st.nonEmpty) pctOf(st) _ else pct
     val cs = commitCosts.asScala.map(_.longValue()).toArray.sorted
-    println(s"""{"metric":"latency_soak","events":$total,"ticks":$nTicks,""" +
+    println(s"""{"metric":"latency_soak","mode":"$mode","events":$total,"ticks":$nTicks,""" +
       s""""tick_ms":$tickMs,"trigger_ms":$triggerMs,"buckets":$nBuckets,""" +
       s""""batches":${cs.length},""" +
       s""""p50_ms":${pct(0.50)},"p95_ms":${pct(0.95)},"p99_ms":${pct(0.99)},""" +

@@ -113,6 +113,32 @@ object CdcQueries {
         stage = (n, df) => graft.Shared.materialize(s, d, s"cdc_renamed_$n")(df))
       CdcApply.snapshotFor(log, espec)
     },
+    "cdc_snapshot_lsm" -> { (s, d) =>
+      // The APPEND-ONLY replica (LSM segments + read-time resolution +
+      // compaction) replayed as three pos-ordered micro-batches with a
+      // compaction in the middle — must equal cdc_snapshot's one-shot
+      // fold under the SAME oracle SQL. Chunked ≡ one-shot is the
+      // correctness statement for the O(delta)-commit path, exactly like
+      // dedup_incremental's for the dedup index.
+      import org.apache.spark.sql.functions.col
+      val state = java.nio.file.Files.createTempDirectory("graft-lsm").toString
+      val audit = java.nio.file.Files.createTempDirectory("graft-lsm-a").toString
+      val log = Changelog.syntheticShared(s, d)
+      val b = log.agg(
+        org.apache.spark.sql.functions.min("pos"),
+        org.apache.spark.sql.functions.max("pos")).collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val S = graft.streaming.CdcStream
+      S.applyLsmBatch(log.filter(col("pos") <= c1), 0, audit, state, 16, CdcSchema.invoiceSpec)
+      S.applyLsmBatch(log.filter(col("pos") > c1 && col("pos") <= c2), 1,
+        audit, state, 16, CdcSchema.invoiceSpec)
+      S.compactLsm(s, state, 16)
+      S.applyLsmBatch(log.filter(col("pos") > c2), 2, audit, state, 16, CdcSchema.invoiceSpec)
+      S.partitionedSnapshotLsm(s, state)
+        .select(col("order_id").cast("long").as("order_id"),
+          col("invoice_number").cast("long").as("invoice_number"))
+    },
     "cdc_snapshot_widened" -> { (s, d) =>
       // Type-widening APPLICATION: a mid-stream MODIFY COLUMN int→bigint;
       // the evolved parse reads the whole stream under the wide type
@@ -157,6 +183,7 @@ object CdcQueries {
 
   val oracles: Map[String, String] = Map(
     "cdc_snapshot" -> snapshotSql,
+    "cdc_snapshot_lsm" -> snapshotSql,
     "cdc_snapshot_asof" ->
       s"""$cte, p AS (
          |  SELECT (CAST(MAX(k) AS BIGINT) * 10) // 2 AS p FROM base),

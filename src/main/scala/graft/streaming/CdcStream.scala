@@ -875,6 +875,190 @@ object CdcStream {
     ()
   }
 
+  // ---------------------------------------------------------------- LSM
+
+  /** LSM-style replica: the sub-second-commit shape of the merge.
+    *
+    * [[runPartitioned]] replace-merges every touched bucket per
+    * micro-batch — commit cost O(touched state), which under uniform key
+    * arrival is the WHOLE replica (the latency soak's measured ~700 ms
+    * merge+write floor at 100k keys). Here a batch appends ONLY its own
+    * net per-key delta as one immutable segment per touched bucket —
+    * commit cost O(delta), independent of state size — and the per-key
+    * winner is resolved at READ time across a bucket's segments
+    * (max-pos-per-key, the same fold), exactly the LSM trade the
+    * incremental dedup index already runs ([[graft.operators.IncrementalDedup]]).
+    * [[BucketState]]'s manifest already supports many segments per
+    * bucket, so the commit protocol (stage → atomic `_CURRENT` rename →
+    * GC), the replay-fingerprint guard, and the stale-checkpoint check
+    * are IDENTICAL to the replace-merge path.
+    *
+    * Semantics are unchanged (spec'd equal to [[runPartitioned]] on the
+    * same stream): a truncate APPENDS a horizon row — no rewrite at all,
+    * the read filters `pos > max(horizon)` across segments and
+    * compaction erases below-horizon rows for good; delete markers
+    * resolve by max pos like every other row. Read amplification grows
+    * one segment per touched bucket per batch until [[compactLsm]] folds
+    * them — bounded adaptively at `compactWhenSegments` by the measured
+    * max segments-per-bucket, the same policy (and argument) as the
+    * dedup index. Choose by workload: replace-merge keeps zero-cost
+    * reads and pays O(state) commits; LSM keeps O(delta) commits and
+    * pays bounded-K reads — at 100 TB with a latency SLO, LSM is the
+    * shape, with compaction running off the hot path.
+    */
+  def runPartitionedLsm(changelog: DataFrame, auditDir: String, stateDir: String,
+                        checkpointDir: String, nBuckets: Int = 64,
+                        spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                        compactWhenSegments: Int = 8): StreamingQuery =
+    changelog.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        applyLsmBatch(rawBatch, batchId, auditDir, stateDir, nBuckets, spec)
+        val spark = rawBatch.sparkSession
+        val m = readManifest(spark, stateDir)
+        val maxSegs =
+          if (m.buckets.isEmpty) 0 else m.buckets.values.map(_.size).max
+        if (compactWhenSegments > 0 && maxSegs >= compactWhenSegments)
+          compactLsm(spark, stateDir, nBuckets, spec)
+        ()
+      }
+      .start()
+
+  /** One LSM micro-batch: audit (concurrent) + ONE stats action + the
+    * delta segment write + manifest append-commit. No state read in the
+    * hot path at all.
+    */
+  private[graft] def applyLsmBatch(rawBatch: DataFrame, batchId: Long,
+                                   auditDir: String, stateDir: String,
+                                   nBuckets: Int,
+                                   spec: CdcSchema.CdcTableSpec): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val spark = rawBatch.sparkSession
+    val bucketOf = bucketFn(nBuckets) _
+    val batch = rawBatch.persist()
+    val auditF = Future { writeAudit(batch, auditDir, batchId) }
+    try {
+      val imageType = batch.schema("after").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val keyType = imageType(spec.key).dataType
+      val statCols = batch.columns.sorted.map(c => s"`$c`").mkString(", ")
+      val statRow = batch.select(
+          expr(s"xxhash64(struct($statCols))").as("h"),
+          bucketOf(
+            coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}")),
+            keyType).as("p"))
+        .agg(coalesce(bit_xor(col("h")), lit(0L)), count(lit(1)),
+          collect_set(col("p")))
+        .collect()(0)
+      val batchFp = statRow.getLong(0) ^
+        java.lang.Long.rotateLeft(statRow.getLong(1), 32)
+      val touched = statRow.getSeq[Long](2).toSet + -1L
+
+      val m = readManifest(spark, stateDir)
+      BucketState.checkBatch(m, batchId, batchFp) match {
+        case BucketState.AlreadyCommitted =>
+          Await.result(auditF, Duration.Inf)
+          BucketState.gcVersions(spark, stateDir, m.buckets.values.flatten.toSet)
+        case BucketState.Proceed(newVersion) =>
+          // the batch's NET per-key effect (its own horizon applied
+          // in-batch) — the only data this commit writes
+          mergeBatch(emptyStateFor(spark, spec, imageType), batch, spec = spec)
+            .withColumn("p",
+              when(col("key").isNull, lit(-1L))
+                .otherwise(bucketOf(col("key"), keyType)))
+            .repartition(touched.size, col("p"))
+            .write.mode("overwrite").partitionBy("p")
+            .parquet(s"$stateDir/v=$newVersion")
+          val outBuckets = listBuckets(spark, s"$stateDir/v=$newVersion")
+          val next = outBuckets.foldLeft(m.buckets)((acc, b) =>
+            acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + newVersion))
+          Await.result(auditF, Duration.Inf)
+          commitManifest(spark, stateDir, next, Some((batchId + 1) -> batchFp))
+          BucketState.gcVersions(spark, stateDir,
+            next.values.flatten.toSet + newVersion)
+      }
+    } finally {
+      Await.ready(auditF, Duration.Inf)
+      batch.unpersist()
+    }
+    ()
+  }
+
+  /** Per-key resolution across a union of LSM segments — the read-side
+    * half of the fold: max-pos winner per key, rows at-or-below the
+    * accumulated horizon erased, delete markers retained, one horizon
+    * row out. Buckets partition the keyspace, so per-bucket resolution ≡
+    * global resolution (the same argument as the replace-merge).
+    */
+  private[graft] def resolveSegments(segs: DataFrame): DataFrame = {
+    val keyType = segs.schema("key").dataType
+    val imageType = segs.schema("after").dataType
+    val horizon = segs.filter(col("key").isNull)
+      .agg(coalesce(max(col("pos")), lit(Long.MinValue)).as("h"))
+    val events = segs.filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("pos"), col("after")), col("pos")).as("m"))
+      .select(col("key"), col("m.pos").as("pos"), col("m.after").as("after"))
+      .crossJoin(broadcast(horizon))
+      .filter(col("pos") > col("h"))
+      .select(col("key"), col("pos"), col("after"))
+    events.unionByName(horizon.select(
+      lit(null).cast(keyType).as("key"), col("h").as("pos"),
+      lit(null).cast(imageType).as("after")))
+  }
+
+  /** Replica snapshot of an LSM state dir (manifest-resolved, segments
+    * folded at read).
+    */
+  def partitionedSnapshotLsm(spark: SparkSession, stateDir: String,
+                             spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                             imageType: org.apache.spark.sql.types.StructType =
+                               CdcSchema.invoiceType): DataFrame =
+    snapshotOfFor(lsmState(spark, stateDir, spec, imageType), spec)
+
+  private def lsmState(spark: SparkSession, stateDir: String,
+                       spec: CdcSchema.CdcTableSpec,
+                       imageType: org.apache.spark.sql.types.StructType): DataFrame =
+    resolveSegments(
+      BucketState.readBuckets(spark, stateDir,
+        readManifest(spark, stateDir).buckets,
+        emptyStateFor(spark, spec, imageType).withColumn("p", lit(-1L)))
+        .drop("p"))
+
+  /** Fold an LSM state's segment lists back to one resolved version per
+    * bucket: below-horizon rows are erased for good, markers and the
+    * horizon row survive, and the whole manifest repoints in one atomic
+    * rename (same single-writer contract as `BucketState.compact`; run
+    * from the stream's thread or a maintenance window). The recorded
+    * (version, fingerprint) pair is preserved so a crash-replay of the
+    * last data batch still recognizes itself post-compaction.
+    */
+  def compactLsm(spark: SparkSession, stateDir: String, nBuckets: Int,
+                 spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec): Unit = {
+    val m = readManifest(spark, stateDir)
+    if (m.buckets.isEmpty) return
+    val bucketOf = bucketFn(nBuckets) _
+    val newVersion = m.buckets.values.flatten.max + 1
+    val resolved = resolveSegments(
+      BucketState.readBuckets(spark, stateDir, m.buckets,
+        sys.error("unreachable — manifest non-empty")).drop("p"))
+    val keyType = resolved.schema("key").dataType
+    resolved
+      .withColumn("p",
+        when(col("key").isNull, lit(-1L))
+          .otherwise(bucketOf(col("key"), keyType)))
+      .repartition(col("p"))
+      .write.mode("overwrite").partitionBy("p")
+      .parquet(s"$stateDir/v=$newVersion")
+    val next = listBuckets(spark, s"$stateDir/v=$newVersion")
+      .map(_ -> Set(newVersion)).toMap
+    commitManifest(spark, stateDir, next, m.fp)
+    BucketState.gcVersions(spark, stateDir, Set(newVersion))
+  }
+
   // Manifest-committed bucket-state plumbing lives in [[BucketState]]
   // (shared with operators.IncrementalDedup); these aliases keep the
   // replica-specific call sites terse.
