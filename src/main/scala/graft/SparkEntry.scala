@@ -24,7 +24,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.Similarity.queries ++ multimodal.Multimodal.queries ++
       operators.Skew.queries ++ operators.AsofJoin.queries ++
-      operators.RangeJoin.queries ++ operators.IncrementalDedup.queries
+      operators.RangeJoin.queries ++ operators.IncrementalDedup.queries ++
+      operators.IncrementalNearDup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
       operators.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       operators.Skew.oracles ++ operators.AsofJoin.oracles ++
-      operators.RangeJoin.oracles ++ operators.IncrementalDedup.oracles
+      operators.RangeJoin.oracles ++ operators.IncrementalDedup.oracles ++
+      operators.IncrementalNearDup.oracles
 }

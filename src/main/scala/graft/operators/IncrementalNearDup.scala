@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+
+import graft.functions.TextFns
+import graft.streaming.BucketState
+
+/** Incremental NEAR-dup admission against a persisted banded-MinHash
+  * index — the fuzzy companion of [[IncrementalDedup]], and the shape a
+  * training-data pipeline actually runs continuously: the curated corpus
+  * has already been near-dup filtered; a new crawl drop arrives; admit
+  * only documents that are not a near-duplicate of anything seen before,
+  * WITHOUT rescanning the corpus.
+  *
+  * Same hashing ladder as the one-shot [[Dedup.dedupMinhashLsh]] (word
+  * 3-gram shingles → 60-bit md5 → 32 MinHash permutations → 8 bands × 4
+  * rows), so the DuckDB oracle reuses the exact SQL hash pipeline and
+  * the driver hash-gate applies bit-for-bit.
+  *
+  * CONTRACT (first-wins, pairwise): a document is REJECTED iff some
+  * SMALLER doc_id — previously ingested or earlier in the same batch —
+  * shares a band AND their signature-estimated Jaccard is ≥ 0.5; the
+  * index registers EVERY seen document's band rows (admitted or not).
+  * Registering rejected docs too is what makes chunked ingest in
+  * ascending doc_id order provably equal to the one-shot pairwise
+  * filter (a doc's fate depends only on smaller ids, all of which are
+  * in the index by the time it arrives) — that equality IS the
+  * correctness statement, exactly like `dedup_incremental`'s. This is
+  * deliberately NOT transitive-closure dedup ([[Dedup]]'s
+  * `dedup_clusters` covers components): greedy first-wins is the
+  * standard streaming near-dup contract, and the transitive variant
+  * cannot be admitted incrementally without revisiting decisions.
+  *
+  * Index layout: [[BucketState]] segments of
+  * `(band, bh, doc_id, sig)` bucketed by `xxhash64(band, bh)` — a batch
+  * reads ONLY the buckets its own band rows hash into (partition-pruned
+  * paths) and appends one immutable segment; both I/O sides are
+  * O(batch), the same 100 TB argument as the exact index. Signatures
+  * ride in the band rows (32×8 B × 8 bands ≈ 2 KB/doc) so the est-
+  * Jaccard verification joins nothing else; at extreme scale a separate
+  * doc→sig side table halves that — the band-key join shape is
+  * unchanged.
+  */
+object IncrementalNearDup {
+
+  val K = 32
+  val Bands = 8
+  val Rows = 4
+
+  private val bandSchema = StructType(Seq(
+    StructField("band", LongType), StructField("bh", StringType),
+    StructField("doc_id", LongType),
+    StructField("sig", ArrayType(LongType, containsNull = false))))
+
+  private val admittedSchema = StructType(Seq(StructField("doc_id", LongType)))
+
+  private def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def bucketOf(nBuckets: Int) =
+    pmod(xxhash64(col("band"), col("bh")), lit(nBuckets.toLong))
+
+  /** est-Jaccard ≥ 0.5 over two 32-slot signature arrays — matches/K as
+    * in the one-shot rung; ≥ 0.5 ⟺ ≥ 16 equal slots (integer-exact).
+    */
+  private def nearDup(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x) >= K / 2
+
+  /** Banded signature rows for an arbitrary (doc_id, text) frame — the
+    * same shingle window formulation and hash ladder as the corpus-dir
+    * path in [[Dedup]] (one tokenizer, one permutation family; drift
+    * between the one-shot and incremental rungs is impossible).
+    */
+  def bandRowsOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val shingles = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p"), col("tok"),
+        lead(col("tok"), 1).over(w).as("t1"),
+        lead(col("tok"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      .distinct()
+    val aggs: Seq[Column] = (0 until K).map(i =>
+      min(TextFns.minhashPerm(md5Long60(col("sh")), i)).as(s"m$i"))
+    val sig = shingles.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("sig", array((0 until K).map(i => col(s"m$i")): _*))
+    sig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => array_join(transform(
+          slice(col("sig"), b * Rows + 1, lit(Rows)),
+          v => v.cast("string")), ","))).as(Seq("band", "bh")),
+      col("sig"))
+      .select(col("band").cast("long").as("band"), col("bh"),
+        col("doc_id"), col("sig"))
+  }
+
+  /** Admit `docs` (columns `doc_id`, `text`) against the index at
+    * `indexDir`: returns `(doc_id)` for every batch document with no
+    * near-dup among smaller ids (seen or in-batch), and durably appends
+    * ALL batch band rows. Replay contract identical to
+    * [[IncrementalDedup.ingest]]: same batchId + same input → idempotent
+    * no-op returning the same admitted set; different input fails loudly.
+    */
+  def ingest(spark: SparkSession, indexDir: String, docs: DataFrame,
+             batchId: Long, nBuckets: Int = 64): DataFrame = {
+    val newVersion = batchId + 1
+    val admittedDir = s"$indexDir/admitted/$newVersion"
+    val bands = bandRowsOf(docs).persist()
+    try {
+      val (batchFp, touched) = BucketState.inputFingerprintAndBuckets(
+        bands.select(col("band"), col("bh"), col("doc_id")),
+        bucketOf(nBuckets))
+      val m = BucketState.readManifest(spark, indexDir)
+      BucketState.checkBatch(m, batchId, batchFp) match {
+        case BucketState.AlreadyCommitted =>
+          BucketState.gcVersions(spark, indexDir, m.buckets.values.flatten.toSet)
+        case BucketState.Proceed(physicalVersion) =>
+          val prev = BucketState.readBuckets(spark, indexDir,
+            m.buckets.view.filterKeys(touched).toMap,
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              bandSchema.add("p", LongType)))
+          // rejected: near-dup of a SMALLER seen doc ...
+          val vsSeen = bands.as("b").join(prev.as("i"),
+              col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
+                col("i.doc_id") < col("b.doc_id"))
+            .filter(nearDup(col("b.sig"), col("i.sig")))
+            .select(col("b.doc_id").as("doc_id"))
+          // ... or of a smaller doc in the SAME batch (regardless of that
+          // doc's own fate — the contract compares against seen, not
+          // against admitted)
+          val vsBatch = bands.as("x").join(bands.as("y"),
+              col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+                col("y.doc_id") < col("x.doc_id"))
+            .filter(nearDup(col("x.sig"), col("y.sig")))
+            .select(col("x.doc_id").as("doc_id"))
+          val admitted = bands.select(col("doc_id")).distinct()
+            .join(vsSeen.unionByName(vsBatch).distinct(), Seq("doc_id"), "left_anti")
+
+          // stage the admitted set FIRST (the batch's durable answer),
+          // then the band segment, then the one-rename commit
+          admitted.write.mode("overwrite").parquet(admittedDir)
+          bands.withColumn("p", bucketOf(nBuckets))
+            .repartition(col("p"))
+            .write.mode("overwrite").partitionBy("p")
+            .parquet(s"$indexDir/v=$physicalVersion")
+          val outBuckets = BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
+          val next = outBuckets.foldLeft(m.buckets)((acc, b) =>
+            acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + physicalVersion))
+          BucketState.commitManifest(spark, indexDir, next,
+            Some(newVersion -> batchFp))
+          BucketState.gcVersions(spark, indexDir,
+            next.values.flatten.toSet + physicalVersion)
+      }
+    } finally bands.unpersist()
+    spark.read.schema(admittedSchema).parquet(admittedDir)
+  }
+
+  // --------------------------------------------------- driver query
+  /** Driver-facing demonstration: the documents table ingested as two
+    * doc_id-ordered chunks through a fresh banded index; the union of
+    * the admitted sets must equal the ONE-SHOT pairwise near-dup filter
+    * (reject every doc with an est≥0.5 banded collision to a smaller
+    * id) — which is exactly what the DuckDB oracle computes from the
+    * same hash ladder.
+    */
+  def nearDupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-neardup")
+      .toString
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+    val mid = (ids.getLong(0) + ids.getLong(1)) / 2
+    val a = ingest(s, indexDir, docs.filter(col("doc_id") <= mid),
+      batchId = 0, nBuckets = 16)
+    val b = ingest(s, indexDir, docs.filter(col("doc_id") > mid),
+      batchId = 1, nBuckets = 16)
+    a.unionByName(b).orderBy(col("doc_id"))
+  }
+
+  private val nearDupIncrementalSql: String = {
+    val p = TextFns.minhashPrime
+    val perms = (0 until K).map { i =>
+      val a = ((2L * i + 1L) * 2654435761L) % p
+      val b = (i * 1000003L + 12345L) % p
+      s"MIN(((h & 2147483647) * $a + $b) % $p) AS m$i"
+    }
+    val bandRows = (0 until Bands).map { bnd =>
+      val cols = (0 until Rows).map(r => s"CAST(m${bnd * Rows + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $bnd AS band, $cols AS bh FROM sig"
+    }
+    val eqSum = (0 until K)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |t AS (
+       |  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS tok FROM docs),
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+       |  FROM t a
+       |  JOIN t b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       |  JOIN t c ON a.doc_id = c.doc_id AND c.p = a.p + 2),
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+       |sig AS (SELECT doc_id, ${perms.mkString(", ")} FROM hs GROUP BY doc_id),
+       |banded AS (${bandRows.mkString(" UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |rejected AS (
+       |  SELECT DISTINCT doc_b FROM cand
+       |  JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+       |  WHERE $eqSum >= ${K / 2})
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM docs
+       |WHERE doc_id NOT IN (SELECT doc_b FROM rejected)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_neardup_incremental" -> (nearDupIncremental _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_neardup_incremental" -> nearDupIncrementalSql)
+}
