@@ -139,6 +139,38 @@ object CdcQueries {
         .select(col("order_id").cast("long").as("order_id"),
           col("invoice_number").cast("long").as("invoice_number"))
     },
+    "cdc_snapshot_lsm_asof" -> { (s, d) =>
+      // TIME TRAVEL on the append-only replica: the same LSM build (three
+      // pos-ordered batches, a compaction after the FIRST), then a prefix
+      // read at the stream's midpoint — must equal cdc_snapshot_asof's
+      // replay-the-prefix oracle. The early compaction makes the read
+      // cross a folded segment: the as-of point (~½·maxpos) sits above
+      // the recorded floor (~⅓·maxpos), so winners folded at compaction
+      // and raw post-compaction segments resolve together. The
+      // replace-merge replica cannot answer this query at all; the spec
+      // covers the below-floor refusal.
+      import org.apache.spark.sql.functions.col
+      val state = java.nio.file.Files.createTempDirectory("graft-lsm-tt").toString
+      val audit = java.nio.file.Files.createTempDirectory("graft-lsm-tt-a").toString
+      val log = Changelog.syntheticShared(s, d)
+      val b = log.agg(
+        org.apache.spark.sql.functions.min("pos"),
+        org.apache.spark.sql.functions.max("pos")).collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val S = graft.streaming.CdcStream
+      S.applyLsmBatch(log.filter(col("pos") <= c1), 0, audit, state, 16, CdcSchema.invoiceSpec)
+      S.compactLsm(s, state, 16)
+      S.applyLsmBatch(log.filter(col("pos") > c1 && col("pos") <= c2), 1,
+        audit, state, 16, CdcSchema.invoiceSpec)
+      S.applyLsmBatch(log.filter(col("pos") > c2), 2, audit, state, 16, CdcSchema.invoiceSpec)
+      val p = graft.Tables.orders(s, d)
+        .agg(org.apache.spark.sql.functions.expr(
+          "(max(cast(o_orderkey as bigint)) * 10) div 2")).collect()(0).getLong(0)
+      S.partitionedSnapshotLsmAsOf(s, state, p)
+        .select(col("order_id").cast("long").as("order_id"),
+          col("invoice_number").cast("long").as("invoice_number"))
+    },
     "cdc_snapshot_widened" -> { (s, d) =>
       // Type-widening APPLICATION: a mid-stream MODIFY COLUMN int→bigint;
       // the evolved parse reads the whole stream under the wide type
@@ -181,22 +213,25 @@ object CdcQueries {
        |SELECT CAST(key AS BIGINT) AS order_id, CAST(a_inv AS BIGINT) AS invoice_number
        |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin
 
+  private val asofSql: String =
+    s"""$cte, p AS (
+       |  SELECT (CAST(MAX(k) AS BIGINT) * 10) // 2 AS p FROM base),
+       |eva AS (SELECT ev.* FROM ev, p WHERE ev.pos <= p.p),
+       |hora AS (
+       |  SELECT COALESCE(MAX(pos), -9223372036854775808) AS h FROM eva WHERE is_trunc),
+       |livea AS (SELECT eva.* FROM eva, hora WHERE eva.pos > hora.h AND NOT eva.is_trunc),
+       |ranked AS (
+       |  SELECT key, a_inv, is_del,
+       |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos DESC) AS rn
+       |  FROM livea)
+       |SELECT CAST(key AS BIGINT) AS order_id, CAST(a_inv AS BIGINT) AS invoice_number
+       |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "cdc_snapshot" -> snapshotSql,
     "cdc_snapshot_lsm" -> snapshotSql,
-    "cdc_snapshot_asof" ->
-      s"""$cte, p AS (
-         |  SELECT (CAST(MAX(k) AS BIGINT) * 10) // 2 AS p FROM base),
-         |eva AS (SELECT ev.* FROM ev, p WHERE ev.pos <= p.p),
-         |hora AS (
-         |  SELECT COALESCE(MAX(pos), -9223372036854775808) AS h FROM eva WHERE is_trunc),
-         |livea AS (SELECT eva.* FROM eva, hora WHERE eva.pos > hora.h AND NOT eva.is_trunc),
-         |ranked AS (
-         |  SELECT key, a_inv, is_del,
-         |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos DESC) AS rn
-         |  FROM livea)
-         |SELECT CAST(key AS BIGINT) AS order_id, CAST(a_inv AS BIGINT) AS invoice_number
-         |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin,
+    "cdc_snapshot_asof" -> asofSql,
+    "cdc_snapshot_lsm_asof" -> asofSql,
     "cdc_rowcount" ->
       s"""SELECT COUNT(*) AS n FROM ($snapshotSql)""",
     "cdc_snapshot_multitable" ->

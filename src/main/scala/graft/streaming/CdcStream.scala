@@ -888,6 +888,10 @@ object CdcStream {
     * winner is resolved at READ time across a bucket's segments
     * (max-pos-per-key, the same fold), exactly the LSM trade the
     * incremental dedup index already runs ([[graft.operators.IncrementalDedup]]).
+    * Segments hold the RAW events (not a per-batch net effect), so the
+    * retained log also answers position-granular time travel —
+    * [[partitionedSnapshotLsmAsOf]] — until a compaction folds history
+    * and advances the floor.
     * [[BucketState]]'s manifest already supports many segments per
     * bucket, so the commit protocol (stage → atomic `_CURRENT` rename →
     * GC), the replay-fingerprint guard, and the stale-checkpoint check
@@ -898,7 +902,7 @@ object CdcStream {
     * the read filters `pos > max(horizon)` across segments and
     * compaction erases below-horizon rows for good; delete markers
     * resolve by max pos like every other row. Read amplification grows
-    * one segment per touched bucket per batch until [[compactLsm]] folds
+    * one raw-log segment per touched bucket per batch until [[compactLsm]] folds
     * them — bounded adaptively at `compactWhenSegments` by the measured
     * max segments-per-bucket, the same policy (and argument) as the
     * dedup index. Choose by workload: replace-merge keeps zero-cost
@@ -926,8 +930,8 @@ object CdcStream {
       .start()
 
   /** One LSM micro-batch: audit (concurrent) + ONE stats action + the
-    * delta segment write + manifest append-commit. No state read in the
-    * hot path at all.
+    * raw-log segment write (map-only — resolution is read-side) +
+    * manifest append-commit. No state read in the hot path at all.
     */
   private[graft] def applyLsmBatch(rawBatch: DataFrame, batchId: Long,
                                    auditDir: String, stateDir: String,
@@ -963,9 +967,25 @@ object CdcStream {
           Await.result(auditF, Duration.Inf)
           BucketState.gcVersions(spark, stateDir, m.buckets.values.flatten.toSet)
         case BucketState.Proceed(newVersion) =>
-          // the batch's NET per-key effect (its own horizon applied
-          // in-batch) — the only data this commit writes
-          mergeBatch(emptyStateFor(spark, spec, imageType), batch, spec = spec)
+          // the RAW per-event rows — the segment IS the log. No in-batch
+          // fold at all: resolution (max-pos winner, horizon filter)
+          // happens once, at read/compaction time, so the commit is a
+          // map-only bucket-partitioned write AND every mid-batch
+          // position stays answerable by the as-of read (a net-effect
+          // write would fold in-batch history away at append time —
+          // batch-granular time travel only). Truncates project to the
+          // key-null horizon-row shape directly; the key gate keeps a
+          // hand-built keyless non-truncate event from poisoning the
+          // horizon (same guard as mergeBatch's ingress).
+          batch
+            .filter(
+              coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}"))
+                .isNotNull ||
+                (col("before").isNull && col("after").isNull))
+            .select(
+              coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}"))
+                .as("key"),
+              col("pos"), col("after"))
             .withColumn("p",
               when(col("key").isNull, lit(-1L))
                 .otherwise(bucketOf(col("key"), keyType)))
@@ -1028,6 +1048,70 @@ object CdcStream {
         emptyStateFor(spark, spec, imageType).withColumn("p", lit(-1L)))
         .drop("p"))
 
+  /** Time-travel snapshot: the replica as of position `asOfPos`, read
+    * straight off the retained segments — `resolveSegments` over the rows
+    * with `pos <= asOfPos` is exactly a replay of the stream's prefix
+    * (max-pos winner per key among events ≤ asOfPos, horizon = the
+    * largest truncate ≤ asOfPos). The append-only layout gets this for
+    * free; the replace-merge replica cannot answer it at all (each merge
+    * overwrites per-key history in place).
+    *
+    * Validity floor: [[compactLsm]] collapses each key's history to its
+    * single winner, so every compaction ADVANCES the oldest answerable
+    * as-of to the max position it folded (the same trade as checkpoint/
+    * vacuum retention in log-structured table formats). The floor is
+    * recorded in a `_TTFLOOR` sidecar at compaction commit; a read below
+    * it fails loudly rather than returning a silently incomplete
+    * prefix. Deployments that need deep time travel run compaction less
+    * often (read amplification vs retention — the LSM knob).
+    */
+  def partitionedSnapshotLsmAsOf(spark: SparkSession, stateDir: String,
+                                 asOfPos: Long,
+                                 spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                                 imageType: org.apache.spark.sql.types.StructType =
+                                   CdcSchema.invoiceType): DataFrame = {
+    val floor = readTtFloor(spark, stateDir)
+    require(asOfPos >= floor,
+      s"as-of position $asOfPos precedes the compaction floor $floor: " +
+        "per-key history at or below the floor was folded away by " +
+        "compactLsm and a prefix read there would be silently wrong — " +
+        "retain more history by compacting less often (compactWhenSegments)")
+    snapshotOfFor(
+      resolveSegments(
+        BucketState.readBuckets(spark, stateDir,
+          readManifest(spark, stateDir).buckets,
+          emptyStateFor(spark, spec, imageType).withColumn("p", lit(-1L)))
+          .drop("p")
+          .filter(col("pos") <= asOfPos)),
+      spec)
+  }
+
+  /** Oldest answerable as-of position (Long.MinValue until a compaction
+    * has folded history).
+    */
+  def readTtFloor(spark: SparkSession, stateDir: String): Long = {
+    val fs = BucketState.hadoopFs(spark, stateDir)
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/_TTFLOOR")
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeTtFloor(spark: SparkSession, stateDir: String,
+                           floor: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_TTFLOOR.tmp")
+    val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_TTFLOOR")
+    val fs = BucketState.hadoopFs(spark, stateDir)
+    val out = fs.create(tmp, true)
+    try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(cur.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Fold an LSM state's segment lists back to one resolved version per
     * bucket: below-horizon rows are erased for good, markers and the
     * horizon row survive, and the whole manifest repoints in one atomic
@@ -1045,18 +1129,31 @@ object CdcStream {
     val resolved = resolveSegments(
       BucketState.readBuckets(spark, stateDir, m.buckets,
         sys.error("unreachable — manifest non-empty")).drop("p"))
-    val keyType = resolved.schema("key").dataType
-    resolved
-      .withColumn("p",
-        when(col("key").isNull, lit(-1L))
-          .otherwise(bucketOf(col("key"), keyType)))
-      .repartition(col("p"))
-      .write.mode("overwrite").partitionBy("p")
-      .parquet(s"$stateDir/v=$newVersion")
-    val next = listBuckets(spark, s"$stateDir/v=$newVersion")
-      .map(_ -> Set(newVersion)).toMap
-    commitManifest(spark, stateDir, next, m.fp)
-    BucketState.gcVersions(spark, stateDir, Set(newVersion))
+      .persist()
+    try {
+      val keyType = resolved.schema("key").dataType
+      resolved
+        .withColumn("p",
+          when(col("key").isNull, lit(-1L))
+            .otherwise(bucketOf(col("key"), keyType)))
+        .repartition(col("p"))
+        .write.mode("overwrite").partitionBy("p")
+        .parquet(s"$stateDir/v=$newVersion")
+      // Per-key history at or below every folded position is gone now:
+      // advance the time-travel floor to the max folded position (the
+      // global max pos is always some key's winner, or the horizon row).
+      // Written BEFORE the manifest rename — a crash between the two
+      // leaves the floor conservatively high, never an answerable-looking
+      // but history-less as-of.
+      val folded = resolved.agg(coalesce(max(col("pos")), lit(Long.MinValue)))
+        .collect()(0).getLong(0)
+      writeTtFloor(spark, stateDir,
+        math.max(folded, readTtFloor(spark, stateDir)))
+      val next = listBuckets(spark, s"$stateDir/v=$newVersion")
+        .map(_ -> Set(newVersion)).toMap
+      commitManifest(spark, stateDir, next, m.fp)
+      BucketState.gcVersions(spark, stateDir, Set(newVersion))
+    } finally resolved.unpersist()
   }
 
   // Manifest-committed bucket-state plumbing lives in [[BucketState]]

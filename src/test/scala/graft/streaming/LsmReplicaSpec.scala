@@ -93,6 +93,49 @@ class LsmReplicaSpec extends AnyFunSuite {
     assert(snap === Seq((7, 600)))
   }
 
+  test("as-of read replays the prefix; compaction advances the floor and below-floor reads refuse") {
+    val base = Files.createTempDirectory("graft-lsm-asof").toString
+    val in = s"$base/in"
+    // history: k1=10@1, k2=20@2, k1 deleted@5, TRUNCATE@10, k1=12@11, k2=21@12
+    writeBatches(in, Seq(
+      Seq(env(1, 1, Some(10)), env(2, 2, Some(20))),
+      Seq(env(5, 1, None), trunc(10)),
+      Seq(env(11, 1, Some(12)), env(12, 2, Some(21)))))
+    CdcStream.runPartitionedLsm(CdcStream.fromFiles(spark, in, Some(1)),
+      s"$base/audit", s"$base/state", s"$base/ckpt", nBuckets = 4)
+      .awaitTermination(120000)
+
+    def asof(p: Long) =
+      CdcStream.partitionedSnapshotLsmAsOf(spark, s"$base/state", p)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    // no compaction yet: every prefix of history is answerable
+    assert(CdcStream.readTtFloor(spark, s"$base/state") === Long.MinValue)
+    assert(asof(2) === Seq((1, 10), (2, 20)))
+    assert(asof(5) === Seq((2, 20)))       // k1's delete marker wins
+    assert(asof(10) === Seq.empty)         // at the truncate horizon
+    assert(asof(11) === Seq((1, 12)))      // first post-truncate life
+    assert(asof(12) === Seq((1, 12), (2, 21))) // = the full snapshot
+
+    // compaction folds per-key history up to the max folded pos (12):
+    // the floor advances there, the full snapshot still reads, and a
+    // prefix read below the floor refuses instead of answering wrongly
+    CdcStream.compactLsm(spark, s"$base/state", nBuckets = 4)
+    assert(CdcStream.readTtFloor(spark, s"$base/state") === 12L)
+    assert(asof(12) === Seq((1, 12), (2, 21)))
+    val e = intercept[IllegalArgumentException](asof(5))
+    assert(e.getMessage.contains("compaction floor"))
+
+    // post-compaction appends re-open a time-travel window above the floor
+    CdcStream.applyLsmBatch(
+      graft.cdc.Changelog.fromEnvelopeJson(
+        spark.createDataset(Seq(env(15, 3, Some(30)), env(16, 2, None)))(
+          org.apache.spark.sql.Encoders.STRING).toDF("value")),
+      batchId = 3, s"$base/audit", s"$base/state", 4,
+      graft.cdc.CdcSchema.invoiceSpec)
+    assert(asof(15) === Seq((1, 12), (2, 21), (3, 30)))
+    assert(asof(16) === Seq((1, 12), (3, 30)))
+  }
+
   test("delete markers survive compaction: an older redelivery cannot resurrect") {
     val base = Files.createTempDirectory("graft-lsm-marker").toString
     val in = s"$base/in"
