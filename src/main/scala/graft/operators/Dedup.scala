@@ -77,7 +77,7 @@ object Dedup {
     * built once per (session, sfDir) — an index of the corpus, not
     * per-query scratch.
     */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  private[operators] def docShingles(s: SparkSession, dir: String): DataFrame =
     graft.Shared.materialize(s, dir, "doc_shingles")(docShinglesPlan(s, dir))
 
   private val shinglesCte =
