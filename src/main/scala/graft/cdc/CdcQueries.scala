@@ -171,6 +171,35 @@ object CdcQueries {
         .select(col("order_id").cast("long").as("order_id"),
           col("invoice_number").cast("long").as("invoice_number"))
     },
+    "cdc_changes_between" -> { (s, d) =>
+      // CHANGE-DATA FEED off the retained LSM log: net per-key
+      // transitions between the stream midpoint and its end — i/u/d rows
+      // a downstream incremental consumer applies to catch up between two
+      // checkpoints, computed from ONE keyed aggregation over the
+      // partition-pruned segments (never an O(|events|) replay). Oracle =
+      // the two prefix snapshots full-outer-joined and diffed.
+      import org.apache.spark.sql.functions.col
+      val state = java.nio.file.Files.createTempDirectory("graft-lsm-cdf").toString
+      val audit = java.nio.file.Files.createTempDirectory("graft-lsm-cdf-a").toString
+      val log = Changelog.syntheticShared(s, d)
+      val b = log.agg(
+        org.apache.spark.sql.functions.min("pos"),
+        org.apache.spark.sql.functions.max("pos")).collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val S = graft.streaming.CdcStream
+      S.applyLsmBatch(log.filter(col("pos") <= c1), 0, audit, state, 16, CdcSchema.invoiceSpec)
+      S.compactLsm(s, state, 16)
+      S.applyLsmBatch(log.filter(col("pos") > c1), 1, audit, state, 16, CdcSchema.invoiceSpec)
+      val p1 = graft.Tables.orders(s, d)
+        .agg(org.apache.spark.sql.functions.expr(
+          "(max(cast(o_orderkey as bigint)) * 10) div 2")).collect()(0).getLong(0)
+      S.lsmChangesBetween(s, state, p1, hi)
+        .select(col("key").cast("long").as("order_id"), col("change_op"),
+          col("old_img.invoice_number").cast("long").as("invoice_number_old"),
+          col("new_img.invoice_number").cast("long").as("invoice_number_new"))
+        .orderBy(col("order_id"))
+    },
     "cdc_snapshot_widened" -> { (s, d) =>
       // Type-widening APPLICATION: a mid-stream MODIFY COLUMN int→bigint;
       // the evolved parse reads the whole stream under the wide type
@@ -232,6 +261,33 @@ object CdcQueries {
     "cdc_snapshot_lsm" -> snapshotSql,
     "cdc_snapshot_asof" -> asofSql,
     "cdc_snapshot_lsm_asof" -> asofSql,
+    "cdc_changes_between" ->
+      s"""$cte, p AS (
+         |  SELECT (CAST(MAX(k) AS BIGINT) * 10) // 2 AS p FROM base),
+         |eva AS (SELECT ev.* FROM ev, p WHERE ev.pos <= p.p),
+         |hora AS (
+         |  SELECT COALESCE(MAX(pos), -9223372036854775808) AS h FROM eva WHERE is_trunc),
+         |livea AS (SELECT eva.* FROM eva, hora WHERE eva.pos > hora.h AND NOT eva.is_trunc),
+         |r1 AS (
+         |  SELECT key, a_inv, is_del,
+         |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos DESC) AS rn
+         |  FROM livea),
+         |s1 AS (SELECT CAST(key AS BIGINT) AS key, CAST(a_inv AS BIGINT) AS inv
+         |       FROM r1 WHERE rn = 1 AND NOT is_del),
+         |r2 AS (
+         |  SELECT key, a_inv, is_del,
+         |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos DESC) AS rn
+         |  FROM live),
+         |s2 AS (SELECT CAST(key AS BIGINT) AS key, CAST(a_inv AS BIGINT) AS inv
+         |       FROM r2 WHERE rn = 1 AND NOT is_del)
+         |SELECT COALESCE(s1.key, s2.key) AS order_id,
+         |       CASE WHEN s1.key IS NULL THEN 'i'
+         |            WHEN s2.key IS NULL THEN 'd' ELSE 'u' END AS change_op,
+         |       s1.inv AS invoice_number_old,
+         |       s2.inv AS invoice_number_new
+         |FROM s1 FULL OUTER JOIN s2 ON s1.key = s2.key
+         |WHERE s1.key IS NULL OR s2.key IS NULL OR s1.inv IS DISTINCT FROM s2.inv
+         |ORDER BY order_id""".stripMargin,
     "cdc_rowcount" ->
       s"""SELECT COUNT(*) AS n FROM ($snapshotSql)""",
     "cdc_snapshot_multitable" ->

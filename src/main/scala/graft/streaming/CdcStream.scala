@@ -1086,6 +1086,68 @@ object CdcStream {
       spec)
   }
 
+  /** Change-data feed off the retained LSM log: the NET per-key state
+    * transitions between two positions, `fromPos` exclusive → `toPos`
+    * inclusive — what a downstream incremental consumer applies to catch
+    * up from one checkpoint to the next without replaying the stream.
+    * One segment read serves BOTH prefix resolutions; the keyed
+    * full-outer join classifies:
+    *
+    *  - `i` — invisible at fromPos, live at toPos (insert or rebirth);
+    *  - `u` — live at both with a DIFFERENT visible image (an update to
+    *    an identical image is NOT a net change — this is a state diff,
+    *    not an event replay, which is exactly why it stays O(|changed|)
+    *    instead of O(|events|));
+    *  - `d` — live at fromPos, gone at toPos (delete marker or a
+    *    truncate horizon crossed in the window).
+    *
+    * Output: (key, change_op, old image, new image). Same compaction
+    * floor contract as [[partitionedSnapshotLsmAsOf]], checked on
+    * `fromPos` (the older prefix).
+    */
+  def lsmChangesBetween(spark: SparkSession, stateDir: String,
+                        fromPos: Long, toPos: Long,
+                        spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                        imageType: org.apache.spark.sql.types.StructType =
+                          CdcSchema.invoiceType): DataFrame = {
+    require(fromPos <= toPos, s"fromPos $fromPos > toPos $toPos")
+    val floor = readTtFloor(spark, stateDir)
+    require(fromPos >= floor,
+      s"fromPos $fromPos precedes the compaction floor $floor: history " +
+        "below the floor was folded away by compactLsm — compact less " +
+        "often (compactWhenSegments) to retain a deeper change feed")
+    val segs = BucketState.readBuckets(spark, stateDir,
+        readManifest(spark, stateDir).buckets,
+        emptyStateFor(spark, spec, imageType).withColumn("p", lit(-1L)))
+      .drop("p")
+      .filter(col("pos") <= toPos)
+    // BOTH prefix winners from ONE keyed aggregation over ONE segment
+    // scan (two resolveSegments calls would read the log twice): the
+    // fromPos winner uses a conditional ordering column — rows past
+    // fromPos order as null and are never chosen — and the horizons come
+    // from one tiny agg over the key-null rows, broadcast.
+    val h = broadcast(segs.filter(col("key").isNull).agg(
+      coalesce(max(when(col("pos") <= fromPos, col("pos"))), lit(Long.MinValue))
+        .as("h1"),
+      coalesce(max(col("pos")), lit(Long.MinValue)).as("h2")))
+    segs.filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(
+        max_by(struct(col("pos"), col("after")),
+          when(col("pos") <= fromPos, col("pos"))).as("w1"),
+        max_by(struct(col("pos"), col("after")), col("pos")).as("w2"))
+      .crossJoin(h)
+      .select(col("key"),
+        when(col("w1.pos") > col("h1"), col("w1.after")).as("old_img"),
+        when(col("w2.pos") > col("h2"), col("w2.after")).as("new_img"))
+      .filter(!(col("old_img") <=> col("new_img")))
+      .select(col("key"),
+        when(col("old_img").isNull, lit("i"))
+          .when(col("new_img").isNull, lit("d"))
+          .otherwise(lit("u")).as("change_op"),
+        col("old_img"), col("new_img"))
+  }
+
   /** Oldest answerable as-of position (Long.MinValue until a compaction
     * has folded history).
     */

@@ -136,6 +136,48 @@ class LsmReplicaSpec extends AnyFunSuite {
     assert(asof(16) === Seq((1, 12), (3, 30)))
   }
 
+  test("changes-between: net i/u/d feed, identical-image updates excluded, truncate crossing = d") {
+    val base = Files.createTempDirectory("graft-lsm-cdf").toString
+    val in = s"$base/in"
+    // window (3, 13]: k1 10→11 ('u'), k3 deleted ('d'), k4 born ('i'),
+    // k2 re-written to the SAME image (no net change — excluded)
+    writeBatches(in, Seq(
+      Seq(env(1, 1, Some(10)), env(2, 2, Some(20)), env(3, 3, Some(30))),
+      Seq(env(5, 1, Some(11)), env(6, 3, None), env(7, 4, Some(40)),
+        env(8, 2, Some(20)))))
+    CdcStream.runPartitionedLsm(CdcStream.fromFiles(spark, in, Some(1)),
+      s"$base/audit", s"$base/state", s"$base/ckpt", nBuckets = 4)
+      .awaitTermination(120000)
+    def feed(p1: Long, p2: Long) =
+      CdcStream.lsmChangesBetween(spark, s"$base/state", p1, p2)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1),
+          Option(r.getStruct(2)).map(_.getInt(1)),
+          Option(r.getStruct(3)).map(_.getInt(1))))
+        .toSet
+    assert(feed(3, 8) === Set(
+      (1, "u", Some(10), Some(11)),
+      (3, "d", Some(30), None),
+      (4, "i", None, Some(40))))
+    // a truncate inside the window erases pre-window keys: they report 'd'
+    CdcStream.applyLsmBatch(
+      graft.cdc.Changelog.fromEnvelopeJson(
+        spark.createDataset(Seq(trunc(10), env(11, 5, Some(50))))(
+          org.apache.spark.sql.Encoders.STRING).toDF("value")),
+      batchId = 2, s"$base/audit", s"$base/state", 4,
+      graft.cdc.CdcSchema.invoiceSpec)
+    assert(feed(8, 11) === Set(
+      (1, "d", Some(11), None),
+      (2, "d", Some(20), None),
+      (4, "d", Some(40), None),
+      (5, "i", None, Some(50))))
+    // empty window ⇒ empty feed; below-floor fromPos refuses after compaction
+    assert(feed(11, 11) === Set.empty)
+    CdcStream.compactLsm(spark, s"$base/state", nBuckets = 4)
+    val e = intercept[IllegalArgumentException](feed(3, 11))
+    assert(e.getMessage.contains("compaction floor"))
+  }
+
   test("delete markers survive compaction: an older redelivery cannot resurrect") {
     val base = Files.createTempDirectory("graft-lsm-marker").toString
     val in = s"$base/in"
