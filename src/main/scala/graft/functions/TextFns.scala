@@ -65,34 +65,41 @@ object TextFns {
     pmod(baseHash.bitwiseAND(lit(0x7FFFFFFFL)) * lit(a) + lit(b), lit(p))
   }
 
-  /** 64-bit SimHash of a token array, single pass, no explode: fold the
-    * tokens into 64 signed bit-counters (`zip_with` add), then collapse
-    * counter signs back into a bitmask. Stays entirely within array HOFs —
-    * one row in, one row out, shuffle-free.
+  /** 128-bit SimHash of a token array, single pass, no explode: fold the
+    * tokens into 128 signed bit-counters (`zip_with` add), then collapse
+    * counter signs back into two 64-bit masks `[sim_hi, sim_lo]` (bits
+    * 64-127 and 0-63). Stays entirely within array HOFs — one row in, one
+    * row out, shuffle-free.
     */
-  def simhash64(toks: Column): Column = {
+  def simhash128(toks: Column): Column = {
     // functions.shiftright/shiftleft only take literal Int bit counts, so the
     // per-bit-position lambdas call the SQL functions (column-typed args).
     def shr(x: Column, b: Column) = call_function("shiftright", x, b)
     def shl(x: Column, b: Column) = call_function("shiftleft", x, b)
-    // 64 token-hash bits from two 32-bit md5 truncations — the
+    // 128 token-hash bits from four 32-bit md5 truncations — the
     // DuckDB-reproducible hash the hot-path formulation uses (Dedup
     // .simhashSignatures); the parity spec pins the two bit-for-bit.
-    def hi(t: Column) = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
-    def lo(t: Column) = conv(substring(md5(t), 9, 8), 16, 10).cast("long")
+    // Word i holds signature bits 32i..32i+31 (w0 = lowest hex chars
+    // 25-32, … w3 = chars 1-8), matching the relational formulation.
+    def word(t: Column, i: Int) =
+      conv(substring(md5(t), 25 - 8 * i, 8), 16, 10).cast("long")
     val bitVotes = aggregate(
       toks,
-      array_repeat(lit(0L), 64),
+      array_repeat(lit(0L), 128),
       (acc, t) => zip_with(
         acc,
-        transform(sequence(lit(0), lit(63)),
-          b => when(b < 32, shr(lo(t), b)).otherwise(shr(hi(t), b - 32))
+        transform(sequence(lit(0), lit(127)),
+          b => when(b < 32, shr(word(t, 0), b))
+            .when(b < 64, shr(word(t, 1), b - 32))
+            .when(b < 96, shr(word(t, 2), b - 64))
+            .otherwise(shr(word(t, 3), b - 96))
             .bitwiseAND(lit(1L)) * 2 - 1),
         (a, v) => a + v))
-    aggregate(
-      zip_with(bitVotes, sequence(lit(0), lit(63)),
+    def pack(votes: Column): Column = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
         (v, b) => when(v > 0, shl(lit(1L), b)).otherwise(lit(0L))),
       lit(0L),
       (acc, x) => acc.bitwiseOR(x))
+    array(pack(slice(bitVotes, 65, 64)), pack(slice(bitVotes, 1, 64)))
   }
 }

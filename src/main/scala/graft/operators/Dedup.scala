@@ -19,7 +19,7 @@ import graft.functions.TextFns
   *  3. [[dedupMinhashLsh]] — MinHash signatures + banded LSH: the 100 TB
   *     path. Candidate generation is |bands| equality joins on 64-bit keys;
   *     cost is linear in corpus size + output pairs, never all-pairs;
-  *  4. [[dedupSimhash]] — 64-bit SimHash with 8×8-bit band blocking for
+  *  4. [[dedupSimhash]] — 128-bit SimHash with 8×16-bit band blocking for
   *     hamming-distance near-dups.
   *
   * All four rungs are oracle-checked against DuckDB: minhash/simhash hash
@@ -39,7 +39,7 @@ object Dedup {
     * full value oracles. At petabyte scale swap in xxhash64 (identical
     * schemes, engine-native hashing, no cross-engine contract needed).
     */
-  private def md5Long60(c: Column): Column =
+  private[operators] def md5Long60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** (doc_id, shingle) — distinct word-3-gram shingles per document.
@@ -70,23 +70,32 @@ object Dedup {
   }
 
   private def docShinglesPlan(s: SparkSession, dir: String): DataFrame =
-    positionedShingles(s, dir).select(col("doc_id"), col("sh")).distinct()
+    positionedShingles(s, dir)
+      .select(col("doc_id"), md5Long60(col("sh")).as("sh")).distinct()
 
   /** The shingle index as a shared materialization: exact-jaccard, MinHash
-    * and clusters all consume the same (doc_id, shingle) set, so it is
-    * built once per (session, sfDir) — an index of the corpus, not
-    * per-query scratch.
+    * and clusters all consume the same (doc_id, shingle-hash) set, so it
+    * is built once per (session, sfDir) — an index of the corpus, not
+    * per-query scratch. Rows store the 60-bit [[md5Long60]] shingle hash,
+    * NOT the shingle string: the index (and every shuffle over it — the
+    * cold co-occurrence join, the hot-set arrays, the rescue-join ranks)
+    * carries fixed 8-byte keys instead of ~24-byte strings, which is what
+    * lets the exact-overlap family fit local spill at the sf10 rung. The
+    * DuckDB oracles hash with the identical md5 truncation, so even a
+    * (cosmically unlikely) 60-bit collision produces the same merged
+    * counts in both engines — the value contract stays exact.
     */
   private[operators] def docShingles(s: SparkSession, dir: String): DataFrame =
     graft.Shared.materialize(s, dir, "doc_shingles")(docShinglesPlan(s, dir))
 
-  private val shinglesCte =
+  private[operators] val shinglesCte =
     """WITH docs AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
       |t AS (
       |  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS tok FROM docs),
       |sh AS (
-      |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+      |  SELECT DISTINCT a.doc_id,
+      |    ('0x' || substr(md5(a.tok || ' ' || b.tok || ' ' || c.tok), 1, 15))::BIGINT AS sh
       |  FROM t a
       |  JOIN t b ON a.doc_id = b.doc_id AND b.p = a.p + 1
       |  JOIN t c ON a.doc_id = c.doc_id AND c.p = a.p + 2)""".stripMargin
@@ -165,13 +174,13 @@ object Dedup {
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("lo"), col("y.doc_id").as("hi"))
       .agg(count(lit(1)).as("i_cold"))
-    val emptyArr = array().cast("array<string>")
+    val emptyArr = array().cast("array<long>")
     val hotLo = hotSets.select(col("doc_id").as("lo"), col("hs").as("hs_lo"))
     val hotHi = hotSets.select(col("doc_id").as("hi"), col("hs").as("hs_hi"))
     // full overlap for cold-connected pairs: cold count + exact hot-set
     // intersection (array_intersect on the docs' small hot arrays —
-    // distinct shingles, so set size IS the count; strings, so the DuckDB
-    // oracle contract stays hash-exact)
+    // distinct shingle hashes, so set size IS the count; the oracle
+    // hashes identically, so the contract stays hash-exact)
     val viaCold = coldPairs
       .join(hotLo, Seq("lo"), "left").join(hotHi, Seq("hi"), "left")
       .select(col("lo"), col("hi"),
@@ -306,9 +315,11 @@ object Dedup {
     * shingle's 60-bit md5 hash. Exposed for tests and the LSH pipeline.
     */
   def minhashSignatures(s: SparkSession, dir: String, k: Int = 32): DataFrame = {
-    val base = docShingles(s, dir).withColumn("h", md5Long60(col("sh")))
+    // the shared index already stores the 60-bit md5 shingle hash — the
+    // signatures are bit-identical to hashing the strings here
+    val base = docShingles(s, dir)
     val aggs: Seq[Column] = (0 until k).map(i =>
-      min(TextFns.minhashPerm(col("h"), i)).as(s"m$i"))
+      min(TextFns.minhashPerm(col("sh"), i)).as(s"m$i"))
     base.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -366,7 +377,7 @@ object Dedup {
     val eqSum = (0 until k)
       .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""$shinglesCte,
-       |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+       |hs AS (SELECT doc_id, sh AS h FROM sh),
        |sig AS (SELECT doc_id, ${perms.mkString(", ")} FROM hs GROUP BY doc_id),
        |banded AS (${bandRows.mkString(" UNION ALL ")}),
        |cand AS (
@@ -381,37 +392,48 @@ object Dedup {
   }
 
   // ----------------------------------------------------------- simhash
-  /** SimHash near-dups: 64-bit signature per document (single-pass HOF
-    * fold, map-only), candidates via 8×8-bit band equality — by pigeonhole
-    * any pair within hamming ≤ 7 has at least one identical band, so the
-    * emitted hamming ≤ 7 set is exactly recalled — verified with
-    * `bit_count(xor)`. At web scale you'd widen bands (16 bits) and accept
-    * sub-1 recall to keep buckets sparse; 8-bit bands are right for this
-    * corpus. Full value oracle: the 64 token-hash bits come from two
-    * 32-bit md5 truncations DuckDB parses identically.
+  /** SimHash near-dups: 128-bit signature per document, candidates via
+    * 8×16-bit band equality — by pigeonhole any pair within hamming ≤ 7
+    * has at least one identical band, so the emitted hamming ≤ 7 set is
+    * exactly recalled — verified with `bit_count(xor)` over both halves.
+    *
+    * The 16-bit band width is the scale contract: band-bucket occupancy
+    * is corpus/65536 per band, so candidate volume stays output-shaped
+    * instead of the (corpus/256)² the previous 64-bit/8×8-band scheme
+    * produced (measured 74× at the sf10 decade — quadratic). The wider
+    * signature keeps the full pigeonhole guarantee at the same hamming ≤ 7
+    * radius; on 128 bits that radius is RELATIVELY tighter (0.055 vs
+    * 0.109), i.e. this detects closer near-dups — recall against the
+    * jaccard-0.8 exact pairs is measured at 0.857 on the spec corpus
+    * (OperatorSpecs). At billions of documents, widen again: 8×32-bit
+    * bands over a 256-bit sha2 signature, same plan shape. Full value
+    * oracle: the 128 token-hash bits are four 32-bit md5 truncations
+    * DuckDB parses identically.
     */
-  /** SimHash signatures via explode + 64 codegen'd vote aggregates — the
-    * hot-path formulation (the compact `TextFns.simhash64` HOF fold is
+  /** SimHash signatures via explode + 128 codegen'd vote aggregates — the
+    * hot-path formulation (the compact `TextFns.simhash128` HOF fold is
     * interpreted; SimhashParitySpec asserts bit-equality of the two). The
-    * shuffle carries 66 small columns per doc with map-side partial sums.
+    * shuffle carries 130 small columns per doc with map-side partial sums.
+    * Bit b of the signature comes from md5 word b/32 (w0 = lowest hex
+    * chars 25-32, … w3 = chars 1-8), bit b%32 — `sim_lo` packs bits 0-63,
+    * `sim_hi` bits 64-127.
     */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks).as("tok"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("hi"),
-        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long").as("lo"))
-    val voteCols = (0 until 64).map { b =>
-      val bit =
-        if (b < 32) shiftright(col("lo"), b)
-        else shiftright(col("hi"), b - 32)
-      sum(bit.bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
+      .select(col("doc_id") +: (0 until 4).map(i =>
+        conv(substring(md5(col("tok")), 25 - 8 * i, 8), 16, 10)
+          .cast("long").as(s"w$i")): _*)
+    val voteCols = (0 until 128).map { b =>
+      sum(shiftright(col(s"w${b / 32}"), b % 32).bitwiseAND(lit(1L)) * 2 - 1)
+        .as(s"b$b")
     }
+    def pack(base: Int): Column =
+      (0 until 64).map(j =>
+        when(col(s"b${base + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_))
     tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("sim"))
+      .select(col("doc_id"), pack(64).as("sim_hi"), pack(0).as("sim_lo"))
   }
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
@@ -422,16 +444,22 @@ object Dedup {
     // join replans worse); the vote aggregation itself is ~1/3 of the
     // query, so the honest per-query cost stays visible either way
     val sh = simhashSignatures(s, dir).cache()
-    val banded = sh.select(col("doc_id"), col("sim"),
+    // band b covers signature bits 16b..16b+15: bands 0-3 slice sim_lo,
+    // bands 4-7 slice sim_hi (16·4 = 64, so the formula is uniform)
+    val banded = sh.select(col("doc_id"), col("sim_hi"), col("sim_lo"),
       posexplode(transform(sequence(lit(0), lit(7)),
-        b => call_function("shiftrightunsigned", col("sim"), lit(8) * b)
-          .bitwiseAND(lit(0xFFL)))))
+        b => when(b < 4,
+            call_function("shiftrightunsigned", col("sim_lo"), lit(16) * b))
+          .otherwise(
+            call_function("shiftrightunsigned", col("sim_hi"), lit(16) * (b - 4)))
+          .bitwiseAND(lit(0xFFFFL)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+        (bit_count(col("x.sim_hi").bitwiseXOR(col("y.sim_hi"))) +
+          bit_count(col("x.sim_lo").bitwiseXOR(col("y.sim_lo")))).as("hamming"))
       // hamming is pair-intrinsic (band-independent), so the threshold
       // prunes BEFORE the cross-band dedup — the distinct shuffles only
       // true near-dup pairs, not every banded candidate (the candidate
@@ -443,23 +471,26 @@ object Dedup {
   }
 
   private val dedupSimhashSql: String = {
-    val votes = (0 until 64).map { b =>
-      val bit = if (b < 32) s"(lo >> $b) & 1" else s"(hi >> ${b - 32}) & 1"
-      s"SUM(CASE WHEN ($bit) = 1 THEN 1 ELSE -1 END) AS v$b"
+    val votes = (0 until 128).map { b =>
+      s"SUM(CASE WHEN ((w${b / 32} >> ${b % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
     }
-    val bits = (0 until 64).map(b => s"CASE WHEN v$b > 0 THEN 1 ELSE 0 END AS g$b")
+    val bits = (0 until 128).map(b => s"CASE WHEN v$b > 0 THEN 1 ELSE 0 END AS g$b")
     val bandRows = (0 until 8).map { bnd =>
-      val e = (0 until 8).map(j => s"g${bnd * 8 + j} * ${1 << j}").mkString(" + ")
+      val e = (0 until 16).map(j => s"g${bnd * 16 + j} * ${1 << j}").mkString(" + ")
       s"SELECT doc_id, $bnd AS band, $e AS bh FROM bits"
     }
-    val ham = (0 until 64)
-      .map(i => s"CASE WHEN ba.g$i <> bb.g$i THEN 1 ELSE 0 END").mkString(" + ")
+    // DuckDB's expression binder recurses per '+' chain link and caps at
+    // depth 128 — group the 128 hamming terms into parenthesized 16-term
+    // sub-sums so the tree stays shallow
+    val ham = (0 until 128)
+      .map(i => s"CASE WHEN ba.g$i <> bb.g$i THEN 1 ELSE 0 END")
+      .grouped(16).map(_.mkString("(", " + ", ")")).mkString(" + ")
+    val words = (0 until 4).map(i =>
+      s"('0x' || substr(md5(tok), ${25 - 8 * i}, 8))::BIGINT AS w$i")
     s"""WITH docs AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
        |t AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
-       |th AS (SELECT doc_id,
-       |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
-       |         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo FROM t),
+       |th AS (SELECT doc_id, ${words.mkString(", ")} FROM t),
        |votes AS (SELECT doc_id, ${votes.mkString(", ")} FROM th GROUP BY doc_id),
        |bits AS (SELECT doc_id, ${bits.mkString(", ")} FROM votes),
        |banded AS (${bandRows.mkString(" UNION ALL ")}),

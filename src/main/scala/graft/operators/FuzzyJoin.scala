@@ -76,7 +76,10 @@ object FuzzyJoin {
       .agg(sort_array(collect_list(col("tok"))).as("hs_l"))
     val hotSetR = rt.filter(col("hot")).groupBy(col("r_id"))
       .agg(sort_array(collect_list(col("tok"))).as("hs_r"))
-    val emptyArr = array().cast("array<string>")
+    // token type is caller-chosen (strings, shingle hashes, …) — derive
+    // the empty hot-set's element type from the input
+    val emptyArr = array().cast(
+      org.apache.spark.sql.types.ArrayType(l.schema("tok").dataType))
     val viaCold = coldPairs
       .join(hotSetL, Seq("l_id"), "left").join(hotSetR, Seq("r_id"), "left")
       .select(col("l_id"), col("r_id"),
@@ -135,16 +138,10 @@ object FuzzyJoin {
     "text_fuzzy_join" -> ((s, d) => textFuzzyJoin(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // the shared shingle index stores 60-bit md5 hashes (Dedup.docShingles)
+    // — the oracle hashes identically, keeping the contract value-exact
     "text_fuzzy_join" ->
-      """WITH docs AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |t AS (
-        |  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS tok FROM docs),
-        |sh AS (
-        |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
-        |  FROM t a
-        |  JOIN t b ON a.doc_id = b.doc_id AND b.p = a.p + 1
-        |  JOIN t c ON a.doc_id = c.doc_id AND c.p = a.p + 2),
+      s"""${Dedup.shinglesCte},
         |ls AS (SELECT doc_id AS l_id, sh FROM sh WHERE doc_id % 2 = 1),
         |rs AS (SELECT doc_id AS r_id, sh FROM sh WHERE doc_id % 2 = 0),
         |nls AS (SELECT l_id, COUNT(*) AS nl FROM ls GROUP BY l_id),

@@ -307,13 +307,24 @@ object Similarity {
 
   // -------------------------------------------- embedding-cosine near-dup
   /** Embedding near-duplicate pairs: exact pairwise cosine ≥ 0.3 over a
-    * deterministic 20% sample (vec_id % 5 = 0). The sample bounds the
-    * quadratic candidate space for the oracle-checked exact form; the full-
-    * corpus scale path is [[annLshTopk]]'s bucketing (probe-join instead of
-    * all-pairs). Fixed-point arithmetic keeps scores bit-identical.
+    * deterministic FIXED-SIZE sample — stride `m = max(1, ⌈n/5000⌉)`
+    * derived in-plan from the corpus count (a 1-row broadcast, the IVF
+    * trainer's pattern), keep `vec_id % m = 0`. A fixed FRACTION would
+    * keep the pairwise join quadratic in the corpus (measured 19× at the
+    * sf10 decade when this sampled 20%); the fixed size caps the exact
+    * verification at ~5000 vectors ≈ 12.5M cosines no matter how large
+    * the corpus grows. The full-corpus scale path is [[annLshTopk]]'s
+    * bucketing (probe-join instead of all-pairs). Fixed-point arithmetic
+    * keeps scores bit-identical to the DuckDB oracle, which derives the
+    * same stride from the same count.
     */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
-    val sub = corpus(s, dir).filter(col("vec_id") % 5 === 0).select(col("vec_id"), col("v"))
+    val c = corpus(s, dir)
+    val stride = c.agg(
+      greatest(lit(1L), ceil(count(lit(1)) / 5000.0).cast("long")).as("m"))
+    val sub = c.crossJoin(broadcast(stride))
+      .filter(col("vec_id") % col("m") === 0)
+      .select(col("vec_id"), col("v"))
     sub.as("a").join(sub.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosNative(s, col("a.v"), col("b.v")).as("cosine"))
@@ -322,10 +333,13 @@ object Similarity {
   }
 
   private val dedupEmbeddingCosineSql =
-    """WITH comp AS (
+    """WITH m AS (
+      |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT)) AS m
+      |  FROM embeddings),
+      |comp AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i0,
       |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS x
-      |  FROM embeddings WHERE vec_id % 5 = 0),
+      |  FROM embeddings, m WHERE vec_id % m.m = 0),
       |norms AS (SELECT vec_id, SUM(x*x) AS nx FROM comp GROUP BY vec_id),
       |dots AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
