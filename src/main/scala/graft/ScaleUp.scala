@@ -23,15 +23,23 @@ import org.apache.spark.sql.functions._
   * size with the ScaleProbe generator (same statistics as the driver
   * tables, bounded dup clusters ⇒ linear pair growth).
   *
-  * Usage: `graft.ScaleUp [srcDir] [outDir] [factor]`
+  * Usage: `graft.ScaleUp [srcDir] [outDir] [factor] [docs]`
   * (defaults /root/testdata/sf0.1 → /tmp/graft_sf1 ×10), then
-  * `SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 … graft.Bench`.
+  * `SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 … graft.Bench`. A 4th arg `docs`
+  * writes only `documents`/`embeddings` (+`region` for Bench's warm-up
+  * read) — the corpus rung for the dedup/ANN/text families at factors
+  * where replicating the TPC-H side buys nothing.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.filter(_.nonEmpty).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).filter(_.nonEmpty).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // `docs` mode: documents/embeddings only (plus region for Bench's
+    // session warm-up read) — the corpus-shaped families (dedup / ANN /
+    // text) don't touch the TPC-H side, so the sf100 rung skips 6 GB of
+    // fact-table replication and generates just the 1000× corpus.
+    val docsOnly = args.lift(3).contains("docs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -63,6 +71,17 @@ object ScaleUp {
         df.withColumn(c, (col(c).cast("long") + col("rep") * s).cast(base.schema(c).dataType))
       }
       shifted.drop("rep")
+    }
+
+    if (docsOnly) {
+      write(rq("region"), "region")
+      val nDocs = rq("documents").count() * factor
+      val nVecs = rq("embeddings").count() * factor
+      ScaleProbe.writeDocuments(spark, out, nDocs)
+      ScaleProbe.writeEmbeddings(spark, out, nVecs)
+      println(s"[scale-up] documents: $nDocs rows, embeddings: $nVecs rows (docs-only)")
+      spark.stop()
+      return
     }
 
     write(rq("region"), "region")
