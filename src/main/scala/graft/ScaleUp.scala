@@ -39,7 +39,11 @@ object ScaleUp {
     // session warm-up read) — the corpus-shaped families (dedup / ANN /
     // text) don't touch the TPC-H side, so the sf100 rung skips 6 GB of
     // fact-table replication and generates just the 1000× corpus.
-    val docsOnly = args.lift(3).contains("docs")
+    val docsOnly = args.lift(3) match {
+      case Some("docs") => true
+      case Some(other)  => sys.error(s"unknown mode: '$other' (expected 'docs')")
+      case None         => false
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

@@ -41,9 +41,11 @@ object Shared {
     * to THIS cell — concurrent materialize calls for different keys build
     * in parallel.
     */
-  private final class Cell(val session: SparkSession, build: () => DataFrame) {
+  private final class Cell(val session: SparkSession, key: String, build: () => DataFrame) {
     lazy val df: DataFrame = {
+      val t0 = System.nanoTime()
       val ck = build().localCheckpoint() // eager: blocks exist when this returns
+      buildSeconds.put(key, (System.nanoTime() - t0) / 1e9)
       // The checkpointed Dataset's plan IS a LogicalRDD over the
       // persisted RDD — read its id directly instead of diffing
       // getPersistentRDDs around the build (a diff would misclassify
@@ -59,6 +61,12 @@ object Shared {
 
   private val memo = TrieMap.empty[(String, String, String), Cell]
   private val shared = TrieMap.empty[(String, Int), Unit]
+
+  /** Wall-clock seconds each shared index took to build, by key (latest
+    * build wins across sessions) — lets Bench itemize the untimed setup
+    * pass instead of reporting one opaque number.
+    */
+  val buildSeconds = TrieMap.empty[String, Double]
 
   /** Session identity: applicationId (changes across context restarts) +
     * identity hash. Identity hashes are not unique, so hits additionally
@@ -88,7 +96,7 @@ object Shared {
       memo.get(k) match {
         case Some(c) if c.session eq s => c
         case _ =>
-          val fresh = new Cell(s, () => build)
+          val fresh = new Cell(s, key, () => build)
           memo.put(k, fresh)
           fresh
       }

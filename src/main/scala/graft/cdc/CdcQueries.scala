@@ -205,6 +205,7 @@ object CdcQueries {
     val key = (s.sparkContext.applicationId + "#" + System.identityHashCode(s), d)
     lsmMemo.getOrElseUpdate(key, {
       import org.apache.spark.sql.functions.col
+      val t0 = System.nanoTime()
       val state = java.nio.file.Files.createTempDirectory("graft-lsm").toString
       val audit = java.nio.file.Files.createTempDirectory("graft-lsm-a").toString
       val log = Changelog.syntheticShared(s, d)
@@ -219,6 +220,7 @@ object CdcQueries {
       S.applyLsmBatch(log.filter(col("pos") > c1 && col("pos") <= c2), 1,
         audit, state, 16, CdcSchema.invoiceSpec)
       S.applyLsmBatch(log.filter(col("pos") > c2), 2, audit, state, 16, CdcSchema.invoiceSpec)
+      graft.Shared.buildSeconds.put("lsm_state", (System.nanoTime() - t0) / 1e9)
       (state, hi)
     })
   }
