@@ -29,6 +29,67 @@ private[graft] object BucketState {
     */
   final case class Manifest(buckets: Map[Long, Set[Long]], fp: Option[(Long, Long)])
 
+  // ---- concurrent-writer coordination (in-process) -------------------
+  //
+  // The manifest commit is an atomic rename, but a read-modify-write of
+  // it is not: two writers that both read manifest M and commit their
+  // own successor lose one update. The LSM replica wants exactly that
+  // concurrency — the streaming apply path appending segments while a
+  // BACKGROUND compaction folds them (off the hot path) — so three
+  // in-process primitives make it safe:
+  //
+  //  - [[manifestLock]]: one lock object per state dir; every
+  //    read-manifest→commit-manifest critical section runs under it, so
+  //    concurrent commits serialize and each sees the other's result.
+  //  - [[reserveVersion]]: unique, monotonically-increasing physical
+  //    version numbers per state dir — an apply and a compaction that
+  //    both derive "max+1" from the same manifest snapshot would stage
+  //    into the SAME `v=` dir and clobber each other's files.
+  //  - in-flight registration (reserve/[[releaseVersion]]): a staged-but-
+  //    uncommitted version dir is referenced by no manifest, so a
+  //    concurrent writer's [[gcVersions]] would delete it mid-write;
+  //    gcVersions transparently spares every registered in-flight
+  //    version. Registrations die with the process — a crash leaves an
+  //    orphan dir that the next writer's GC removes, same as before.
+  //
+  // Cross-process writers remain out of scope (same stance as the
+  // checkpoint contract: one owning stream per state dir).
+
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private val counters =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+  private val inFlight =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Unit]
+
+  /** Per-state-dir lock for manifest read-modify-write sections. */
+  def manifestLock(stateDir: String): Object =
+    locks.getOrElseUpdate(stateDir, new Object)
+
+  /** Reserve a physical version number ≥ `atLeast`, unique within this
+    * process for `stateDir`, and register it as in-flight (spared by
+    * [[gcVersions]] until [[releaseVersion]]).
+    */
+  def reserveVersion(stateDir: String, atLeast: Long): Long = {
+    val c = counters.getOrElseUpdate(stateDir, new java.util.concurrent.atomic.AtomicLong(0L))
+    var v = 0L
+    var done = false
+    while (!done) {
+      val cur = c.get()
+      v = math.max(atLeast, cur + 1)
+      done = c.compareAndSet(cur, v)
+    }
+    inFlight.put((stateDir, v), ())
+    v
+  }
+
+  /** Deregister an in-flight version (after its commit or abandonment). */
+  def releaseVersion(stateDir: String, v: Long): Unit =
+    inFlight.remove((stateDir, v))
+
+  private def inFlightVersions(stateDir: String): Set[Long] =
+    inFlight.keysIterator.collect { case (d, v) if d == stateDir => v }.toSet
+
   /** FileSystem for a path via the session's Hadoop conf — works for
     * local, HDFS, and object-store state dirs alike (java.io.File would
     * silently see "no state" on any non-local URI and discard prior state).
@@ -230,12 +291,17 @@ private[graft] object BucketState {
     gcVersions(spark, stateDir, Set(newVersion))
   }
 
-  /** Delete `v=` dirs no manifest entry references anymore. */
+  /** Delete `v=` dirs no manifest entry references anymore. In-flight
+    * (reserved, not yet committed) versions are spared transparently —
+    * a concurrent writer's staged dir is invisible to the manifest but
+    * must survive until its own commit or abandonment.
+    */
   def gcVersions(spark: SparkSession, stateDir: String, live: Set[Long]): Unit = {
+    val keep = live ++ inFlightVersions(stateDir)
     val fs = hadoopFs(spark, stateDir)
     fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .filterNot(s => live.contains(s.getPath.getName.stripPrefix("v=").toLong))
+      .filterNot(s => keep.contains(s.getPath.getName.stripPrefix("v=").toLong))
       .foreach(s => fs.delete(s.getPath, true))
   }
 }

@@ -910,10 +910,22 @@ object CdcStream {
     * pays bounded-K reads — at 100 TB with a latency SLO, LSM is the
     * shape, with compaction running off the hot path.
     */
+  /** `asyncCompaction = true` moves the fold OFF the hot path: when the
+    * segment bound trips, compaction runs on a background thread while
+    * the stream keeps committing O(delta) batches (the manifest-lock /
+    * reserved-version / in-flight-GC protocol in [[BucketState]] makes
+    * the interleaving safe — see [[compactLsm]]); at most one compaction
+    * runs per state dir at a time, and a still-running fold at stream
+    * stop simply finishes or dies staged-only (crash-equivalent: the
+    * orphan dir is GC'd later, the manifest never referenced it).
+    * Default stays synchronous — deterministic segment counts for specs
+    * and batch-mode callers.
+    */
   def runPartitionedLsm(changelog: DataFrame, auditDir: String, stateDir: String,
                         checkpointDir: String, nBuckets: Int = 64,
                         spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
-                        compactWhenSegments: Int = 8): StreamingQuery =
+                        compactWhenSegments: Int = 8,
+                        asyncCompaction: Boolean = false): StreamingQuery =
     changelog.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -924,10 +936,44 @@ object CdcStream {
         val maxSegs =
           if (m.buckets.isEmpty) 0 else m.buckets.values.map(_.size).max
         if (compactWhenSegments > 0 && maxSegs >= compactWhenSegments)
-          compactLsm(spark, stateDir, nBuckets, spec)
+          maybeCompact(spark, stateDir, nBuckets, spec, asyncCompaction)
         ()
       }
       .start()
+
+  private val compactingFlags =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicBoolean]
+
+  /** Is a background compaction currently running for `stateDir`?
+    * (Test/ops visibility — the data path never needs to ask.)
+    */
+  private[graft] def compactionInFlight(stateDir: String): Boolean =
+    compactingFlags.get(stateDir).exists(_.get())
+
+  /** Run [[compactLsm]] now (sync) or on a background thread (async,
+    * at most one in flight per state dir — a trip while one is already
+    * running is a no-op; the running fold will observe the extra
+    * segments on its next trip).
+    */
+  private[graft] def maybeCompact(spark: SparkSession, stateDir: String,
+                                  nBuckets: Int, spec: CdcSchema.CdcTableSpec,
+                                  async: Boolean): Unit =
+    if (!async) compactLsm(spark, stateDir, nBuckets, spec)
+    else {
+      val flag = compactingFlags.getOrElseUpdate(
+        stateDir, new java.util.concurrent.atomic.AtomicBoolean(false))
+      if (flag.compareAndSet(false, true)) {
+        val t = new Thread(() => {
+          try compactLsm(spark, stateDir, nBuckets, spec)
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[lsm] background compaction failed: ${e.getMessage}")
+          } finally flag.set(false)
+        }, s"lsm-compact-${stateDir.hashCode}")
+        t.setDaemon(true)
+        t.start()
+      }
+    }
 
   /** One LSM micro-batch: audit (concurrent) + ONE stats action + the
     * raw-log segment write (map-only — resolution is read-side) +
@@ -966,7 +1012,7 @@ object CdcStream {
         case BucketState.AlreadyCommitted =>
           Await.result(auditF, Duration.Inf)
           BucketState.gcVersions(spark, stateDir, m.buckets.values.flatten.toSet)
-        case BucketState.Proceed(newVersion) =>
+        case BucketState.Proceed(proposed) =>
           // the RAW per-event rows — the segment IS the log. No in-batch
           // fold at all: resolution (max-pos winner, horizon filter)
           // happens once, at read/compaction time, so the commit is a
@@ -977,28 +1023,42 @@ object CdcStream {
           // key-null horizon-row shape directly; the key gate keeps a
           // hand-built keyless non-truncate event from poisoning the
           // horizon (same guard as mergeBatch's ingress).
-          batch
-            .filter(
-              coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}"))
-                .isNotNull ||
-                (col("before").isNull && col("after").isNull))
-            .select(
-              coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}"))
-                .as("key"),
-              col("pos"), col("after"))
-            .withColumn("p",
-              when(col("key").isNull, lit(-1L))
-                .otherwise(bucketOf(col("key"), keyType)))
-            .repartition(touched.size, col("p"))
-            .write.mode("overwrite").partitionBy("p")
-            .parquet(s"$stateDir/v=$newVersion")
-          val outBuckets = listBuckets(spark, s"$stateDir/v=$newVersion")
-          val next = outBuckets.foldLeft(m.buckets)((acc, b) =>
-            acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + newVersion))
-          Await.result(auditF, Duration.Inf)
-          commitManifest(spark, stateDir, next, Some((batchId + 1) -> batchFp))
-          BucketState.gcVersions(spark, stateDir,
-            next.values.flatten.toSet + newVersion)
+          // Version reserved (not manifest-derived): unique vs a
+          // concurrent background compaction, and in-flight-registered
+          // so the compaction's GC spares the staged dir.
+          val newVersion = BucketState.reserveVersion(stateDir, proposed)
+          try {
+            batch
+              .filter(
+                coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}"))
+                  .isNotNull ||
+                  (col("before").isNull && col("after").isNull))
+              .select(
+                coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}"))
+                  .as("key"),
+                col("pos"), col("after"))
+              .withColumn("p",
+                when(col("key").isNull, lit(-1L))
+                  .otherwise(bucketOf(col("key"), keyType)))
+              .repartition(touched.size, col("p"))
+              .write.mode("overwrite").partitionBy("p")
+              .parquet(s"$stateDir/v=$newVersion")
+            val outBuckets = listBuckets(spark, s"$stateDir/v=$newVersion")
+            Await.result(auditF, Duration.Inf)
+            // Commit under the manifest lock against a FRESH read: a
+            // background compaction may have swapped segment sets since
+            // this batch's check read — folding the stale snapshot in
+            // here would resurrect compacted-away segments.
+            val next = BucketState.manifestLock(stateDir).synchronized {
+              val mNow = readManifest(spark, stateDir)
+              val merged = outBuckets.foldLeft(mNow.buckets)((acc, b) =>
+                acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + newVersion))
+              commitManifest(spark, stateDir, merged, Some((batchId + 1) -> batchFp))
+              merged
+            }
+            BucketState.gcVersions(spark, stateDir,
+              next.values.flatten.toSet + newVersion)
+          } finally BucketState.releaseVersion(stateDir, newVersion)
       }
     } finally {
       Await.ready(auditF, Duration.Inf)
@@ -1182,40 +1242,71 @@ object CdcStream {
     * (version, fingerprint) pair is preserved so a crash-replay of the
     * last data batch still recognizes itself post-compaction.
     */
+  /** Fold every segment referenced at call time into one version dir and
+    * swap the manifest to it. SAFE TO RUN CONCURRENTLY with the apply
+    * path (this is the "compaction off the hot path" contract): the fold
+    * reads a manifest snapshot outside any lock, and the final swap runs
+    * under the per-state-dir manifest lock against a FRESH read,
+    * replacing only the segments it actually folded — segments a
+    * concurrent batch appended mid-fold survive verbatim (resolution is
+    * max-pos-per-key and max-horizon, both associative, so
+    * resolve(folded ∪ late) ≡ resolve(old ∪ late)). The replay
+    * fingerprint is taken from the fresh read, never the stale snapshot,
+    * so a concurrent batch's progress record is preserved. `beforeSwap`
+    * is a test seam: it runs after the fold, before the locked swap.
+    */
   def compactLsm(spark: SparkSession, stateDir: String, nBuckets: Int,
-                 spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec): Unit = {
+                 spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                 beforeSwap: () => Unit = () => ()): Unit = {
     val m = readManifest(spark, stateDir)
     if (m.buckets.isEmpty) return
     val bucketOf = bucketFn(nBuckets) _
-    val newVersion = m.buckets.values.flatten.max + 1
-    val resolved = resolveSegments(
-      BucketState.readBuckets(spark, stateDir, m.buckets,
-        sys.error("unreachable — manifest non-empty")).drop("p"))
-      .persist()
+    val newVersion = BucketState.reserveVersion(
+      stateDir, m.buckets.values.flatten.max + 1)
     try {
-      val keyType = resolved.schema("key").dataType
-      resolved
-        .withColumn("p",
-          when(col("key").isNull, lit(-1L))
-            .otherwise(bucketOf(col("key"), keyType)))
-        .repartition(col("p"))
-        .write.mode("overwrite").partitionBy("p")
-        .parquet(s"$stateDir/v=$newVersion")
-      // Per-key history at or below every folded position is gone now:
-      // advance the time-travel floor to the max folded position (the
-      // global max pos is always some key's winner, or the horizon row).
-      // Written BEFORE the manifest rename — a crash between the two
-      // leaves the floor conservatively high, never an answerable-looking
-      // but history-less as-of.
-      val folded = resolved.agg(coalesce(max(col("pos")), lit(Long.MinValue)))
-        .collect()(0).getLong(0)
-      writeTtFloor(spark, stateDir,
-        math.max(folded, readTtFloor(spark, stateDir)))
-      val next = listBuckets(spark, s"$stateDir/v=$newVersion")
-        .map(_ -> Set(newVersion)).toMap
-      commitManifest(spark, stateDir, next, m.fp)
-      BucketState.gcVersions(spark, stateDir, Set(newVersion))
-    } finally resolved.unpersist()
+      val resolved = resolveSegments(
+        BucketState.readBuckets(spark, stateDir, m.buckets,
+          sys.error("unreachable — manifest non-empty")).drop("p"))
+        .persist()
+      try {
+        val keyType = resolved.schema("key").dataType
+        resolved
+          .withColumn("p",
+            when(col("key").isNull, lit(-1L))
+              .otherwise(bucketOf(col("key"), keyType)))
+          .repartition(col("p"))
+          .write.mode("overwrite").partitionBy("p")
+          .parquet(s"$stateDir/v=$newVersion")
+        // Per-key history at or below every folded position is gone now:
+        // advance the time-travel floor to the max folded position (the
+        // global max pos is always some key's winner, or the horizon row).
+        // Written BEFORE the manifest rename — a crash between the two
+        // leaves the floor conservatively high, never an answerable-looking
+        // but history-less as-of. (Positions a concurrent batch appends
+        // mid-fold are strictly above the folded max — stream positions
+        // are monotone — so the floor never covers unfolded history.)
+        val folded = resolved.agg(coalesce(max(col("pos")), lit(Long.MinValue)))
+          .collect()(0).getLong(0)
+        writeTtFloor(spark, stateDir,
+          math.max(folded, readTtFloor(spark, stateDir)))
+        val outBuckets = listBuckets(spark, s"$stateDir/v=$newVersion").toSet
+        beforeSwap()
+        val next = BucketState.manifestLock(stateDir).synchronized {
+          val mNow = readManifest(spark, stateDir)
+          val merged = (mNow.buckets.keySet ++ outBuckets).flatMap { b =>
+            val late = mNow.buckets.getOrElse(b, Set.empty[Long]) --
+              m.buckets.getOrElse(b, Set.empty[Long])
+            val segs = late ++
+              (if (outBuckets.contains(b)) Set(newVersion) else Set.empty[Long])
+            if (segs.isEmpty) None else Some(b -> segs)
+          }.toMap
+          commitManifest(spark, stateDir, merged, mNow.fp)
+          merged
+        }
+        BucketState.gcVersions(spark, stateDir,
+          next.values.flatten.toSet + newVersion)
+      } finally resolved.unpersist()
+    } finally BucketState.releaseVersion(stateDir, newVersion)
   }
 
   // Manifest-committed bucket-state plumbing lives in [[BucketState]]
