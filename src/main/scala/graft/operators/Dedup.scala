@@ -403,9 +403,26 @@ object Dedup {
     * produced (measured 74× at the sf10 decade — quadratic). The wider
     * signature keeps the full pigeonhole guarantee at the same hamming ≤ 7
     * radius; on 128 bits that radius is RELATIVELY tighter (0.055 vs
-    * 0.109), i.e. this detects closer near-dups — recall against the
-    * jaccard-0.8 exact pairs is measured at 0.857 on the spec corpus
-    * (OperatorSpecs). At billions of documents, widen again: 8×32-bit
+    * 0.109), i.e. this detects closer near-dups.
+    *
+    * Recall vs the jaccard-0.8 exact pairs as a function of the hamming
+    * threshold (measured by `graft.SimhashRecall`, round 9; "banded" =
+    * what the shipped 8-band generator recalls, "intrinsic" = the ceiling
+    * with perfect candidate generation):
+    * {{{
+    * threshold t            3     5     7*    9     11    13    15
+    * 500 docs  (28 pairs)  .536  .821  .857  .857  .893  .929  .964
+    * 5000 docs (256 pairs) .391  .652  .766  .875  .941  .961  .973
+    * }}}
+    * (* = shipped operating point, the largest t the 8 bands recall
+    * EXACTLY by pigeonhole.) On both corpora banded equals intrinsic at
+    * EVERY threshold measured — the generator loses nothing even past
+    * its guarantee on real near-dup structure. If an operating point
+    * wants a looser radius (say t = 11, 0.94 recall at 5k docs), the
+    * radius knob is band COUNT: pigeonhole at radius t needs t+1 bands,
+    * so 12 16-bit bands over a 192-bit signature (or 16 over 256) keeps
+    * occupancy at corpus/65536 while guaranteeing t = 11. Occupancy at
+    * billions of documents is the OTHER knob, band width: 8×32-bit
     * bands over a 256-bit sha2 signature, same plan shape. Full value
     * oracle: the 128 token-hash bits are four 32-bit md5 truncations
     * DuckDB parses identically.
