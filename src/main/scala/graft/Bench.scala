@@ -70,6 +70,18 @@ object Bench {
       .mkString("{", ",", "}")
     // a failing query must be loud in the output, never a fast-looking timing
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$nRuns,"run_totals":$runTotals,"setup":${f"$setup%.3f"},"setup_breakdown":$setupBreakdown,"sf":"$sfDir"}""")
+    val contextDead = spark.sparkContext.isStopped
     spark.stop()
+    // …and loud in the EXIT CODE. Three rounds of invalid sf10 artifacts
+    // (0-byte file, then an all-failed run whose ~7ms-per-query timings
+    // looked success-shaped in the JSON) went unnoticed because this
+    // main always exited 0 and the wrapper script only checked the shell
+    // status. A bench where any query failed — or whose SparkContext
+    // died mid-run (every subsequent .count() throws instantly) — is not
+    // a measurement and must not produce a committable artifact.
+    if (failed.nonEmpty || contextDead) {
+      System.err.println(s"[bench] INVALID RUN: failed=${failed.mkString(",")} contextDead=$contextDead")
+      sys.exit(1)
+    }
   }
 }

@@ -79,7 +79,7 @@ object IncrementalDedup {
       // recorded input fingerprint proves this really is the same batch.
       BucketState.checkBatch(m, batchId, batchFp) match {
         case BucketState.AlreadyCommitted =>
-          BucketState.gcVersions(spark, indexDir, m.buckets.values.flatten.toSet)
+          BucketState.gcVersions(spark, indexDir)
         case BucketState.Proceed(physicalVersion) =>
         val prev = BucketState.readBuckets(spark, indexDir,
           m.buckets.view.filterKeys(touched).toMap,
@@ -117,8 +117,7 @@ object IncrementalDedup {
           acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + physicalVersion))
         BucketState.commitManifest(spark, indexDir, next,
           Some(newVersion -> batchFp))
-        BucketState.gcVersions(spark, indexDir,
-          next.values.flatten.toSet + physicalVersion)
+        BucketState.gcVersions(spark, indexDir)
       }
     } finally batchFps.unpersist()
     spark.read.schema(survivorSchema).parquet(survivorsDir)

@@ -122,7 +122,7 @@ object IncrementalNearDup {
       val m = BucketState.readManifest(spark, indexDir)
       BucketState.checkBatch(m, batchId, batchFp) match {
         case BucketState.AlreadyCommitted =>
-          BucketState.gcVersions(spark, indexDir, m.buckets.values.flatten.toSet)
+          BucketState.gcVersions(spark, indexDir)
         case BucketState.Proceed(physicalVersion) =>
           val prev = BucketState.readBuckets(spark, indexDir,
             m.buckets.view.filterKeys(touched).toMap,
@@ -158,8 +158,7 @@ object IncrementalNearDup {
             acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + physicalVersion))
           BucketState.commitManifest(spark, indexDir, next,
             Some(newVersion -> batchFp))
-          BucketState.gcVersions(spark, indexDir,
-            next.values.flatten.toSet + physicalVersion)
+          BucketState.gcVersions(spark, indexDir)
       }
     } finally bands.unpersist()
     spark.read.schema(admittedSchema).parquet(admittedDir)

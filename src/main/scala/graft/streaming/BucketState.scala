@@ -288,20 +288,30 @@ private[graft] object BucketState {
     val next = listBuckets(spark, s"$stateDir/v=$newVersion")
       .map(_ -> Set(newVersion)).toMap
     commitManifest(spark, stateDir, next, m.fp)
-    gcVersions(spark, stateDir, Set(newVersion))
+    gcVersions(spark, stateDir)
   }
 
-  /** Delete `v=` dirs no manifest entry references anymore. In-flight
-    * (reserved, not yet committed) versions are spared transparently —
+  /** Delete `v=` dirs no manifest entry references anymore. The live set
+    * is derived from a FRESH manifest read under the per-dir manifest
+    * lock — never passed in by the caller. A caller-supplied set is a
+    * race: a concurrent writer that commits its version AND releases its
+    * in-flight registration in the window between the caller's own
+    * commit and this GC would have its manifest-referenced dir in
+    * neither the caller's (stale) live set nor the in-flight registry,
+    * and the GC would delete committed data. Holding the lock across the
+    * read AND the deletes means no commit can land mid-GC either.
+    * In-flight (reserved, not yet committed) versions are still spared —
     * a concurrent writer's staged dir is invisible to the manifest but
     * must survive until its own commit or abandonment.
     */
-  def gcVersions(spark: SparkSession, stateDir: String, live: Set[Long]): Unit = {
-    val keep = live ++ inFlightVersions(stateDir)
-    val fs = hadoopFs(spark, stateDir)
-    fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .filterNot(s => keep.contains(s.getPath.getName.stripPrefix("v=").toLong))
-      .foreach(s => fs.delete(s.getPath, true))
-  }
+  def gcVersions(spark: SparkSession, stateDir: String): Unit =
+    manifestLock(stateDir).synchronized {
+      val live = readManifest(spark, stateDir).buckets.values.flatten.toSet
+      val keep = live ++ inFlightVersions(stateDir)
+      val fs = hadoopFs(spark, stateDir)
+      fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .filterNot(s => keep.contains(s.getPath.getName.stripPrefix("v=").toLong))
+        .foreach(s => fs.delete(s.getPath, true))
+    }
 }

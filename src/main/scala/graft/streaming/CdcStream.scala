@@ -810,7 +810,7 @@ object CdcStream {
           // The audit rewrite is idempotent; just redo the GC the crash
           // may have skipped.
           Await.result(auditF, Duration.Inf)
-          BucketState.gcVersions(spark, stateDir, manifest.values.flatten.toSet)
+          BucketState.gcVersions(spark, stateDir)
           case BucketState.Proceed(newVersion) =>
         val touched = (batchBuckets :+ -1L).toSet
         val prev =
@@ -863,7 +863,7 @@ object CdcStream {
         tr("manifest_commit")(commitManifest(spark, stateDir, next, Some((batchId + 1) -> batchFp)))
 
         // (3) GC version dirs nothing references anymore.
-        tr("gc")(BucketState.gcVersions(spark, stateDir, next.values.flatten.toSet + newVersion))
+        tr("gc")(BucketState.gcVersions(spark, stateDir))
         }
     } finally {
       // sync the audit job before dropping the cache it reads (an early
@@ -1011,7 +1011,7 @@ object CdcStream {
       BucketState.checkBatch(m, batchId, batchFp) match {
         case BucketState.AlreadyCommitted =>
           Await.result(auditF, Duration.Inf)
-          BucketState.gcVersions(spark, stateDir, m.buckets.values.flatten.toSet)
+          BucketState.gcVersions(spark, stateDir)
         case BucketState.Proceed(proposed) =>
           // the RAW per-event rows — the segment IS the log. No in-batch
           // fold at all: resolution (max-pos winner, horizon filter)
@@ -1056,8 +1056,7 @@ object CdcStream {
               commitManifest(spark, stateDir, merged, Some((batchId + 1) -> batchFp))
               merged
             }
-            BucketState.gcVersions(spark, stateDir,
-              next.values.flatten.toSet + newVersion)
+            BucketState.gcVersions(spark, stateDir)
           } finally BucketState.releaseVersion(stateDir, newVersion)
       }
     } finally {
@@ -1303,8 +1302,7 @@ object CdcStream {
           commitManifest(spark, stateDir, merged, mNow.fp)
           merged
         }
-        BucketState.gcVersions(spark, stateDir,
-          next.values.flatten.toSet + newVersion)
+        BucketState.gcVersions(spark, stateDir)
       } finally resolved.unpersist()
     } finally BucketState.releaseVersion(stateDir, newVersion)
   }

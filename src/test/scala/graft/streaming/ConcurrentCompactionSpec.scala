@@ -92,13 +92,37 @@ class ConcurrentCompactionSpec extends AnyFunSuite {
     // a staged-but-uncommitted dir survives a concurrent GC…
     val staged = new java.io.File(s"$base/state/v=$a/p=0")
     assert(staged.mkdirs())
-    BucketState.gcVersions(spark, s"$base/state", live = Set.empty)
+    BucketState.gcVersions(spark, s"$base/state")
     assert(staged.exists())
     // …and is collectable once its writer releases it
     BucketState.releaseVersion(s"$base/state", a)
     BucketState.releaseVersion(s"$base/state", b)
-    BucketState.gcVersions(spark, s"$base/state", live = Set.empty)
+    BucketState.gcVersions(spark, s"$base/state")
     assert(!staged.exists())
+  }
+
+  test("GC liveness is a fresh locked manifest read: a version committed+released by a concurrent writer survives") {
+    val base = Files.createTempDirectory("graft-cc-gcfresh").toString
+    val dir = s"$base/state"
+    // writer A commits v=1 and is about to GC
+    assert(new java.io.File(s"$dir/v=1/p=0").mkdirs())
+    BucketState.commitManifest(spark, dir, Map(0L -> Set(1L)), None)
+    // concurrent writer B (a background compaction) reserves v=2, stages
+    // it, commits it into the manifest, and RELEASES its in-flight
+    // registration — all before A's GC runs. Under a caller-supplied
+    // live-set API, A's stale set {1} would now delete B's committed dir.
+    val v2 = BucketState.reserveVersion(dir, 2)
+    assert(new java.io.File(s"$dir/v=$v2/p=0").mkdirs())
+    BucketState.manifestLock(dir).synchronized {
+      BucketState.commitManifest(spark, dir, Map(0L -> Set(1L, v2)), None)
+    }
+    BucketState.releaseVersion(dir, v2)
+    BucketState.gcVersions(spark, dir)
+    assert(diskVersions(base) === Set(1L, v2)) // B's dir spared
+    // an unreferenced, unreserved dir is still collected
+    assert(new java.io.File(s"$dir/v=9/p=0").mkdirs())
+    BucketState.gcVersions(spark, dir)
+    assert(diskVersions(base) === Set(1L, v2))
   }
 
   test("stress: applies racing real background compactions converge to the serial result") {

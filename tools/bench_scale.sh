@@ -2,11 +2,35 @@
 # Scale-subset bench: the dedup / ANN / decontaminate / CDC scale-path
 # families only (the queries whose cost is corpus-shaped, not fixed).
 # Usage: tools/bench_scale.sh <sfDir> <outJson> [runs]
+#
+# Hardened after three rounds of invalid sf10 artifacts:
+#  - the stale spark.local.dir is wiped BEFORE the run (the r9 failure
+#    was 60 GB of accumulated spill from prior runs starving the box to
+#    <20 GB free — the SparkContext died on a full disk and every query
+#    "finished" in ~7 ms);
+#  - the run writes to a temp file and only moves it into place when
+#    graft.Bench exits 0 (Bench now exits 1 when any query failed or the
+#    SparkContext died) — a failed run can no longer leave a
+#    success-shaped artifact behind;
+#  - a free-disk preflight refuses to start a run that would die the
+#    same way.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 sf=${1:?usage: bench_scale.sh <sfDir> <outJson> [runs]}
 out=${2:?usage: bench_scale.sh <sfDir> <outJson> [runs]}
 runs=${3:-3}
+
+LOCAL_DIR=${SPARK_LOCAL_DIR_OVERRIDE:-/tmp/spark-bench-local}
+rm -rf "$LOCAL_DIR"
+mkdir -p "$LOCAL_DIR"
+
+# sf10 peaks ~45 GB of shuffle/spill on this subset; demand headroom.
+MIN_FREE_GB=${MIN_FREE_GB:-55}
+free_gb=$(df -BG --output=avail "$LOCAL_DIR" | tail -1 | tr -dc '0-9')
+if [ "$free_gb" -lt "$MIN_FREE_GB" ]; then
+  echo "refusing to run: ${free_gb} GB free under $LOCAL_DIR, need >= ${MIN_FREE_GB} GB" >&2
+  exit 2
+fi
 
 # Overridable (SUBSET env): at sf10-equivalent volume on this box the
 # exact-overlap shared index (overlap_pairs: dedup_ngram_jaccard /
@@ -23,10 +47,19 @@ ADD_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
   printf -- "--add-opens java.base/%s=ALL-UNNAMED " "$p"
 done)
 
-SPARK_GRAFT_SF_DIR=$sf SPARK_GRAFT_CPUS=32 \
-SPARK_GRAFT_BENCH_ONLY="$SUBSET" SPARK_GRAFT_BENCH_RUNS=$runs \
-java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false \
-  -Dspark.local.dir=/tmp/spark-bench-local \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
-  | grep '"metric"' > "$out"
-echo "wrote $out"
+tmp=$(mktemp)
+trap 'rm -f "$tmp"; rm -rf "$LOCAL_DIR"' EXIT
+if SPARK_GRAFT_SF_DIR=$sf SPARK_GRAFT_CPUS=32 \
+   SPARK_GRAFT_BENCH_ONLY="$SUBSET" SPARK_GRAFT_BENCH_RUNS=$runs \
+   java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false \
+     -Dspark.local.dir="$LOCAL_DIR" \
+     -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
+     | grep '"metric"' > "$tmp"
+then
+  mv "$tmp" "$out"
+  trap 'rm -rf "$LOCAL_DIR"' EXIT
+  echo "wrote $out"
+else
+  echo "bench FAILED (exit nonzero) — no artifact written to $out" >&2
+  exit 1
+fi
