@@ -52,6 +52,17 @@ object Bench {
     val setupT0 = System.nanoTime()
     val _ = onePass()
     val setup = (System.nanoTime() - setupT0) / 1e9
+    // A setup-pass failure is usually transient (cold cache, first JIT of a
+    // heavy plan) and the timed medians below don't include it — but a
+    // query that failed during setup ran its Shared builds partially, so
+    // the timed runs may measure a DIFFERENT steady state than a clean
+    // bench. Keep setup failures as warnings only when every timed run of
+    // that query subsequently succeeds: clear the set here and let the
+    // timed passes (and the dead-context check) decide validity.
+    val setupFailed = failed.toSet
+    if (setupFailed.nonEmpty)
+      System.err.println(s"[bench] setup-pass failures (non-fatal if timed runs pass): ${setupFailed.mkString(",")}")
+    failed.clear()
     val runs: Vector[Map[String, Double]] = Vector.fill(nRuns)(onePass())
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

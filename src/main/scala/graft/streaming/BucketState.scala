@@ -298,20 +298,38 @@ private[graft] object BucketState {
     * in-flight registration in the window between the caller's own
     * commit and this GC would have its manifest-referenced dir in
     * neither the caller's (stale) live set nor the in-flight registry,
-    * and the GC would delete committed data. Holding the lock across the
-    * read AND the deletes means no commit can land mid-GC either.
+    * and the GC would delete committed data.
     * In-flight (reserved, not yet committed) versions are still spared —
     * a concurrent writer's staged dir is invisible to the manifest but
     * must survive until its own commit or abandonment.
+    *
+    * Only the SNAPSHOT (manifest read + dir listing) holds the lock; the
+    * recursive deletes run outside it, so a concurrent locked commit (the
+    * LSM apply path, compactLsm) never waits behind filesystem deletes —
+    * on an object store with many dead version dirs that wait would land
+    * directly on the sub-second commit latency the LSM path exists for.
+    * Deleting outside the lock is safe because doomed-ness is stable: a
+    * version dead at snapshot time (absent from the manifest AND the
+    * in-flight registry) can never become live again — [[reserveVersion]]
+    * hands out monotonically-increasing, never-reused numbers and every
+    * writer registers its version in-flight BEFORE staging a byte, so no
+    * later commit can reference a number that was already dead.
+    * Unlocked commit paths (`runPartitioned`, `IncrementalDedup`,
+    * [[compact]]) are protected not by this lock but by their documented
+    * single-writer contract: they never run concurrently with anything
+    * that could GC their dirs.
     */
-  def gcVersions(spark: SparkSession, stateDir: String): Unit =
-    manifestLock(stateDir).synchronized {
+  def gcVersions(spark: SparkSession, stateDir: String): Unit = {
+    val doomed = manifestLock(stateDir).synchronized {
       val live = readManifest(spark, stateDir).buckets.values.flatten.toSet
       val keep = live ++ inFlightVersions(stateDir)
       val fs = hadoopFs(spark, stateDir)
       fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
         .filterNot(s => keep.contains(s.getPath.getName.stripPrefix("v=").toLong))
-        .foreach(s => fs.delete(s.getPath, true))
+        .map(_.getPath)
     }
+    val fs = hadoopFs(spark, stateDir)
+    doomed.foreach(p => fs.delete(p, true))
+  }
 }

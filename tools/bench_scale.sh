@@ -24,8 +24,18 @@ LOCAL_DIR=${SPARK_LOCAL_DIR_OVERRIDE:-/tmp/spark-bench-local}
 rm -rf "$LOCAL_DIR"
 mkdir -p "$LOCAL_DIR"
 
-# sf10 peaks ~45 GB of shuffle/spill on this subset; demand headroom.
-MIN_FREE_GB=${MIN_FREE_GB:-55}
+# sf10 peaks ~45 GB of shuffle/spill on this subset; demand headroom —
+# but only at the decades that need it. An unconditional 55 GB floor
+# refused perfectly-feasible sf0.1/sf1 runs on a 30 GB-free box, so the
+# default scales with the target dir's on-disk size (spill has measured
+# ~5-8x the input at the worst sf10 queries; 10x + 5 GB slack is the
+# honest envelope). MIN_FREE_GB still overrides.
+if [ -z "${MIN_FREE_GB:-}" ]; then
+  sf_gb=$(du -sBG "$sf" 2>/dev/null | awk '{print $1}' | tr -dc '0-9')
+  sf_gb=${sf_gb:-1}
+  MIN_FREE_GB=$(( sf_gb * 10 + 5 ))
+  [ "$MIN_FREE_GB" -gt 55 ] && MIN_FREE_GB=55
+fi
 free_gb=$(df -BG --output=avail "$LOCAL_DIR" | tail -1 | tr -dc '0-9')
 if [ "$free_gb" -lt "$MIN_FREE_GB" ]; then
   echo "refusing to run: ${free_gb} GB free under $LOCAL_DIR, need >= ${MIN_FREE_GB} GB" >&2
