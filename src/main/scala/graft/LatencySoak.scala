@@ -100,6 +100,11 @@ object LatencySoak {
     // ---- consumer: the production micro-batch path at a fixed trigger;
     // latency recorded AFTER the merge returns (manifest committed ⇒
     // replica-visible)
+    // single background thread: probe jobs run in submission order, off
+    // the trigger-serial path (see the foreachBatch comment)
+    val probePool = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "latency-probe"); t.setDaemon(true); t
+    })
     val latencies = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
     val commitCosts = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
     val steady = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
@@ -137,14 +142,24 @@ object LatencySoak {
               cdc.CdcSchema.invoiceSpec, async = true)
           }
         }
-        // stamps read AFTER the commit window so the latency probe does
-        // not sit inside the measured commit cost (ts_ms values are
-        // batch-constant facts; commit − stamp is unaffected)
-        val stamps = batch.select(col("ts_ms")).collect().map(_.getLong(0))
-        stamps.foreach(s => latencies.add(commit - s))
-        if (batchId >= 2) stamps.foreach(s => steady.add(commit - s))
-        commitCosts.add(commit - t0)
-        done.addAndGet(stamps.length.toLong)
+        // The probe's stamp collect is measurement harness, not engine —
+        // but run serially here it would still DELAY THE NEXT TRIGGER
+        // (it re-parses the batch's JSON: a full Spark job, ~100-300 ms),
+        // inflating every later event's queueing latency and so the very
+        // steady-state p50 it exists to measure. Defer it to a background
+        // thread: `commit` (the replica-visible instant) is already
+        // captured, commit − stamp is unaffected by when the subtraction
+        // happens, and the file source's batch plan stays readable after
+        // the epoch advances (the source never deletes input files). The
+        // drain loop below waits on `done`, which the deferred probe
+        // advances.
+        probePool.execute(() => {
+          val stamps = batch.select(col("ts_ms")).collect().map(_.getLong(0))
+          stamps.foreach(s => latencies.add(commit - s))
+          if (batchId >= 2) stamps.foreach(s => steady.add(commit - s))
+          commitCosts.add(commit - t0)
+          done.addAndGet(stamps.length.toLong)
+        })
         ()
       }
       .start()

@@ -975,9 +975,22 @@ object CdcStream {
       }
     }
 
-  /** One LSM micro-batch: audit (concurrent) + ONE stats action + the
-    * raw-log segment write (map-only — resolution is read-side) +
-    * manifest append-commit. No state read in the hot path at all.
+  /** One LSM micro-batch: audit + stats + the raw-log segment write all
+    * CONCURRENT (three driver threads, three Spark jobs over the same
+    * cached batch), then manifest append-commit. No state read in the hot
+    * path at all.
+    *
+    * The stats action (fingerprint + touched buckets) does not gate the
+    * segment write: the staging version only needs to be strictly above
+    * everything the manifest references (`bucketMax+1`/`batchId+1`, no
+    * fingerprint required), and the replay/stale-checkpoint decision
+    * ([[BucketState.checkBatch]]) only gates the COMMIT. So the write is
+    * staged optimistically in parallel with the stats pass; on the rare
+    * replay of an already-committed batch the staged dir is simply
+    * abandoned (released from in-flight, GC'd like a crash orphan) — the
+    * common path saves a full serialized Spark-job round-trip, which at
+    * micro-batch cadence is pure commit latency (LatencySoak measures it,
+    * SPARK_GRAFT_COMMIT_TRACE=1 itemizes it).
     */
   private[graft] def applyLsmBatch(rawBatch: DataFrame, batchId: Long,
                                    auditDir: String, stateDir: String,
@@ -988,6 +1001,15 @@ object CdcStream {
     import scala.concurrent.ExecutionContext.Implicits.global
     val spark = rawBatch.sparkSession
     val bucketOf = bucketFn(nBuckets) _
+    val trace = sys.env.contains("SPARK_GRAFT_COMMIT_TRACE")
+    def tr[T](tag: String)(f: => T): T =
+      if (!trace) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[commit-trace] b$batchId lsm-$tag ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        r
+      }
     val batch = rawBatch.persist()
     val auditF = Future { writeAudit(batch, auditDir, batchId) }
     try {
@@ -995,70 +1017,90 @@ object CdcStream {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       val keyType = imageType(spec.key).dataType
       val statCols = batch.columns.sorted.map(c => s"`$c`").mkString(", ")
-      val statRow = batch.select(
-          expr(s"xxhash64(struct($statCols))").as("h"),
-          bucketOf(
-            coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}")),
-            keyType).as("p"))
-        .agg(coalesce(bit_xor(col("h")), lit(0L)), count(lit(1)),
-          collect_set(col("p")))
-        .collect()(0)
-      val batchFp = statRow.getLong(0) ^
-        java.lang.Long.rotateLeft(statRow.getLong(1), 32)
-      val touched = statRow.getSeq[Long](2).toSet + -1L
+      val statF = Future {
+        batch.select(
+            expr(s"xxhash64(struct($statCols))").as("h"),
+            bucketOf(
+              coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}")),
+              keyType).as("p"))
+          .agg(coalesce(bit_xor(col("h")), lit(0L)), count(lit(1)))
+          .collect()(0)
+      }
 
       val m = readManifest(spark, stateDir)
-      BucketState.checkBatch(m, batchId, batchFp) match {
-        case BucketState.AlreadyCommitted =>
-          Await.result(auditF, Duration.Inf)
-          BucketState.gcVersions(spark, stateDir)
-        case BucketState.Proceed(proposed) =>
-          // the RAW per-event rows — the segment IS the log. No in-batch
-          // fold at all: resolution (max-pos winner, horizon filter)
-          // happens once, at read/compaction time, so the commit is a
-          // map-only bucket-partitioned write AND every mid-batch
-          // position stays answerable by the as-of read (a net-effect
-          // write would fold in-batch history away at append time —
-          // batch-granular time travel only). Truncates project to the
-          // key-null horizon-row shape directly; the key gate keeps a
-          // hand-built keyless non-truncate event from poisoning the
-          // horizon (same guard as mergeBatch's ingress).
-          // Version reserved (not manifest-derived): unique vs a
-          // concurrent background compaction, and in-flight-registered
-          // so the compaction's GC spares the staged dir.
-          val newVersion = BucketState.reserveVersion(stateDir, proposed)
-          try {
-            batch
-              .filter(
-                coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}"))
-                  .isNotNull ||
-                  (col("before").isNull && col("after").isNull))
-              .select(
-                coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}"))
-                  .as("key"),
-                col("pos"), col("after"))
-              .withColumn("p",
-                when(col("key").isNull, lit(-1L))
-                  .otherwise(bucketOf(col("key"), keyType)))
-              .repartition(touched.size, col("p"))
-              .write.mode("overwrite").partitionBy("p")
-              .parquet(s"$stateDir/v=$newVersion")
-            val outBuckets = listBuckets(spark, s"$stateDir/v=$newVersion")
+      // Physical staging version: strictly above every referenced dir and
+      // at least the logical batch version — same value checkBatch's
+      // Proceed would carry, derivable before the fingerprint exists.
+      val proposed = math.max(
+        m.buckets.values.flatten.reduceOption(_ max _).getOrElse(0L) + 1,
+        batchId + 1)
+      // Version reserved (not manifest-derived): unique vs a concurrent
+      // background compaction, and in-flight-registered so the
+      // compaction's GC spares the staged dir while it is being written.
+      val newVersion = BucketState.reserveVersion(stateDir, proposed)
+      var committed = false
+      try {
+        // the RAW per-event rows — the segment IS the log. No in-batch
+        // fold at all: resolution (max-pos winner, horizon filter)
+        // happens once, at read/compaction time, so the commit is a
+        // map-only bucket-partitioned write AND every mid-batch
+        // position stays answerable by the as-of read (a net-effect
+        // write would fold in-batch history away at append time —
+        // batch-granular time travel only). Truncates project to the
+        // key-null horizon-row shape directly; the key gate keeps a
+        // hand-built keyless non-truncate event from poisoning the
+        // horizon (same guard as mergeBatch's ingress).
+        // repartition(nBuckets): the touched-bucket count isn't known yet
+        // (the stats job is still running); at LSM bucket counts (≤64)
+        // the empty shuffle partitions cost scheduling-only, and the
+        // parquet writer emits no dir for them.
+        tr("segment_write")(batch
+          .filter(
+            coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}"))
+              .isNotNull ||
+              (col("before").isNull && col("after").isNull))
+          .select(
+            coalesce(col(s"after.${spec.key}"), col(s"before.${spec.key}"))
+              .as("key"),
+            col("pos"), col("after"))
+          .withColumn("p",
+            when(col("key").isNull, lit(-1L))
+              .otherwise(bucketOf(col("key"), keyType)))
+          .repartition(nBuckets, col("p"))
+          .write.mode("overwrite").partitionBy("p")
+          .parquet(s"$stateDir/v=$newVersion"))
+        val statRow = tr("stats_await")(Await.result(statF, Duration.Inf))
+        val batchFp = statRow.getLong(0) ^
+          java.lang.Long.rotateLeft(statRow.getLong(1), 32)
+        BucketState.checkBatch(m, batchId, batchFp) match {
+          case BucketState.AlreadyCommitted =>
+            // Replay of a committed batch: the optimistically staged dir
+            // is surplus — fall through to the finally, which releases
+            // the in-flight registration so the GC below removes it.
             Await.result(auditF, Duration.Inf)
+          case BucketState.Proceed(_) =>
+            val outBuckets =
+              tr("list_buckets")(listBuckets(spark, s"$stateDir/v=$newVersion"))
+            tr("audit_await")(Await.result(auditF, Duration.Inf))
             // Commit under the manifest lock against a FRESH read: a
             // background compaction may have swapped segment sets since
             // this batch's check read — folding the stale snapshot in
             // here would resurrect compacted-away segments.
-            val next = BucketState.manifestLock(stateDir).synchronized {
+            tr("manifest_commit")(BucketState.manifestLock(stateDir).synchronized {
               val mNow = readManifest(spark, stateDir)
               val merged = outBuckets.foldLeft(mNow.buckets)((acc, b) =>
                 acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + newVersion))
               commitManifest(spark, stateDir, merged, Some((batchId + 1) -> batchFp))
-              merged
-            }
-            BucketState.gcVersions(spark, stateDir)
-          } finally BucketState.releaseVersion(stateDir, newVersion)
-      }
+            })
+            committed = true
+        }
+      } finally BucketState.releaseVersion(stateDir, newVersion)
+      // GC after release: on the commit path the new dir is manifest-
+      // referenced (live); on the abandon path it is now unreferenced and
+      // unregistered, so this sweep removes it like any crash orphan.
+      tr("gc")(BucketState.gcVersions(spark, stateDir))
+      if (!committed && trace)
+        System.err.println(s"[commit-trace] b$batchId lsm-abandoned v=$newVersion")
     } finally {
       Await.ready(auditF, Duration.Inf)
       batch.unpersist()
