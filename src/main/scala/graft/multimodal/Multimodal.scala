@@ -124,6 +124,132 @@ object Multimodal {
       })
   }
 
+  // ---- real-kernel path: image container headers --------------------
+
+  /** Minimal REAL format-conformant header bytes, built per row to give
+    * [[ImageHeader]] a mixed-format corpus. These are genuine container
+    * layouts (the spec cross-validates the parser against images written
+    * by `javax.imageio` itself); payload/CRC bytes are zeroed where the
+    * format tolerates it because header extraction never reads them.
+    */
+  private[multimodal] object BlobBuilders {
+    private def be16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    private def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    private def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, (v >>> 24).toByte)
+
+    /** PNG signature + IHDR (colour type 6 = RGBA ⇒ 4 components). */
+    def png(w: Int, h: Int): Array[Byte] =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+        be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+        Array[Byte](8, 6, 0, 0, 0) ++ be32(0) // bit depth, colour, ..., CRC
+
+    /** GIF89a logical screen descriptor. */
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++
+        Array[Byte](0, 0, 0)
+
+    /** BMP file header + BITMAPINFOHEADER. */
+    def bmp(w: Int, h: Int): Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ le32(54) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        Array.fill[Byte](24)(0)
+
+    /** JPEG: SOI, APP1 carrying a little-endian EXIF orientation IFD,
+      * then a baseline SOF0 (3 components) and EOI.
+      */
+    def jpegWithExif(w: Int, h: Int, orientation: Int): Array[Byte] = {
+      val tiff =
+        "II".getBytes("US-ASCII") ++ le16(42) ++ le32(8) ++ // header, IFD0 @8
+          le16(1) ++ // one entry
+          le16(0x0112) ++ le16(3) ++ le32(1) ++ le16(orientation) ++ le16(0) ++
+          le32(0) // next-IFD terminator
+      val exifPayload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      val app1 = Array(0xFF, 0xE1).map(_.toByte) ++
+        be16(exifPayload.length + 2) ++ exifPayload
+      val sofPayload = Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](3) ++
+        Array[Byte](1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+      val sof0 = Array(0xFF, 0xC0).map(_.toByte) ++
+        be16(sofPayload.length + 2) ++ sofPayload
+      Array(0xFF, 0xD8).map(_.toByte) ++ app1 ++ sof0 ++
+        Array(0xFF, 0xD9).map(_.toByte)
+    }
+  }
+
+  /** One row of parsed header facts per blob. */
+  final case class HeaderRow(doc_id: Long, format: String, width: Int,
+                             height: Int, components: Int, orientation: Int,
+                             n_bytes: Int)
+
+  /** Header extraction over a mixed-format blob corpus — the REAL kernel
+    * (magic-byte classification + container-header field reads +
+    * EXIF-orientation walk, [[ImageHeader]]), in the same batched
+    * `mapPartitions` shape as the decode stub. The corpus derives
+    * deterministic real header bytes from each doc's metadata (4 image
+    * formats + raw text bytes as the non-image class), so the query is
+    * FULLY oracled: DuckDB recomputes the expected fields arithmetically
+    * and a hash mismatch convicts any misread header byte — a
+    * round-trip gate on the parser, with `ImageHeaderSpec` supplying the
+    * independent ground truth (javax.imageio-written images + golden
+    * EXIF arrays).
+    */
+  def multimodalImageHeaders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.grouped(64).flatMap { batch =>
+        val blobs = batch.map { case (id, text, nChars) =>
+          val w = 1 + (nChars % 1000).toInt
+          val h = 1 + (id % 800).toInt
+          val bytes = (id % 5) match {
+            case 0 => BlobBuilders.png(w, h)
+            case 1 => BlobBuilders.gif(w, h)
+            case 2 => BlobBuilders.bmp(w, h)
+            case 3 => BlobBuilders.jpegWithExif(w, h, 1 + (id % 8).toInt)
+            case _ =>
+              // 0x00 sentinel: no container magic starts with a NUL, so
+              // the non-image class can never collide with one (raw text
+              // CAN legitimately start with "BM" or "GIF8" — that's a
+              // true-positive for the classifier, but this query's
+              // oracle needs the class to be deterministic by doc_id)
+              (0: Byte) +: text.getBytes("UTF-8")
+          }
+          id -> bytes
+        }
+        ImageHeader.parseBatch(blobs).map { case (id, info, nBytes) =>
+          HeaderRow(id, info.format, info.width, info.height,
+            info.components, info.orientation, nBytes)
+        }
+      })
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle recomputes every parsed field arithmetically from the
+    * same (doc_id, n_chars) the builders used — plus the byte count each
+    * builder emits: png 33, gif 13, bmp 54 header bytes, jpeg 59
+    * (2 SOI + 36 APP1 + 19 SOF0 + 2 EOI).
+    */
+  private val multimodalImageHeadersSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |    WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'unknown' END AS format,
+      |  CASE WHEN doc_id % 5 <= 3 THEN CAST(1 + n_chars % 1000 AS INT)
+      |    ELSE -1 END AS width,
+      |  CASE WHEN doc_id % 5 <= 3 THEN CAST(1 + doc_id % 800 AS INT)
+      |    ELSE -1 END AS height,
+      |  CASE doc_id % 5 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 3
+      |    WHEN 3 THEN 3 ELSE -1 END AS components,
+      |  CASE WHEN doc_id % 5 = 3 THEN CAST(1 + doc_id % 8 AS INT)
+      |    ELSE -1 END AS orientation,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 54
+      |    WHEN 3 THEN 59 ELSE octet_length(CAST(text AS BLOB)) + 1 END AS INT)
+      |    AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private type Q = (SparkSession, String) => DataFrame
 
   /** Blob-level stats computed without decoding — the metadata-only path
@@ -190,9 +316,11 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "multimodal_blob_stats" -> (multimodalBlobStats _),
     "multimodal_decode_stub" -> (multimodalDecodeStub _),
+    "multimodal_image_headers" -> (multimodalImageHeaders _),
     "multimodal_pack_shards" -> (multimodalPackShards _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_blob_stats" -> multimodalBlobStatsSql,
+    "multimodal_image_headers" -> multimodalImageHeadersSql,
     "multimodal_pack_shards" -> multimodalPackShardsSql)
 }
