@@ -232,9 +232,36 @@ object Dedup {
       .filter(col("jaccard") >= 0.8 || col("c_lo") >= 0.9 || col("c_hi") >= 0.9)
   }
 
+  /** Cold-join ROW BUDGET for the adaptive df split. The cold
+    * co-occurrence join's pre-agg output is bounded by
+    * `hotDf · |shingle occurrences|`; with the fixed [[HotDf]] = 256 that
+    * bound grows linearly with the corpus carrying a ×256 constant — the
+    * measured ~60 GB of shuffle spill that killed the sf10 runs (r8/r9).
+    * Production now derives the split from ONE count over the shared
+    * shingle index: `hotDf = clamp(MinHotDf, HotDf, budget/|occ|)`, so
+    * the cold join's worst-case volume stays ~flat across scale decades
+    * while small corpora keep the plain ≤256 behavior unchanged. Lowering
+    * the split moves work, not answers: more shingles become "hot", which
+    * grows the per-doc hot-set intersections and the output-bound rescue
+    * join — both linear paths — and the result is IDENTICAL for ANY
+    * split (the parity spec pins four split points on both branches).
+    * 2e9 rows ≈ 10-30 GB of join-shuffle at the observed bytes/row —
+    * sized to fit the scale harness's disk preflight with headroom.
+    */
+  val ColdJoinRowBudget = 2000000000L
+  val MinHotDf = 16L
+
+  private[operators] def adaptiveHotDf(occurrences: Long): Long =
+    math.max(MinHotDf,
+      math.min(HotDf, ColdJoinRowBudget / math.max(1L, occurrences)))
+
   private def overlapPairs(s: SparkSession, dir: String): DataFrame =
-    graft.Shared.materialize(s, dir, "overlap_pairs")(
-      overlapPairsPlan(s, dir, HotDf))
+    graft.Shared.materialize(s, dir, "overlap_pairs") {
+      // one count over the (already shared/materialized) shingle index;
+      // amortized across the whole overlap family like the build itself
+      val occ = docShingles(s, dir).count()
+      overlapPairsPlan(s, dir, adaptiveHotDf(occ))
+    }
 
   /** Unordered jaccard ≥ 0.8 pair set — a cheap filter over the shared
     * [[overlapPairs]] frame, consumed by `dedup_ngram_jaccard` and

@@ -72,53 +72,72 @@ object IncrementalDedup {
       val (batchFp, touched) = BucketState.inputFingerprintAndBuckets(
         batchFps, bucketOf(col("fp"), nBuckets))
 
-      val m = BucketState.readManifest(spark, indexDir)
-      // Stale-sequence + committed-replay guards shared with the CDC
-      // replica (BucketState.checkBatch): a committed replay is durable —
-      // survivors were staged before the commit rename — but only if the
-      // recorded input fingerprint proves this really is the same batch.
-      BucketState.checkBatch(m, batchId, batchFp) match {
-        case BucketState.AlreadyCommitted =>
-          BucketState.gcVersions(spark, indexDir)
-        case BucketState.Proceed(physicalVersion) =>
-        val prev = BucketState.readBuckets(spark, indexDir,
-          m.buckets.view.filterKeys(touched).toMap,
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            survivorSchema.add("p", LongType)))
+      // Leased manifest read + locked fresh-read commit: the concurrent-
+      // writer protocol (applyLsmBatch pattern) that makes a BACKGROUND
+      // compactConcurrent safe. The lease pins every referenced version
+      // dir against the compaction's GC while the anti-join below is
+      // still scanning it; the locked commit merges this batch's segment
+      // into the manifest AS IT IS at commit time, so a swap that landed
+      // mid-ingest is preserved rather than clobbered.
+      val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
+      try {
+        // Stale-sequence + committed-replay guards shared with the CDC
+        // replica (BucketState.checkBatch): a committed replay is durable —
+        // survivors were staged before the commit rename — but only if the
+        // recorded input fingerprint proves this really is the same batch.
+        BucketState.checkBatch(m, batchId, batchFp) match {
+          case BucketState.AlreadyCommitted => ()
+          case BucketState.Proceed(proposed) =>
+            val physicalVersion = BucketState.reserveVersion(indexDir, proposed)
+            try {
+              val prev = BucketState.readBuckets(spark, indexDir,
+                m.buckets.view.filterKeys(touched).toMap,
+                spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  survivorSchema.add("p", LongType)))
 
-        val survivors = batchFps
-          .join(prev.select(col("fp")), Seq("fp"), "left_anti")
-          .persist()
+              val survivors = batchFps
+                .join(prev.select(col("fp")), Seq("fp"), "left_anti")
+                .persist()
 
-        // stage survivors FIRST (they are part of the batch's durable
-        // effect), then the batch's index SEGMENT, then commit; natural
-        // partitioning — a single-task coalesce would bottleneck at real
-        // batch sizes. Both writes come off the SAME persisted frame —
-        // re-reading the staged parquet to build the segment was a whole
-        // extra scan per batch, and the manifest rename below is still
-        // the only commit point, so crash consistency is unchanged.
-        survivors.write.mode("overwrite").parquet(survivorsDir)
-        // append-only LSM segment: the new version dir holds ONLY this
-        // batch's survivors — prior segments are never rewritten, so the
-        // bytes written per batch are O(batch), not O(touched state).
-        // (The first formulation rewrote prev ∪ survivors per touched
-        // bucket; at K batches that is quadratic total writes — measured
-        // by graft.IngestSoak before the fix.) Read amplification grows
-        // one segment per batch until BucketState.compact folds them.
-        survivors
-          .withColumn("p", bucketOf(col("fp"), nBuckets))
-          .repartition(col("p"))
-          .write.mode("overwrite").partitionBy("p")
-          .parquet(s"$indexDir/v=$physicalVersion")
-        survivors.unpersist()
+              // stage survivors FIRST (they are part of the batch's durable
+              // effect), then the batch's index SEGMENT, then commit; natural
+              // partitioning — a single-task coalesce would bottleneck at real
+              // batch sizes. Both writes come off the SAME persisted frame —
+              // re-reading the staged parquet to build the segment was a whole
+              // extra scan per batch, and the manifest rename below is still
+              // the only commit point, so crash consistency is unchanged.
+              survivors.write.mode("overwrite").parquet(survivorsDir)
+              // append-only LSM segment: the new version dir holds ONLY this
+              // batch's survivors — prior segments are never rewritten, so the
+              // bytes written per batch are O(batch), not O(touched state).
+              // (The first formulation rewrote prev ∪ survivors per touched
+              // bucket; at K batches that is quadratic total writes — measured
+              // by graft.IngestSoak before the fix.) Read amplification grows
+              // one segment per batch until a compaction folds them.
+              survivors
+                .withColumn("p", bucketOf(col("fp"), nBuckets))
+                .repartition(col("p"))
+                .write.mode("overwrite").partitionBy("p")
+                .parquet(s"$indexDir/v=$physicalVersion")
+              survivors.unpersist()
 
-        val outBuckets = BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
-        val next = outBuckets.foldLeft(m.buckets)((acc, b) =>
-          acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + physicalVersion))
-        BucketState.commitManifest(spark, indexDir, next,
-          Some(newVersion -> batchFp))
-        BucketState.gcVersions(spark, indexDir)
-      }
+              val outBuckets =
+                BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
+              BucketState.manifestLock(indexDir).synchronized {
+                val mNow = BucketState.readManifest(spark, indexDir)
+                val next = outBuckets.foldLeft(mNow.buckets)((acc, b) =>
+                  acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + physicalVersion))
+                BucketState.commitManifest(spark, indexDir, next,
+                  Some(newVersion -> batchFp))
+              }
+            } finally BucketState.releaseVersion(indexDir, physicalVersion)
+        }
+      } finally BucketState.releaseReads(lease)
+      // GC AFTER the lease release (reads are done): this batch's own
+      // lease would otherwise spare every dir a mid-ingest background
+      // fold superseded — and since no later GC is guaranteed to run,
+      // the folded dirs would leak on disk past the last batch.
+      BucketState.gcVersions(spark, indexDir)
     } finally batchFps.unpersist()
     spark.read.schema(survivorSchema).parquet(survivorsDir)
   }
@@ -149,10 +168,18 @@ object IncrementalDedup {
     * `onBatch` (batchId, maxSegmentsPerBucket-after-ingest) is a probe
     * hook for soaks/specs; default no-op.
     */
+  /** `asyncCompaction = true` dispatches the due fold to a background
+    * thread ([[BucketState.maybeCompactConcurrent]]) instead of running
+    * it from the stream's thread — ingest commits keep landing O(batch)
+    * while the index folds, made safe by the locked leased-read commit
+    * protocol [[ingest]] now uses (the CDC LSM contract, carried over).
+    * Default stays synchronous: deterministic segment counts for specs.
+    */
   def runIngest(docs: DataFrame, indexDir: String, checkpointDir: String,
                 compactEvery: Int = 0, compactWhenSegments: Int = 0,
                 nBuckets: Int = 64,
-                onBatch: (Long, Int) => Unit = (_, _) => ())
+                onBatch: (Long, Int) => Unit = (_, _) => (),
+                asyncCompaction: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery == 0 || compactWhenSegments == 0,
       "set at most one compaction policy: compactEvery (cadence) or " +
@@ -170,7 +197,8 @@ object IncrementalDedup {
         val due =
           (compactEvery > 0 && (batchId + 1) % compactEvery == 0) ||
             (compactWhenSegments > 0 && maxSegs >= compactWhenSegments)
-        if (due) BucketState.compact(spark, indexDir)
+        if (due)
+          BucketState.maybeCompactConcurrent(spark, indexDir, asyncCompaction)
         ()
       }
       .start()

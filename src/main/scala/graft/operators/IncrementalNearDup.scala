@@ -119,50 +119,106 @@ object IncrementalNearDup {
       val (batchFp, touched) = BucketState.inputFingerprintAndBuckets(
         bands.select(col("band"), col("bh"), col("doc_id")),
         bucketOf(nBuckets))
-      val m = BucketState.readManifest(spark, indexDir)
-      BucketState.checkBatch(m, batchId, batchFp) match {
-        case BucketState.AlreadyCommitted =>
-          BucketState.gcVersions(spark, indexDir)
-        case BucketState.Proceed(physicalVersion) =>
-          val prev = BucketState.readBuckets(spark, indexDir,
-            m.buckets.view.filterKeys(touched).toMap,
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              bandSchema.add("p", LongType)))
-          // rejected: near-dup of a SMALLER seen doc ...
-          val vsSeen = bands.as("b").join(prev.as("i"),
-              col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
-                col("i.doc_id") < col("b.doc_id"))
-            .filter(nearDup(col("b.sig"), col("i.sig")))
-            .select(col("b.doc_id").as("doc_id"))
-          // ... or of a smaller doc in the SAME batch (regardless of that
-          // doc's own fate — the contract compares against seen, not
-          // against admitted)
-          val vsBatch = bands.as("x").join(bands.as("y"),
-              col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-                col("y.doc_id") < col("x.doc_id"))
-            .filter(nearDup(col("x.sig"), col("y.sig")))
-            .select(col("x.doc_id").as("doc_id"))
-          val admitted = bands.select(col("doc_id")).distinct()
-            .join(vsSeen.unionByName(vsBatch).distinct(), Seq("doc_id"), "left_anti")
+      // Leased read + locked fresh-read commit: the concurrent-writer
+      // protocol that lets a background compactConcurrent fold this
+      // index while drops keep ingesting (see IncrementalDedup.ingest —
+      // identical argument: the lease pins the dirs the vsSeen join
+      // scans, the locked merge preserves a mid-ingest swap).
+      val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
+      try {
+        BucketState.checkBatch(m, batchId, batchFp) match {
+          case BucketState.AlreadyCommitted => ()
+          case BucketState.Proceed(proposed) =>
+            val physicalVersion = BucketState.reserveVersion(indexDir, proposed)
+            try {
+              val prev = BucketState.readBuckets(spark, indexDir,
+                m.buckets.view.filterKeys(touched).toMap,
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  bandSchema.add("p", LongType)))
+              // rejected: near-dup of a SMALLER seen doc ...
+              val vsSeen = bands.as("b").join(prev.as("i"),
+                  col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
+                    col("i.doc_id") < col("b.doc_id"))
+                .filter(nearDup(col("b.sig"), col("i.sig")))
+                .select(col("b.doc_id").as("doc_id"))
+              // ... or of a smaller doc in the SAME batch (regardless of that
+              // doc's own fate — the contract compares against seen, not
+              // against admitted)
+              val vsBatch = bands.as("x").join(bands.as("y"),
+                  col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+                    col("y.doc_id") < col("x.doc_id"))
+                .filter(nearDup(col("x.sig"), col("y.sig")))
+                .select(col("x.doc_id").as("doc_id"))
+              val admitted = bands.select(col("doc_id")).distinct()
+                .join(vsSeen.unionByName(vsBatch).distinct(), Seq("doc_id"), "left_anti")
 
-          // stage the admitted set FIRST (the batch's durable answer),
-          // then the band segment, then the one-rename commit
-          admitted.write.mode("overwrite").parquet(admittedDir)
-          bands.withColumn("p", bucketOf(nBuckets))
-            .repartition(col("p"))
-            .write.mode("overwrite").partitionBy("p")
-            .parquet(s"$indexDir/v=$physicalVersion")
-          val outBuckets = BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
-          val next = outBuckets.foldLeft(m.buckets)((acc, b) =>
-            acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + physicalVersion))
-          BucketState.commitManifest(spark, indexDir, next,
-            Some(newVersion -> batchFp))
-          BucketState.gcVersions(spark, indexDir)
-      }
+              // stage the admitted set FIRST (the batch's durable answer),
+              // then the band segment, then the one-rename commit
+              admitted.write.mode("overwrite").parquet(admittedDir)
+              bands.withColumn("p", bucketOf(nBuckets))
+                .repartition(col("p"))
+                .write.mode("overwrite").partitionBy("p")
+                .parquet(s"$indexDir/v=$physicalVersion")
+              val outBuckets =
+                BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
+              BucketState.manifestLock(indexDir).synchronized {
+                val mNow = BucketState.readManifest(spark, indexDir)
+                val next = outBuckets.foldLeft(mNow.buckets)((acc, b) =>
+                  acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + physicalVersion))
+                BucketState.commitManifest(spark, indexDir, next,
+                  Some(newVersion -> batchFp))
+              }
+            } finally BucketState.releaseVersion(indexDir, physicalVersion)
+        }
+      } finally BucketState.releaseReads(lease)
+      // GC after the lease release — see IncrementalDedup.ingest: a GC
+      // under this batch's own lease would spare (and thus leak) every
+      // dir a mid-ingest background fold superseded.
+      BucketState.gcVersions(spark, indexDir)
     } finally bands.unpersist()
     spark.read.schema(admittedSchema).parquet(admittedDir)
   }
+
+  /** Streaming ingress for the near-dup index — same contract surface as
+    * [[IncrementalDedup.runIngest]]: one [[ingest]] per micro-batch keyed
+    * by the checkpoint's batchId, adaptive (`compactWhenSegments`) or
+    * cadence (`compactEvery`) folding, optionally dispatched to a
+    * background thread (`asyncCompaction` — safe by the locked
+    * leased-read protocol [[ingest]] uses).
+    */
+  def runIngest(docs: DataFrame, indexDir: String, checkpointDir: String,
+                compactEvery: Int = 0, compactWhenSegments: Int = 0,
+                nBuckets: Int = 64,
+                onBatch: (Long, Int) => Unit = (_, _) => (),
+                asyncCompaction: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery == 0 || compactWhenSegments == 0,
+      "set at most one compaction policy: compactEvery (cadence) or " +
+        "compactWhenSegments (adaptive)")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        ingest(spark, indexDir, batch, batchId, nBuckets = nBuckets)
+        val m = BucketState.readManifest(spark, indexDir)
+        val maxSegs =
+          if (m.buckets.isEmpty) 0 else m.buckets.values.map(_.size).max
+        onBatch(batchId, maxSegs)
+        val due =
+          (compactEvery > 0 && (batchId + 1) % compactEvery == 0) ||
+            (compactWhenSegments > 0 && maxSegs >= compactWhenSegments)
+        if (due)
+          BucketState.maybeCompactConcurrent(spark, indexDir, asyncCompaction)
+        ()
+      }
+      .start()
+  }
+
+  /** Every admitted doc_id across all committed ingest batches. */
+  def admittedSnapshot(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.schema(admittedSchema).parquet(s"$indexDir/admitted/*")
 
   // --------------------------------------------------- driver query
   /** Driver-facing demonstration: the documents table ingested as two

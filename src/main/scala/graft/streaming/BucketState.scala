@@ -90,6 +90,53 @@ private[graft] object BucketState {
   private def inFlightVersions(stateDir: String): Set[Long] =
     inFlight.keysIterator.collect { case (d, v) if d == stateDir => v }.toSet
 
+  // ---- read leases ---------------------------------------------------
+  //
+  // In-flight registration protects a writer's own STAGED dir from a
+  // concurrent GC; it does nothing for the version dirs a writer READS.
+  // The LSM apply path never reads state, so the original concurrent
+  // protocol didn't need this — but the incremental index ingests
+  // (IncrementalDedup / IncrementalNearDup) anti-join each batch against
+  // prior segments, and a compaction running concurrently would swap the
+  // manifest and GC exactly those segment dirs while the ingest's Spark
+  // jobs are still scanning their files. A read lease pins the versions
+  // a writer is reading: gcVersions spares every leased version, and the
+  // lease dies with release (or the process — an orphaned lease after a
+  // crash costs nothing: the next process starts with an empty registry
+  // and its first GC removes the then-unreferenced dirs).
+
+  private val readLeases =
+    scala.collection.concurrent.TrieMap.empty[Long, (String, Set[Long])]
+  private val leaseSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Pin `versions` of `stateDir` against GC until [[releaseReads]]. */
+  def leaseReads(stateDir: String, versions: Set[Long]): Long = {
+    val id = leaseSeq.incrementAndGet()
+    readLeases.put(id, (stateDir, versions))
+    id
+  }
+
+  def releaseReads(leaseId: Long): Unit = readLeases.remove(leaseId)
+
+  /** Manifest read + read lease on every referenced version, ATOMIC with
+    * respect to concurrent locked swaps/GC snapshots (all take this
+    * lock): either this read sees the pre-swap manifest and its lease is
+    * registered before the swap's GC snapshot can run, or it sees the
+    * post-swap manifest and leases the folded version — in both orders
+    * every dir the caller will read survives until [[releaseReads]].
+    * A lease taken from an UNLOCKED manifest read would race the
+    * snapshot and pin nothing.
+    */
+  def readManifestLeased(spark: SparkSession, stateDir: String): (Manifest, Long) =
+    manifestLock(stateDir).synchronized {
+      val m = readManifest(spark, stateDir)
+      (m, leaseReads(stateDir, m.buckets.values.flatten.toSet))
+    }
+
+  private def leasedVersions(stateDir: String): Set[Long] =
+    readLeases.values.collect { case (d, vs) if d == stateDir => vs }
+      .foldLeft(Set.empty[Long])(_ ++ _)
+
   /** FileSystem for a path via the session's Hadoop conf — works for
     * local, HDFS, and object-store state dirs alike (java.io.File would
     * silently see "no state" on any non-local URI and discard prior state).
@@ -291,6 +338,92 @@ private[graft] object BucketState {
     gcVersions(spark, stateDir)
   }
 
+  /** [[compact]] made safe to run CONCURRENTLY with append-only locked
+    * writers — the index analog of the CDC replica's `compactLsm`, for
+    * state whose resolution is a plain union (the incremental dedup and
+    * near-dup indexes: segments are disjoint row appends, so
+    * union(folded ∪ late) ≡ union(old ∪ late) trivially and the
+    * segment-preserving swap argument carries over verbatim). The fold
+    * reads a manifest SNAPSHOT outside any lock and rewrites every
+    * referenced row into one reserved version dir; the swap runs under
+    * the manifest lock against a FRESH read, replacing only the segments
+    * it actually folded — segments a concurrent locked ingest appended
+    * mid-fold survive verbatim, and the replay fingerprint is taken from
+    * the fresh read so a concurrent batch's progress record is
+    * preserved. The snapshot's dirs can't be GC'd mid-fold: they stay
+    * manifest-referenced until this very swap (concurrent ingests only
+    * ADD segments), and at most one compaction runs per dir (callers
+    * gate with their own in-flight flag). `beforeSwap` is a test seam.
+    *
+    * Concurrent-writer requirement: every writer of `stateDir` must
+    * commit via a locked fresh-read merge (the `applyLsmBatch` pattern)
+    * and read prior state under a [[readManifestLeased]] lease —
+    * an unlocked read-modify-write commit would clobber this swap, and
+    * an unleased read would race the post-swap GC.
+    */
+  def compactConcurrent(spark: SparkSession, stateDir: String,
+                        beforeSwap: () => Unit = () => ()): Unit = {
+    import org.apache.spark.sql.functions.col
+    val m = readManifest(spark, stateDir)
+    if (m.buckets.isEmpty) return
+    val newVersion = reserveVersion(stateDir, m.buckets.values.flatten.max + 1)
+    try {
+      readBuckets(spark, stateDir, m.buckets,
+          sys.error("unreachable — manifest non-empty"))
+        .repartition(col("p"))
+        .write.mode("overwrite").partitionBy("p")
+        .parquet(s"$stateDir/v=$newVersion")
+      val outBuckets = listBuckets(spark, s"$stateDir/v=$newVersion").toSet
+      beforeSwap()
+      manifestLock(stateDir).synchronized {
+        val mNow = readManifest(spark, stateDir)
+        val merged = (mNow.buckets.keySet ++ outBuckets).flatMap { b =>
+          val late = mNow.buckets.getOrElse(b, Set.empty[Long]) --
+            m.buckets.getOrElse(b, Set.empty[Long])
+          val segs = late ++
+            (if (outBuckets.contains(b)) Set(newVersion) else Set.empty[Long])
+          if (segs.isEmpty) None else Some(b -> segs)
+        }.toMap
+        commitManifest(spark, stateDir, merged, mNow.fp)
+      }
+      gcVersions(spark, stateDir)
+    } finally releaseVersion(stateDir, newVersion)
+  }
+
+  private val compactingFlags =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicBoolean]
+
+  /** Is a background [[compactConcurrent]] running for `stateDir`?
+    * (Soak/spec visibility — the data path never needs to ask.)
+    */
+  def compactionInFlight(stateDir: String): Boolean =
+    compactingFlags.get(stateDir).exists(_.get())
+
+  /** Run [[compactConcurrent]] now (sync) or on a background daemon
+    * thread (async, at most one in flight per state dir — a trip while
+    * one is running is a no-op; the running fold will observe the extra
+    * segments on its next trip). Same dispatch contract as the CDC
+    * replica's `maybeCompact`.
+    */
+  def maybeCompactConcurrent(spark: SparkSession, stateDir: String,
+                             async: Boolean): Unit =
+    if (!async) compactConcurrent(spark, stateDir)
+    else {
+      val flag = compactingFlags.getOrElseUpdate(
+        stateDir, new java.util.concurrent.atomic.AtomicBoolean(false))
+      if (flag.compareAndSet(false, true)) {
+        val t = new Thread(() => {
+          try compactConcurrent(spark, stateDir)
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[index] background compaction failed: ${e.getMessage}")
+          } finally flag.set(false)
+        }, s"index-compact-${stateDir.hashCode}")
+        t.setDaemon(true)
+        t.start()
+      }
+    }
+
   /** Delete `v=` dirs no manifest entry references anymore. The live set
     * is derived from a FRESH manifest read under the per-dir manifest
     * lock — never passed in by the caller. A caller-supplied set is a
@@ -322,7 +455,7 @@ private[graft] object BucketState {
   def gcVersions(spark: SparkSession, stateDir: String): Unit = {
     val doomed = manifestLock(stateDir).synchronized {
       val live = readManifest(spark, stateDir).buckets.values.flatten.toSet
-      val keep = live ++ inFlightVersions(stateDir)
+      val keep = live ++ inFlightVersions(stateDir) ++ leasedVersions(stateDir)
       val fs = hadoopFs(spark, stateDir)
       fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))

@@ -1,0 +1,116 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.BucketState
+
+/** The incremental INDEX families' concurrent-compaction protocol —
+  * [[BucketState.compactConcurrent]]'s segment-preserving swap racing
+  * the locked, leased-read ingest commits of [[IncrementalDedup]] /
+  * [[IncrementalNearDup]]. Mirrors `ConcurrentCompactionSpec` (the CDC
+  * LSM analog): a batch committed mid-fold must survive the swap with
+  * its replay record; leased version dirs must survive a concurrent GC
+  * for as long as a reader holds them; a stress run racing real
+  * background folds must converge to the one-shot answer.
+  */
+class IndexConcurrentCompactionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def snap(indexDir: String): Set[(String, Long)] =
+    IncrementalDedup.snapshot(spark, indexDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  private def diskVersions(indexDir: String): Set[Long] = {
+    val d = new java.io.File(indexDir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSet[java.io.File]
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+  }
+
+  test("an ingest committed mid-fold survives the swap, with its replay record") {
+    val dir = s"${Files.createTempDirectory("graft-icc").toString}/index"
+    IncrementalDedup.ingest(spark, dir,
+      docs(1L -> "alpha beta", 2L -> "gamma delta"), batchId = 0, nBuckets = 4)
+    IncrementalDedup.ingest(spark, dir,
+      docs(3L -> "alpha beta", 4L -> "epsilon zeta"), batchId = 1, nBuckets = 4)
+    val before = snap(dir)
+    assert(before.map(_._2) === Set(1L, 2L, 4L)) // 3 deduped against 1
+
+    // between the fold and the swap, batch 2 commits (one dup of doc 2,
+    // one new doc) — the deterministic interleaving the seam exists for
+    BucketState.compactConcurrent(spark, dir, beforeSwap = () =>
+      IncrementalDedup.ingest(spark, dir,
+        docs(5L -> "gamma delta", 6L -> "eta theta"), batchId = 2, nBuckets = 4))
+
+    // nothing lost, nothing resurrected: 6 deduped against 2, 5 admitted
+    assert(snap(dir).map(_._2) === Set(1L, 2L, 4L, 6L))
+    val m = BucketState.readManifest(spark, dir)
+    // the late batch's replay-progress record survived the swap
+    assert(m.fp.map(_._1) === Some(3L))
+    // disk holds exactly the referenced dirs: the fold + the late segment
+    assert(diskVersions(dir) === m.buckets.values.flatten.toSet)
+    // replaying the late batch no-ops idempotently post-swap
+    IncrementalDedup.ingest(spark, dir,
+      docs(5L -> "gamma delta", 6L -> "eta theta"), batchId = 2, nBuckets = 4)
+    assert(snap(dir).map(_._2) === Set(1L, 2L, 4L, 6L))
+  }
+
+  test("read leases pin version dirs against GC until released") {
+    val base = Files.createTempDirectory("graft-icc-lease").toString
+    val dir = s"$base/state"
+    // an unreferenced dir with a live lease survives GC…
+    assert(new java.io.File(s"$dir/v=7/p=0").mkdirs())
+    BucketState.commitManifest(spark, dir, Map(0L -> Set(1L)), None)
+    assert(new java.io.File(s"$dir/v=1/p=0").mkdirs())
+    val lease = BucketState.leaseReads(dir, Set(7L))
+    BucketState.gcVersions(spark, dir)
+    assert(diskVersions(dir) === Set(1L, 7L))
+    // …and is collected once released
+    BucketState.releaseReads(lease)
+    BucketState.gcVersions(spark, dir)
+    assert(diskVersions(dir) === Set(1L))
+  }
+
+  test("stress: near-dup ingests racing real background folds converge to one-shot") {
+    val base = Files.createTempDirectory("graft-icc-stress").toString
+    val dir = s"$base/index"
+    // 8 batches of 6 docs; every batch contains one near-copy of an
+    // earlier doc (same text — guaranteed banded collision + est=1.0)
+    val texts = (0 until 48).map(i =>
+      s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h")
+    for (b <- 0 until 8) {
+      val rows = (0 until 6).map { i =>
+        val id = (b * 6 + i).toLong
+        val text = if (i == 5 && b > 0) texts((b - 1) * 6) else texts(id.toInt)
+        id -> text
+      }
+      IncrementalNearDup.ingest(spark, dir, docs(rows: _*), batchId = b,
+        nBuckets = 8)
+      val m = BucketState.readManifest(spark, dir)
+      if (m.buckets.nonEmpty && m.buckets.values.map(_.size).max >= 3)
+        BucketState.maybeCompactConcurrent(spark, dir, async = true)
+    }
+    val deadline = System.currentTimeMillis() + 60000
+    while (BucketState.compactionInFlight(dir) &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(!BucketState.compactionInFlight(dir))
+
+    // one-shot truth: every dup-of-earlier doc rejected, everything else in
+    val admitted = IncrementalNearDup.admittedSnapshot(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val expectedRejected = (1 until 8).map(b => (b * 6 + 5).toLong).toSet
+    assert(admitted === (0L until 48L).toSet -- expectedRejected)
+    // disk holds exactly what the manifest references once quiesced
+    val m = BucketState.readManifest(spark, dir)
+    assert(diskVersions(dir) === m.buckets.values.flatten.toSet)
+  }
+}

@@ -152,6 +152,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive hotDf clamps the cold-join row bound across decades") {
+    // small corpora keep the fixed split; past the budget the split
+    // shrinks so hotDf * occurrences never exceeds the budget (until
+    // the MinHotDf floor, where the rescue join carries the corpus)
+    assert(Dedup.adaptiveHotDf(0L) === Dedup.HotDf)
+    assert(Dedup.adaptiveHotDf(1000000L) === Dedup.HotDf) // sf<=1 regime
+    val sf10occ = 45000000L
+    val at10 = Dedup.adaptiveHotDf(sf10occ)
+    assert(at10 < Dedup.HotDf &&
+      at10 * sf10occ <= Dedup.ColdJoinRowBudget)
+    assert(Dedup.adaptiveHotDf(Long.MaxValue / 2) === Dedup.MinHotDf)
+  }
+
   test("exact dedup keeps one representative per fingerprint") {
     val df = Dedup.dedupExact(spark, sf)
     val total = graft.Tables.documents(spark, sf).count()
