@@ -44,7 +44,16 @@ object Shared {
   private final class Cell(val session: SparkSession, key: String, build: () => DataFrame) {
     lazy val df: DataFrame = {
       val t0 = System.nanoTime()
-      val ck = build().localCheckpoint() // eager: blocks exist when this returns
+      // MEMORY_AND_DISK_SER, not the deserialized default: a shared index
+      // is data-proportional (the sf100 shingle index is ~235M rows, and
+      // deserialized row objects inflate it several-fold), and checkpoint
+      // blocks are pinned lineage — they spill rather than evict, so an
+      // oversized deserialized index squeezes execution memory for every
+      // query in the session (measured as AGGREGATE_OUT_OF_MEMORY at the
+      // 5M-doc rung). Serialized blocks keep the memory bound tight and
+      // still spill to disk past it; eager, so blocks exist on return.
+      val ck = build().localCheckpoint(eager = true,
+        storageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       buildSeconds.put(key, (System.nanoTime() - t0) / 1e9)
       // The checkpointed Dataset's plan IS a LogicalRDD over the
       // persisted RDD — read its id directly instead of diffing

@@ -359,6 +359,25 @@ object Dedup {
     * cheaper bytes. est_jaccard = matches/32 is an exact dyadic, so the
     * double hash-matches DuckDB bit-for-bit.
     */
+  /** Degenerate-band bucket cap for [[dedupMinhashLsh]]'s candidate
+    * join. A band bucket holding B docs contributes B²/2 candidate
+    * pairs; on corpora whose shingle UNIVERSE is small relative to the
+    * corpus (heavy boilerplate, tiny vocabularies), minhash minima
+    * concentrate on the permutations' smallest image values and a few
+    * band keys go degenerate — measured on the 5M-doc sf100 rung:
+    * Σ(bucket²) = 4.4e9 join rows with ~8,800-doc hot buckets, 100× the
+    * sf10 bound from 10× the docs (the run died spilling the local
+    * disk). Buckets past the cap are EXCLUDED from candidate
+    * generation: an over-full bucket's key carries no discriminative
+    * signal (0.18% of the whole corpus shares it), and a true est≥0.5
+    * pair is lost only if EVERY band the pair agrees on is degenerate —
+    * a j≈0.9 pair agrees on ~7 of 8 bands in expectation. 2000 is
+    * invisible through sf10 (measured max bucket ≈ 880, so every
+    * artifact and oracle at the driver's scales is bit-identical) and
+    * bounds the per-bucket join work at cap² regardless of corpus.
+    */
+  val LshBucketCap = 2000L
+
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val k = 32
     val bands = 8
@@ -371,7 +390,17 @@ object Dedup {
         b => array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
           v => v.cast("string")), ","))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val cand = banded.as("x").join(banded.as("y"),
+    // bucket-size window shares the (band, bh) shuffle the self-join
+    // needs anyway; the filter drops degenerate buckets BEFORE the join
+    // fan-out (see LshBucketCap — the quadratic lives in the join output,
+    // so filtering after would not help)
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+    val eligible = banded
+      .withColumn("bn", count(lit(1)).over(wBucket))
+      .filter(col("bn") <= LshBucketCap)
+      .select(col("doc_id"), col("band"), col("bh"))
+    val cand = eligible.as("x").join(eligible.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
