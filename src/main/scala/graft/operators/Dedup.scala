@@ -372,7 +372,7 @@ object Dedup {
     * signal (0.18% of the whole corpus shares it), and a true est≥0.5
     * pair is lost only if EVERY band the pair agrees on is degenerate —
     * a j≈0.9 pair agrees on ~7 of 8 bands in expectation. 2000 is
-    * invisible through sf10 (measured max bucket ≈ 880, so every
+    * invisible through sf10 (measured max bucket 857, so every
     * artifact and oracle at the driver's scales is bit-identical) and
     * bounds the per-bucket join work at cap² regardless of corpus.
     */
