@@ -33,15 +33,27 @@ import graft.streaming.BucketState
   * standard streaming near-dup contract, and the transitive variant
   * cannot be admitted incrementally without revisiting decisions.
   *
-  * Index layout: [[BucketState]] segments of
-  * `(band, bh, doc_id, sig)` bucketed by `xxhash64(band, bh)` — a batch
-  * reads ONLY the buckets its own band rows hash into (partition-pruned
-  * paths) and appends one immutable segment; both I/O sides are
-  * O(batch), the same 100 TB argument as the exact index. Signatures
-  * ride in the band rows (32×8 B × 8 bands ≈ 2 KB/doc) so the est-
-  * Jaccard verification joins nothing else; at extreme scale a separate
-  * doc→sig side table halves that — the band-key join shape is
-  * unchanged.
+  * Index layout (v2): [[BucketState]] segments holding TWO row kinds
+  * under one schema `(band, bh, doc_id, sig)`, bucketed by
+  * `xxhash64(band, bh)`:
+  *  - band rows `(band ∈ [0,8), bh, doc_id, sig = null)` — the LSH
+  *    keys, ~24 B/row; a batch's candidate probe reads ONLY the buckets
+  *    its own band rows hash into (partition-pruned paths);
+  *  - sig rows `(band = -1, bh = doc_id, doc_id, sig)` — each
+  *    signature stored ONCE per doc (~0.26 KB) instead of riding every
+  *    band row (8× ≈ 2 KB/doc, the v1 layout this replaces after the
+  *    1M-doc soak measured that read dominating per-drop cost).
+  * The est-Jaccard verification joins candidates to sig rows read from
+  * ONLY the sig buckets the candidates' seen ids hash into — the bucket
+  * list is a bounded driver collect of ≤ nBuckets longs (bucket
+  * NUMBERS, never ids). Both I/O sides stay O(batch ∪ touched index),
+  * and the dominant column now moves once per matched candidate, not
+  * once per indexed band row. One store, one manifest: a batch's band
+  * and sig rows commit in the same atomic rename, so no interleaving
+  * can observe keys without their signature. (v1 indexes on disk are
+  * not readable by this code — the index carries no cross-layout
+  * durability promise; rebuild from the corpus, which every caller
+  * in-repo does anyway.)
   */
 object IncrementalNearDup {
 
@@ -61,6 +73,14 @@ object IncrementalNearDup {
 
   private def bucketOf(nBuckets: Int) =
     pmod(xxhash64(col("band"), col("bh")), lit(nBuckets.toLong))
+
+  /** Bucket a SIG row's key the same way the writer does: sig rows are
+    * `(band = -1, bh = doc_id-as-string)`, so their bucket is derivable
+    * from a doc_id alone — what lets the verification read prune to the
+    * candidates' buckets without knowing which segments hold them.
+    */
+  private def sigBucketOf(docId: Column, nBuckets: Int): Column =
+    pmod(xxhash64(lit(-1L), docId.cast("string")), lit(nBuckets.toLong))
 
   /** est-Jaccard ≥ 0.5 over two 32-slot signature arrays — matches/K as
     * in the one-shot rung; ≥ 0.5 ⟺ ≥ 16 equal slots (integer-exact).
@@ -131,35 +151,61 @@ object IncrementalNearDup {
           case BucketState.Proceed(proposed) =>
             val physicalVersion = BucketState.reserveVersion(indexDir, proposed)
             try {
-              val prev = BucketState.readBuckets(spark, indexDir,
-                m.buckets.view.filterKeys(touched).toMap,
-                spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  bandSchema.add("p", LongType)))
-              // rejected: near-dup of a SMALLER seen doc ...
-              val vsSeen = bands.as("b").join(prev.as("i"),
+              val emptyIdx = spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                bandSchema.add("p", LongType))
+              val prevBands = BucketState.readBuckets(spark, indexDir,
+                  m.buckets.view.filterKeys(touched).toMap, emptyIdx)
+                .filter(col("band") >= 0)
+              // candidate pairs: banded collisions against smaller SEEN
+              // ids, deduped BEFORE the signature fetch so a pair that
+              // collides on several bands moves its seen sig once
+              val cand = bands.as("b").join(prevBands.as("i"),
                   col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
                     col("i.doc_id") < col("b.doc_id"))
-                .filter(nearDup(col("b.sig"), col("i.sig")))
-                .select(col("b.doc_id").as("doc_id"))
-              // ... or of a smaller doc in the SAME batch (regardless of that
-              // doc's own fate — the contract compares against seen, not
-              // against admitted)
-              val vsBatch = bands.as("x").join(bands.as("y"),
-                  col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-                    col("y.doc_id") < col("x.doc_id"))
-                .filter(nearDup(col("x.sig"), col("y.sig")))
-                .select(col("x.doc_id").as("doc_id"))
-              val admitted = bands.select(col("doc_id")).distinct()
-                .join(vsSeen.unionByName(vsBatch).distinct(), Seq("doc_id"), "left_anti")
+                .select(col("b.doc_id").as("doc_id"), col("b.sig").as("sig"),
+                  col("i.doc_id").as("seen_id"))
+                .distinct().persist()
+              try {
+                // which buckets hold those candidates' sig rows — at most
+                // nBuckets longs collected, never doc ids
+                val sigBuckets = cand
+                  .select(sigBucketOf(col("seen_id"), nBuckets).as("p"))
+                  .distinct().collect().map(_.getLong(0)).toSet
+                val seenSigs = BucketState.readBuckets(spark, indexDir,
+                    m.buckets.view.filterKeys(sigBuckets).toMap, emptyIdx)
+                  .filter(col("band") === -1L)
+                  .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
+                // rejected: near-dup of a SMALLER seen doc ...
+                val vsSeen = cand.join(seenSigs, Seq("seen_id"))
+                  .filter(nearDup(col("sig"), col("seen_sig")))
+                  .select(col("doc_id"))
+                // ... or of a smaller doc in the SAME batch (regardless of that
+                // doc's own fate — the contract compares against seen, not
+                // against admitted)
+                val vsBatch = bands.as("x").join(bands.as("y"),
+                    col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+                      col("y.doc_id") < col("x.doc_id"))
+                  .filter(nearDup(col("x.sig"), col("y.sig")))
+                  .select(col("x.doc_id").as("doc_id"))
+                val admitted = bands.select(col("doc_id")).distinct()
+                  .join(vsSeen.unionByName(vsBatch).distinct(), Seq("doc_id"), "left_anti")
 
-              // stage the admitted set FIRST (the batch's durable answer),
-              // then the band segment, then the one-rename commit
-              admitted.write.mode("overwrite").parquet(admittedDir)
-              bands.withColumn("p", bucketOf(nBuckets))
-                .repartition(col("p"))
-                .write.mode("overwrite").partitionBy("p")
-                .parquet(s"$indexDir/v=$physicalVersion")
+                // stage the admitted set FIRST (the batch's durable answer),
+                // then the segment (band keys sig-less, one sig row per
+                // doc), then the one-rename commit
+                admitted.write.mode("overwrite").parquet(admittedDir)
+                val bandKeys = bands.select(col("band"), col("bh"), col("doc_id"),
+                  lit(null).cast(ArrayType(LongType, containsNull = false)).as("sig"))
+                val sigRows = bands.groupBy(col("doc_id"))
+                  .agg(first(col("sig")).as("sig"))
+                  .select(lit(-1L).as("band"), col("doc_id").cast("string").as("bh"),
+                    col("doc_id"), col("sig"))
+                bandKeys.unionByName(sigRows).withColumn("p", bucketOf(nBuckets))
+                  .repartition(col("p"))
+                  .write.mode("overwrite").partitionBy("p")
+                  .parquet(s"$indexDir/v=$physicalVersion")
+              } finally cand.unpersist()
               val outBuckets =
                 BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
               BucketState.manifestLock(indexDir).synchronized {

@@ -71,6 +71,29 @@ class IncrementalNearDupSpec extends AnyFunSuite {
     assert(c.collect().map(_.getLong(0)).toSeq === Seq(6L))
   }
 
+  test("v2 layout: sig stored once per doc as band=-1 rows; band rows carry no sig") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir()
+    val docs = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old stone bridge"),
+      (2L, "completely unrelated legal boilerplate concerning maritime insurance claims filed early")))
+    IncrementalNearDup.ingest(spark, dir, docs, 0, nBuckets = 8)
+    val seg = spark.read.parquet(s"$dir/v=1")
+    // one sig row per doc, carrying the only non-null signatures
+    val sigRows = seg.filter(col("band") === -1L)
+    assert(sigRows.count() === 2)
+    assert(sigRows.filter(col("sig").isNull).count() === 0)
+    assert(seg.filter(col("band") >= 0 && col("sig").isNotNull).count() === 0)
+    // band rows: Bands per doc, keys intact
+    assert(seg.filter(col("band") >= 0).count() ===
+      2L * IncrementalNearDup.Bands)
+    // and the split layout still catches a cross-batch near-dup (the
+    // sig fetch path, not the in-batch self-join)
+    val b = IncrementalNearDup.ingest(spark, dir,
+      docsDf(Seq((3L, "the quick brown fox jumps over the lazy dog near the old stone bridge"))), 1, nBuckets = 8)
+    assert(b.collect().isEmpty)
+  }
+
   test("replay of a committed batch no-ops with the same answer; changed input fails loudly") {
     val dir = freshDir()
     val text = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen"
