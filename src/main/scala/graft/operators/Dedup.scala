@@ -452,6 +452,10 @@ object Dedup {
     * 8×16-bit band equality — by pigeonhole any pair within hamming ≤ 7
     * has at least one identical band, so the emitted hamming ≤ 7 set is
     * exactly recalled — verified with `bit_count(xor)` over both halves.
+    * (Buckets past [[SimhashBucketCap]] route through an exact 14-bit
+    * sub-band rescue instead of the direct self-join, so the guarantee
+    * holds at every scale while degenerate-bucket work stays bounded —
+    * design and measurements at the constant.)
     *
     * The 16-bit band width is the scale contract: band-bucket occupancy
     * is corpus/65536 per band, so candidate volume stays output-shaped
@@ -509,7 +513,46 @@ object Dedup {
       .select(col("doc_id"), pack(64).as("sim_hi"), pack(0).as("sim_lo"))
   }
 
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  /** Degenerate-band bucket threshold for [[dedupSimhash]]'s candidate
+    * join — the simhash sibling of [[LshBucketCap]], found the same way
+    * one decade later: the 5M-doc sf100 rung ran the banded join at
+    * 1,913 s (60× the sf10 time at 10× the docs). On corpora whose
+    * token distributions cluster (this generator's 30-word vocabulary;
+    * real-world analog: heavy boilerplate), simhash signatures
+    * concentrate and single 16-bit band values go degenerate — measured
+    * occupancy of the hottest (band, bh) bucket by corpus: 42 docs at
+    * 500 docs, 317 at 5k, 3,819 at 50k, 38,919 at 500k (7.8% of the
+    * corpus behind ONE band value; Σbucket² = 15.5e9, which at the
+    * measured ~130 ns/candidate IS the 31.6 s sf10 time).
+    *
+    * Unlike minhash's est≥0.5 pairs (~7 of 8 bands agree in
+    * expectation), a radius-7 simhash pair is guaranteed only ONE
+    * agreeing band, so plain exclusion is NOT a small recall trade
+    * here — measured before rejecting it: a bare cap at sf10 lost
+    * 54,062 of 95,961 true pairs (56%; the hot buckets are exactly
+    * where near-identical docs collide). Over-cap buckets are instead
+    * routed to an exact RESCUE: within a hot (band, bh) bucket both
+    * docs agree on all 16 band bits, so every one of the pair's ≤ 7
+    * differing bits lives in the remaining 112 — re-blocking those 112
+    * bits into 8×14-bit sub-bands pigeonholes ≥ 1 agreeing sub-band,
+    * and joining hot rows on (band, bh, sub-band, sub-value) recovers
+    * every radius-7 pair. Work falls from B² per hot bucket to
+    * Σ(sub-bucket²): identical-signature clusters (where candidates are
+    * all TRUE pairs) stay together — output-shaped — while merely
+    * band-degenerate docs split ~14 fresh bits apart. The full
+    * formulation is therefore exact at EVERY scale (A/B-verified:
+    * lost=0 at sf1 and sf10 against the uncapped join); the DuckDB
+    * oracle stays the capless formulation, equal by that exactness.
+    */
+  val SimhashBucketCap = 2000L
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    dedupSimhashCapped(s, dir, SimhashBucketCap)
+
+  /** [[dedupSimhash]] with an explicit bucket cap — `Long.MaxValue`
+    * recovers the uncapped formulation (the recall-A/B baseline).
+    */
+  def dedupSimhashCapped(s: SparkSession, dir: String, cap: Long): DataFrame = {
     // per-query cache, NOT a Shared materialization: measured at sf1,
     // the banded self-join over checkpointed signature blocks ran 2×
     // slower than over the same-plan cached aggregate (19 s vs 9 s —
@@ -519,7 +562,7 @@ object Dedup {
     val sh = simhashSignatures(s, dir).cache()
     // band b covers signature bits 16b..16b+15: bands 0-3 slice sim_lo,
     // bands 4-7 slice sim_hi (16·4 = 64, so the formula is uniform)
-    val banded = sh.select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+    val bandedAll = sh.select(col("doc_id"), col("sim_hi"), col("sim_lo"),
       posexplode(transform(sequence(lit(0), lit(7)),
         b => when(b < 4,
             call_function("shiftrightunsigned", col("sim_lo"), lit(16) * b))
@@ -527,18 +570,73 @@ object Dedup {
             call_function("shiftrightunsigned", col("sim_hi"), lit(16) * (b - 4)))
           .bitwiseAND(lit(0xFFFFL)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    banded.as("x").join(banded.as("y"),
+    // bucket-size window shares the (band, bh) shuffle the self-join
+    // needs anyway; degenerate buckets are ROUTED (not dropped) before
+    // the join fan-out — the quadratic lives in the join's candidate
+    // volume (see SimhashBucketCap)
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+    val withBn = bandedAll.withColumn("bn", count(lit(1)).over(wBucket))
+    def ham(x: String, y: String): Column =
+      (bit_count(col(s"$x.sim_hi").bitwiseXOR(col(s"$y.sim_hi"))) +
+        bit_count(col(s"$x.sim_lo").bitwiseXOR(col(s"$y.sim_lo")))).as("hamming")
+    val banded = withBn.filter(col("bn") <= cap)
+      .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+        col("band"), col("bh"))
+    val smallPairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        (bit_count(col("x.sim_hi").bitwiseXOR(col("y.sim_hi"))) +
-          bit_count(col("x.sim_lo").bitwiseXOR(col("y.sim_lo")))).as("hamming"))
+        ham("x", "y"))
       // hamming is pair-intrinsic (band-independent), so the threshold
       // prunes BEFORE the cross-band dedup — the distinct shuffles only
       // true near-dup pairs, not every banded candidate (the candidate
       // count grows quadratically with bucket occupancy; the survivor
       // count grows with actual near-dups)
       .filter(col("hamming") <= 7)
+
+    // exact rescue for over-cap buckets: both members of a radius-7
+    // pair in the same (band, bh) bucket agree on all 16 band bits, so
+    // all ≤ 7 flips live in the OTHER 112 bits — close the 16-bit hole,
+    // slice the remainder into 8×14-bit sub-bands, and by pigeonhole
+    // ≥ 1 sub-band is flip-free. JVM shifts are mod-64, so every
+    // column-amount shift is split in two (p ≤ 48, then 16).
+    def shr(c: Column, n: Column): Column =
+      call_function("shiftrightunsigned", c, n)
+    def shl(c: Column, n: Column): Column = call_function("shiftleft", c, n)
+    val p = (col("band") % 4) * 16
+    val below = shl(lit(1L), p) - 1 // low-p-bits mask (p=0 → 0)
+    val restLo = when(col("band") < 4,
+      col("sim_lo").bitwiseAND(below)
+        .bitwiseOR(shl(shr(shr(col("sim_lo"), p), lit(16)), p))
+        .bitwiseOR(shl(col("sim_hi").bitwiseAND(lit(0xFFFFL)), lit(48))))
+      .otherwise(col("sim_lo"))
+    val restHi = when(col("band") < 4, shr(col("sim_hi"), lit(16)))
+      .otherwise(col("sim_hi").bitwiseAND(below)
+        .bitwiseOR(shl(shr(shr(col("sim_hi"), p), lit(16)), p)))
+    val mask14 = lit(0x3FFFL)
+    val subSlices = array(
+      restLo.bitwiseAND(mask14),
+      shr(restLo, lit(14)).bitwiseAND(mask14),
+      shr(restLo, lit(28)).bitwiseAND(mask14),
+      shr(restLo, lit(42)).bitwiseAND(mask14),
+      shr(restLo, lit(56)).bitwiseAND(lit(0xFFL))
+        .bitwiseOR(shl(restHi.bitwiseAND(lit(0x3FL)), lit(8))),
+      shr(restHi, lit(6)).bitwiseAND(mask14),
+      shr(restHi, lit(20)).bitwiseAND(mask14),
+      shr(restHi, lit(34)).bitwiseAND(mask14))
+    val hotSub = withBn.filter(col("bn") > cap)
+      .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+        col("band"), col("bh"), posexplode(subSlices).as(Seq("sb", "sbh")))
+    val hotPairs = hotSub.as("x").join(hotSub.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.sb") === col("y.sb") && col("x.sbh") === col("y.sbh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        ham("x", "y"))
+      .filter(col("hamming") <= 7)
+
+    smallPairs.unionByName(hotPairs)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }

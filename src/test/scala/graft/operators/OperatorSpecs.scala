@@ -116,6 +116,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("simhash hot-bucket rescue is exact: cap=0 (pure rescue) == uncapped") {
+    // cap=0 routes EVERY bucket through the 14-bit sub-band rescue;
+    // pigeonhole (<= 7 flips in the 112 non-band bits over 8 sub-bands)
+    // says the recovered pair set is identical to the uncapped join's.
+    // A mid cap exercises both paths side by side.
+    def pairs(cap: Long) =
+      Dedup.dedupSimhashCapped(spark, sf, cap).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Number]("hamming").longValue())).toSet
+    val uncapped = pairs(Long.MaxValue)
+    assert(uncapped.nonEmpty)
+    assert(pairs(0L) === uncapped)
+    assert(pairs(3L) === uncapped)
+  }
+
   test("containment: directional, in [0.9,1], and covers full-dup pairs both ways") {
     val rows = Dedup.dedupContainment(spark, sf).collect()
       .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
