@@ -41,19 +41,29 @@ import graft.streaming.BucketState
   *    its own band rows hash into (partition-pruned paths);
   *  - sig rows `(band = -1, bh = doc_id, doc_id, sig)` — each
   *    signature stored ONCE per doc (~0.26 KB) instead of riding every
-  *    band row (8× ≈ 2 KB/doc, the v1 layout this replaces after the
-  *    1M-doc soak measured that read dominating per-drop cost).
+  *    band row (8× ≈ 2 KB/doc in the v1 layout this replaces).
   * The est-Jaccard verification joins candidates to sig rows read from
   * ONLY the sig buckets the candidates' seen ids hash into — the bucket
   * list is a bounded driver collect of ≤ nBuckets longs (bucket
-  * NUMBERS, never ids). Both I/O sides stay O(batch ∪ touched index),
-  * and the dominant column now moves once per matched candidate, not
-  * once per indexed band row. One store, one manifest: a batch's band
-  * and sig rows commit in the same atomic rename, so no interleaving
-  * can observe keys without their signature. (v1 indexes on disk are
-  * not readable by this code — the index carries no cross-layout
-  * durability promise; rebuild from the corpus, which every caller
-  * in-repo does anyway.)
+  * NUMBERS, never ids). Both I/O sides stay O(batch ∪ touched index).
+  * One store, one manifest: a batch's band and sig rows commit in the
+  * same atomic rename, so no interleaving can observe keys without
+  * their signature. (v1 indexes on disk are not readable by this
+  * code — the index carries no cross-layout durability promise;
+  * rebuild from the corpus, which every caller in-repo does anyway.)
+  *
+  * MEASURED trade at 1M docs (same-box back-to-back A/B, 16 drops,
+  * async folds; `tools/soak_neardup_1M_v{1,2}ab_r11.json`): v2 drops
+  * are ~1.5× slower (p50 12.5 vs 7.9 s — the second index pass, its
+  * collect barrier, and the sig-fetch join are a per-drop CONSTANT),
+  * and per-drop GROWTH is unchanged (+2.3 vs +2.0 s over 16 drops) —
+  * at 1M docs both layouts' reads sit in page cache, so v1's premise
+  * that the 8×-sig read drove the growth is refuted at this scale.
+  * v2 is kept for the terms that dominate past the cache: a
+  * corpus-wide drop's candidate probe moves ~24 B/band row instead of
+  * ~280 B (the sig column no longer rides the widest read), and the
+  * index is ~8× smaller at rest — at 10B docs that is the difference
+  * between scanning ~2 TB and ~22 TB per drop.
   */
 object IncrementalNearDup {
 
@@ -197,8 +207,10 @@ object IncrementalNearDup {
                 admitted.write.mode("overwrite").parquet(admittedDir)
                 val bandKeys = bands.select(col("band"), col("bh"), col("doc_id"),
                   lit(null).cast(ArrayType(LongType, containsNull = false)).as("sig"))
-                val sigRows = bands.groupBy(col("doc_id"))
-                  .agg(first(col("sig")).as("sig"))
+                // every doc with a signature has exactly one band-0 row
+                // (posexplode over sequence(0,7)), so sig rows derive from
+                // a narrow filter on the persisted bands — no extra shuffle
+                val sigRows = bands.filter(col("band") === 0L)
                   .select(lit(-1L).as("band"), col("doc_id").cast("string").as("bh"),
                     col("doc_id"), col("sig"))
                 bandKeys.unionByName(sigRows).withColumn("p", bucketOf(nBuckets))
