@@ -1,16 +1,16 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Measurement utility for the df-split exact-overlap join: times the
-  * full `overlap_pairs` computation with the production [[graft.operators.Dedup.HotDf]]
-  * split against the pure count-join plan (`hotDf = Long.MaxValue` — the
-  * pre-round-6 shape), on the given corpus and on a BOILERPLATE-INJECTED
-  * copy of it (the same fixed sentence appended to a percentage of docs —
-  * the hot-shingle skew the split exists for). Prints one JSON line per
-  * (corpus, plan) cell; the skewed-corpus ratio is the number recorded in
-  * README.
+/** Measurement utility for the exact-overlap build: times the full
+  * `overlap_pairs` computation with the production prefix-filtered plan
+  * ([[graft.operators.Dedup.overlapPairsPlan]]) against the brute Σ df²
+  * count join ([[graft.operators.Dedup.overlapPairsBrute]]), on the
+  * given corpus and on a BOILERPLATE-INJECTED copy of it (the same fixed
+  * sentence appended to a percentage of docs — the hot-shingle skew the
+  * prefix filter exists for). Prints one JSON line per (corpus, plan)
+  * cell; the skewed-corpus ratio is the number recorded in README.
   *
   * Usage: `graft.CandidateVolume [sfDir] [boilerPct]`
   * (defaults /root/testdata/sf0.01, 5 — i.e. 5% of docs get boilerplate).
@@ -19,15 +19,14 @@ import org.apache.spark.sql.functions._
   * (default 5000, the sf0.1 document count): a synthetic corpus of TINY
   * docs that are 100% boilerplate — every doc is 4 sentences drawn
   * deterministically from a pool of 12, so EVERY shingle is hot
-  * (df ≈ nDocs/3), the cold count join is empty, and each doc's prefix
-  * is a large fraction of the whole doc. This is the one shape the
-  * hot-only rescue join's prefix filter gets the least leverage on:
-  * near-all pairs share a prefix shingle while few clear the 0.8/0.9
-  * thresholds, so the cell measures pure rescue-join fan-out with small
-  * qualifying output. Only the df_split plan is timed here — the count
-  * join on an all-hot corpus is the known-quadratic shape the split
-  * replaced (it times out by construction; that result is already
-  * recorded for the injected corpus).
+  * (df ≈ nDocs/3) and each doc's prefix is a large fraction of the whole
+  * doc. This is the one shape the prefix filter gets the least leverage
+  * on: near-all pairs share a prefix shingle while few clear the 0.8/0.9
+  * thresholds, so the cell measures pure candidate-join fan-out with
+  * small qualifying output. Only the prefix plan is timed here — the
+  * count join on an all-hot corpus is the known-quadratic shape the
+  * prefix filter replaced (it times out by construction; that result is
+  * already recorded for the injected corpus).
   */
 object CandidateVolume {
   def main(args: Array[String]): Unit = {
@@ -42,13 +41,18 @@ object CandidateVolume {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timePlan(d: String, hotDf: Long, tag: String): Long = {
+    def timePlan(d: String, plan: (SparkSession, String) => DataFrame,
+                 tag: String): Long = {
       val t0 = System.nanoTime()
-      val n = graft.operators.Dedup.overlapPairsPlan(spark, d, hotDf).count()
+      val n = plan(spark, d).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"corpus":"$d","plan":"$tag","hotDf":$hotDf,"pairs":$n,"sec":$sec%.2f}""")
+      println(f"""{"corpus":"$d","plan":"$tag","pairs":$n,"sec":$sec%.2f}""")
       n
     }
+    val prefixPlan = (s: SparkSession, d: String) =>
+      operators.Dedup.overlapPairsPlan(s, d)
+    val brutePlan = (s: SparkSession, d: String) =>
+      operators.Dedup.overlapPairsBrute(s, d)
 
     if (args.headOption.contains("tinyboiler")) {
       val nDocs = args.lift(1).map(_.toInt).getOrElse(5000)
@@ -77,7 +81,7 @@ object CandidateVolume {
             (pmod(col("id") * 7 + lit(k) * (col("id") % 5 + 1), lit(12)) + 1).cast("int"))): _*)
           .as("text"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      timePlan(dir, operators.Dedup.HotDf, "df_split")
+      timePlan(dir, prefixPlan, "prefix")
       spark.stop()
       return
     }
@@ -96,11 +100,11 @@ object CandidateVolume {
           .otherwise(col("text")))
       .write.mode("overwrite").parquet(s"$boilerDir/documents.parquet")
 
-    val a = timePlan(dir, operators.Dedup.HotDf, "df_split")
-    val b = timePlan(dir, Long.MaxValue, "count_join")
+    val a = timePlan(dir, prefixPlan, "prefix")
+    val b = timePlan(dir, brutePlan, "count_join")
     require(a == b, s"plan mismatch on clean corpus: $a vs $b")
-    val c = timePlan(boilerDir, operators.Dedup.HotDf, "df_split")
-    val d = timePlan(boilerDir, Long.MaxValue, "count_join")
+    val c = timePlan(boilerDir, prefixPlan, "prefix")
+    val d = timePlan(boilerDir, brutePlan, "count_join")
     require(c == d, s"plan mismatch on boilerplate corpus: $c vs $d")
     spark.stop()
   }

@@ -119,110 +119,133 @@ object Dedup {
       |FROM docs GROUP BY fp ORDER BY keep_doc_id""".stripMargin
 
   // ----------------------------------------------------- exact jaccard
-  /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8.
-    *
-    * Candidates come from a self-equi-join on shingles (documents meeting
-    * only where they share a shingle), then |A∩B| is one count per pair and
-    * |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts. Joins and aggs all
-    * hash-partition on bounded keys. On an adversarially skewed corpus a
-    * hot shingle inflates the candidate join — that's what the MinHash
-    * banding variant below is for.
-    */
   /** (lo, hi, i, nlo, nhi, jaccard, c_lo, c_hi) for every unordered
     * document pair that clears ANY overlap threshold (jaccard ≥ 0.8 or
     * containment ≥ 0.9 in either direction) — the ONE materialization of
-    * the exact-overlap stage, now DF-SPLIT so hot-shingle skew cannot go
-    * quadratic while benign corpora keep the single-pass count-join plan.
-    * See [[overlapPairsPlan]] for the construction and the
-    * zero-recall-loss argument. The threshold union is applied INSIDE the
+    * the exact-overlap stage. The threshold union is applied INSIDE the
     * build, so the session retains the small interesting-pair set, not
     * the candidate stream; exact Jaccard and containment are cheap
     * filters over this frame, so the expensive stage runs once per
     * (session, sfDir), not once per overlap measure.
+    *
+    * Construction: prefix-filtered candidate generation (Chaudhuri et
+    * al. SSJoin / Bayardo et al. All-Pairs) + exact set-intersection
+    * verification — never the Σ df² co-occurrence count join (whose
+    * measured spill killed every sf10 attempt of the earlier df-split
+    * build: a 2e9-row bound is ~60 GB of sort shuffle; rows are not
+    * bytes). Rank every doc's shingles rarest-first by (df, sh) — a
+    * global total order, so the common shingles of any pair sort
+    * identically in both docs. A qualifying pair's guaranteed side X
+    * has i ≥ q_x = ⌈0.8·n_x⌉ shared shingles (jaccard ≥ 0.8: either
+    * side, since i ≥ 0.8·max(n_a,n_b); containment ≥ 0.9: the contained
+    * side, i ≥ 0.9·n_x ≥ 0.8·n_x), so the smallest common shingle s*
+    * has rank ≤ n − i + 1 ≤ n − q_x + 1 in BOTH docs (the i common
+    * shingles occupy distinct ranks at or above s*'s). Joining prefix
+    * entries (rank ≤ n − q + 1, i.e. the rarest ~20% + 1 of each doc)
+    * against full entries under the PPJoin positional bound
+    * (f.rn ≤ f.n − p.q + 1) and length bound (f.n ≥ p.q) therefore
+    * finds EVERY qualifying pair — zero recall loss, pinned by the
+    * parity spec against the brute count join. Candidate volume is
+    * Σ_sh prefixDf(sh)·boundedDf(sh): a boilerplate shingle (huge df)
+    * enters a doc's rarest-first prefix only when the doc is almost
+    * nothing but hotter boilerplate, so both factors collapse exactly
+    * where Σ df² explodes; candidates degrade toward all-pairs only
+    * when the OUTPUT itself does (a corpus of near-identical docs).
+    * Verification then computes exact i per surviving pair by
+    * intersecting the two docs' sorted shingle-hash arrays (distinct
+    * 8-byte hashes per doc, so set size IS the count; the oracle hashes
+    * identically, keeping the contract hash-exact) — cost
+    * O(candidates · doc length), output-shaped, no quadratic stage.
     */
-  /** Document-frequency split point for [[overlapPairsPlan]]: shingles
-    * with df above this are HOT and excluded from the co-occurrence count
-    * join, bounding that join's output at `HotDf · |shingle occurrences|`
-    * — linear in corpus size — instead of `Σ df²` (data-dependent
-    * quadratic: one boilerplate shingle shared by 1% of a 100 TB corpus
-    * is ~10¹⁰ join rows). 256 keeps the cold join's per-shingle fan-out
-    * bounded while staying far above the df of genuinely contentful
-    * shingles, so on benign corpora the hot side is empty and the plan
-    * degenerates to the plain count join.
+  /** Universe-partition count for the sound candidate bound below: more
+    * parts = a tighter bound on random pairs (expected Σ min shrinks
+    * toward 0 as parts grow past the doc size) at 2 bytes/part carried
+    * through the candidate join. 64 puts a ~47-shingle doc's random-pair
+    * bound at ~20 — far under its q ≈ 38 — while the vector stays one
+    * cache line of shorts.
     */
-  val HotDf = 256L
+  val OverlapParts = 64
 
-  /** The un-materialized exact-overlap plan; `hotDf` is exposed so the
-    * parity spec can force both the hot and cold branches on the tiny
-    * fixture (default [[HotDf]] in production via [[overlapPairs]]).
-    */
-  private[graft] def overlapPairsPlan(s: SparkSession, dir: String,
-                                      hotDf: Long): DataFrame = {
+  private[graft] def overlapPairsPlan(s: SparkSession, dir: String): DataFrame = {
+    val g = OverlapParts
     val sh = docShingles(s, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val tagged = sh.join(dfreq, "sh")
-    val cold = tagged.filter(col("df") <= hotDf).select(col("doc_id"), col("sh"))
-    // per-doc HOT shingle set as a sorted array — small for real docs
-    // (hot = boilerplate); worst case bounded by doc length
-    val hotSets = tagged.filter(col("df") > hotDf)
+    // per-doc size + universe-partition count vector (shingle → one of g
+    // deterministic parts; cnt[j] = how many of the doc's shingles land
+    // in part j). For ANY pair, |A∩B| ≤ Σ_j min(cntA[j], cntB[j]) — each
+    // shared shingle lands in the same part on both sides — so the
+    // zip_with/min/aggregate bound below is a SOUND i upper bound
+    // (partition-based filtering à la PTJ): it can never prune a
+    // qualifying pair, because a qualifying pair generated via guaranteed
+    // side p has i ≥ p.q and thus bound ≥ p.q. Shorts cannot saturate
+    // for any document under ~2M shingles, so clamping unsoundness is a
+    // non-issue.
+    val perDoc = sh
+      .withColumn("pt", pmod(xxhash64(col("sh")), lit(g.toLong)).cast("int"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("sh"))).as("hs"))
-    // exact shared-shingle counts from COLD shingles: the one shuffle-agg
-    // pass, output ≤ hotDf · |occurrences|
-    val coldPairs = cold.as("x").join(cold.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("lo"), col("y.doc_id").as("hi"))
-      .agg(count(lit(1)).as("i_cold"))
-    val emptyArr = array().cast("array<long>")
-    val hotLo = hotSets.select(col("doc_id").as("lo"), col("hs").as("hs_lo"))
-    val hotHi = hotSets.select(col("doc_id").as("hi"), col("hs").as("hs_hi"))
-    // full overlap for cold-connected pairs: cold count + exact hot-set
-    // intersection (array_intersect on the docs' small hot arrays —
-    // distinct shingle hashes, so set size IS the count; the oracle
-    // hashes identically, so the contract stays hash-exact)
-    val viaCold = coldPairs
-      .join(hotLo, Seq("lo"), "left").join(hotHi, Seq("hi"), "left")
-      .select(col("lo"), col("hi"),
-        (col("i_cold") + size(array_intersect(
-          coalesce(col("hs_lo"), emptyArr),
-          coalesce(col("hs_hi"), emptyArr)))).as("i"))
-    // HOT-ONLY rescue: a qualifying pair with NO shared cold shingle
-    // (pure-boilerplate near-dups). Prefix filtering (Chaudhuri et al.
-    // SSJoin / Bayardo et al. All-Pairs) with a PPJoin positional bound:
-    // rank every doc's shingles rarest-first by (df, sh) — a global total
-    // order, so the common shingles of any pair sort identically in both
-    // docs. If the pair qualifies, its guaranteed side X has
-    // i ≥ q_x = ⌈0.8·n_x⌉ shared shingles (jaccard ≥ 0.8: either side,
-    // i ≥ 0.8·max(n_a,n_b); containment ≥ 0.9: the contained side,
-    // i ≥ 0.9·n_x ≥ 0.8·n_x), and the SMALLEST common shingle s* has
-    // rank ≤ n − i + 1 ≤ n − q_x + 1 in BOTH docs (the i common shingles
-    // occupy distinct ranks at or above s*'s). s* is hot here, so joining
-    // hot prefix entries (rank ≤ n − q + 1) against hot full entries with
-    // the positional bound on the probe side finds every such pair —
-    // ZERO recall loss, spec-pinned. Deeper matches are dropped inside
-    // the join probe and never reach the distinct.
+      .agg(count(lit(1)).as("n"), collect_list(col("pt")).as("pl"))
+      .select(col("doc_id"), col("n"),
+        transform(sequence(lit(0), lit(g - 1)),
+          j => size(filter(col("pl"), x => x === j)).cast("short")).as("cnt"))
+    val sizes = perDoc.select(col("doc_id"), col("n"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-    val ranked = tagged
+    val ranked = sh.join(dfreq, "sh")
       .withColumn("rn", row_number().over(wDoc))
-      .join(sizes, "doc_id")
+      .join(perDoc, "doc_id")
       .withColumn("q", expr("(n * 4 + 4) div 5")) // ⌈0.8·n⌉, integer-exact
-    val hotRanked = ranked.filter(col("df") > hotDf)
-      .select(col("doc_id"), col("sh"), col("rn"), col("n"), col("q"))
-    val hotPrefix = hotRanked.filter(col("rn") <= col("n") - col("q") + 1)
-      .select(col("doc_id"), col("sh"), col("q"))
-    val hotOnly = hotPrefix.as("p").join(hotRanked.as("f"),
+      .select(col("doc_id"), col("sh"), col("rn"), col("n"), col("q"), col("cnt"))
+    val prefix = ranked.filter(col("rn") <= col("n") - col("q") + 1)
+      .select(col("doc_id"), col("sh"), col("q"), col("cnt"))
+    // the partition bound is evaluated INSIDE the join (a residual
+    // predicate on the streamed match block), so on a uniform-df corpus
+    // — where single-shingle prefix collisions are the dominant, purely
+    // random candidate mass (measured at the sf10 rung: 27,842 distinct
+    // shingles, df ≈ 850 everywhere, 3.6e9 collisions) — the false
+    // candidates die before ever reaching the distinct's shuffle or the
+    // verification join (measured 2.2e8 → 6.9e5 at sf3). The fused
+    // codegen [[graft.functions.MinSumExpr]] keeps the residual at
+    // nanoseconds per evaluation; its HOF equivalent measured ~6 µs and
+    // dominated the build.
+    graft.functions.MinSumExpr.register(s)
+    val minSum = call_function("min_sum", col("p.cnt"), col("f.cnt"))
+    val cand = prefix.as("p").join(ranked.as("f"),
         col("p.sh") === col("f.sh") && col("p.doc_id") =!= col("f.doc_id") &&
-          col("f.rn") <= col("f.n") - col("p.q") + 1)
+          col("f.rn") <= col("f.n") - col("p.q") + 1 &&
+          col("f.n") >= col("p.q") &&
+          minSum >= col("p.q"))
       .select(least(col("p.doc_id"), col("f.doc_id")).as("lo"),
         greatest(col("p.doc_id"), col("f.doc_id")).as("hi"))
       .distinct()
-      .join(coldPairs.select(col("lo"), col("hi")), Seq("lo", "hi"), "left_anti")
-      .join(hotLo, "lo").join(hotHi, "hi")
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("ss"))
+    cand
+      .join(sets.select(col("doc_id").as("lo"), col("ss").as("ss_lo")), "lo")
+      .join(sets.select(col("doc_id").as("hi"), col("ss").as("ss_hi")), "hi")
       .select(col("lo"), col("hi"),
-        size(array_intersect(col("hs_lo"), col("hs_hi"))).cast("long").as("i"))
-    viaCold.unionByName(hotOnly)
+        size(array_intersect(col("ss_lo"), col("ss_hi"))).cast("long").as("i"),
+        size(col("ss_lo")).cast("long").as("nlo"),
+        size(col("ss_hi")).cast("long").as("nhi"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("nlo") + col("nhi") - col("i")))
+      .withColumn("c_lo", col("i").cast("double") / col("nlo"))
+      .withColumn("c_hi", col("i").cast("double") / col("nhi"))
+      .filter(col("jaccard") >= 0.8 || col("c_lo") >= 0.9 || col("c_hi") >= 0.9)
+  }
+
+  /** Spec scaffolding ONLY — the plain Σ df² co-occurrence count join,
+    * ground truth by construction for [[overlapPairsPlan]]'s
+    * prefix-filtered build (never run in production: its candidate
+    * volume is the data-dependent quadratic the prefix filter exists to
+    * avoid).
+    */
+  private[graft] def overlapPairsBrute(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("lo"), col("y.doc_id").as("hi"))
+      .agg(count(lit(1)).as("i"))
       .join(sizes.withColumnRenamed("doc_id", "lo").withColumnRenamed("n", "nlo"), "lo")
       .join(sizes.withColumnRenamed("doc_id", "hi").withColumnRenamed("n", "nhi"), "hi")
       .withColumn("jaccard",
@@ -232,36 +255,8 @@ object Dedup {
       .filter(col("jaccard") >= 0.8 || col("c_lo") >= 0.9 || col("c_hi") >= 0.9)
   }
 
-  /** Cold-join ROW BUDGET for the adaptive df split. The cold
-    * co-occurrence join's pre-agg output is bounded by
-    * `hotDf · |shingle occurrences|`; with the fixed [[HotDf]] = 256 that
-    * bound grows linearly with the corpus carrying a ×256 constant — the
-    * measured ~60 GB of shuffle spill that killed the sf10 runs (r8/r9).
-    * Production now derives the split from ONE count over the shared
-    * shingle index: `hotDf = clamp(MinHotDf, HotDf, budget/|occ|)`, so
-    * the cold join's worst-case volume stays ~flat across scale decades
-    * while small corpora keep the plain ≤256 behavior unchanged. Lowering
-    * the split moves work, not answers: more shingles become "hot", which
-    * grows the per-doc hot-set intersections and the output-bound rescue
-    * join — both linear paths — and the result is IDENTICAL for ANY
-    * split (the parity spec pins four split points on both branches).
-    * 2e9 rows ≈ 10-30 GB of join-shuffle at the observed bytes/row —
-    * sized to fit the scale harness's disk preflight with headroom.
-    */
-  val ColdJoinRowBudget = 2000000000L
-  val MinHotDf = 16L
-
-  private[operators] def adaptiveHotDf(occurrences: Long): Long =
-    math.max(MinHotDf,
-      math.min(HotDf, ColdJoinRowBudget / math.max(1L, occurrences)))
-
   private def overlapPairs(s: SparkSession, dir: String): DataFrame =
-    graft.Shared.materialize(s, dir, "overlap_pairs") {
-      // one count over the (already shared/materialized) shingle index;
-      // amortized across the whole overlap family like the build itself
-      val occ = docShingles(s, dir).count()
-      overlapPairsPlan(s, dir, adaptiveHotDf(occ))
-    }
+    graft.Shared.materialize(s, dir, "overlap_pairs")(overlapPairsPlan(s, dir))
 
   /** Unordered jaccard ≥ 0.8 pair set — a cheap filter over the shared
     * [[overlapPairs]] frame, consumed by `dedup_ngram_jaccard` and

@@ -36,8 +36,15 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Per-side document-frequency split point; same rationale (and
-    * default) as [[Dedup.HotDf]].
+  /** Per-side document-frequency split point: tokens with df above this
+    * are HOT and excluded from the cold co-occurrence count join,
+    * bounding its output at `HotDf · |token occurrences|`; the all-hot
+    * remainder is rescued by the prefix+positional join below. (The
+    * within-corpus analog in [[Dedup]] dropped its df split entirely for
+    * a pure prefix-filtered build; the cross-relation form keeps it —
+    * two relations of different sizes make the cold join's bound cheap
+    * to keep and the split is load-bearing for the spec's forced
+    * branches.)
     */
   val HotDf = 256L
 

@@ -149,35 +149,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("df-split overlap == pure count join at every split point (hot path lossless)") {
-    // hotDf = MaxValue is the pure count join (every shingle cold: no hot
-    // sets, no rescue join) — ground truth by construction. Tiny split
-    // points force most shingles HOT, exercising the array-intersect
-    // contribution and the prefix+positional rescue join. Equality of the
-    // full measure rows (not just pair keys) pins zero recall loss AND
-    // exact i on both branches.
-    def rows(hotDf: Long) = Dedup.overlapPairsPlan(spark, sf, hotDf).collect()
+  test("prefix-filtered overlap == brute count join (zero recall loss, exact i)") {
+    // overlapPairsBrute is the plain Σ df² co-occurrence count join —
+    // ground truth by construction. Equality of the full measure rows
+    // (not just pair keys) pins zero recall loss from the prefix +
+    // positional + length filters AND exact i from the array-intersect
+    // verification.
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("i"),
         r.getAs[Long]("nlo"), r.getAs[Long]("nhi"),
         r.getAs[Double]("jaccard"))).sortBy(t => (t._1, t._2)).toSeq
-    val truth = rows(Long.MaxValue)
+    val truth = rows(Dedup.overlapPairsBrute(spark, sf))
     assert(truth.nonEmpty)
-    for (t <- Seq(1L, 2L, 5L, 20L)) {
-      assert(rows(t) === truth, s"df-split at hotDf=$t diverges from count join")
-    }
-  }
-
-  test("adaptive hotDf clamps the cold-join row bound across decades") {
-    // small corpora keep the fixed split; past the budget the split
-    // shrinks so hotDf * occurrences never exceeds the budget (until
-    // the MinHotDf floor, where the rescue join carries the corpus)
-    assert(Dedup.adaptiveHotDf(0L) === Dedup.HotDf)
-    assert(Dedup.adaptiveHotDf(1000000L) === Dedup.HotDf) // sf<=1 regime
-    val sf10occ = 45000000L
-    val at10 = Dedup.adaptiveHotDf(sf10occ)
-    assert(at10 < Dedup.HotDf &&
-      at10 * sf10occ <= Dedup.ColdJoinRowBudget)
-    assert(Dedup.adaptiveHotDf(Long.MaxValue / 2) === Dedup.MinHotDf)
+    assert(rows(Dedup.overlapPairsPlan(spark, sf)) === truth,
+      "prefix-filtered build diverges from the brute count join")
   }
 
   test("exact dedup keeps one representative per fingerprint") {
