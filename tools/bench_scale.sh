@@ -42,17 +42,14 @@ if [ "$free_gb" -lt "$MIN_FREE_GB" ]; then
   exit 2
 fi
 
-# Overridable (SUBSET env): at sf10-equivalent volume on this box the
-# exact-overlap shared index (overlap_pairs: dedup_ngram_jaccard /
-# dedup_containment / dedup_clusters) spills past the local disk —
-# linear growth (the HotDf·|occurrences| bound) but a ~×256 constant;
-# its corpus-scale rung is the banded/sketched family (minhash/simhash).
-# The overlap trio is therefore EXCLUDED here, matching the subset the
-# r7 run completed with (17 queries). Rounds 8-9 had re-added the trio
-# to this default, contradicting this comment — its overlap_pairs setup
-# build alone spilled ~60 GB at sf10 and starved the disk, which is
-# what killed both runs' SparkContexts.
-SUBSET="${SUBSET:-dedup_exact,dedup_incremental,dedup_minhash_lsh,dedup_simhash,dedup_embedding_cosine,text_decontaminate,text_decontaminate_bloom,text_winnow_fingerprint,ann_cosine_topk,ann_lsh_topk,ann_ivf_topk,ann_pq_topk,ann_range_search,cdc_snapshot,cdc_snapshot_multitable,cdc_audit_log,cdc_consistency_diff}"
+# Overridable (SUBSET env). The exact-overlap trio (dedup_ngram_jaccard
+# / dedup_containment / dedup_clusters) was excluded from this default
+# for rounds 7-10: the df-split overlap_pairs build spilled ~60 GB at
+# sf10 and starved the disk (killed the r8/r9 runs). The r11
+# prefix-filtered build (partition-count bound + codegen min-sum,
+# Dedup.overlapPairsPlan) completes the same rung in ~42 s with no disk
+# pressure, so the default is now the FULL 20-query corpus subset.
+SUBSET="${SUBSET:-dedup_exact,dedup_incremental,dedup_minhash_lsh,dedup_simhash,dedup_embedding_cosine,dedup_ngram_jaccard,dedup_containment,dedup_clusters,text_decontaminate,text_decontaminate_bloom,text_winnow_fingerprint,ann_cosine_topk,ann_lsh_topk,ann_ivf_topk,ann_pq_topk,ann_range_search,cdc_snapshot,cdc_snapshot_multitable,cdc_audit_log,cdc_consistency_diff}"
 
 ADD_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
     java.net java.nio java.util java.util.concurrent \
