@@ -11,11 +11,11 @@ import graft.functions.TextFns
   *
   *  1. [[dedupExact]] — exact dedup by normalized-content hash (one
   *     hash-shuffle on a 32-byte key, regardless of document size);
-  *  2. [[dedupNgramJaccard]] — exact word-3-gram Jaccard from a DF-SPLIT
-  *     shingle-equality join: co-occurrence counting on bounded-df COLD
-  *     shingles (linear in corpus), hot-shingle contributions via per-doc
-  *     hot-set intersection, and a prefix-filtered rescue join for
-  *     all-hot pairs — provably lossless at the thresholds;
+  *  2. [[dedupNgramJaccard]] — exact word-3-gram Jaccard from a
+  *     prefix-filtered candidate join (SSJoin/All-Pairs + PPJoin
+  *     positional bound + a sound partition-count residual) with exact
+  *     set-intersection verification — provably lossless at the
+  *     thresholds, candidate volume collapses where Σ df² explodes;
   *  3. [[dedupMinhashLsh]] — MinHash signatures + banded LSH: the 100 TB
   *     path. Candidate generation is |bands| equality joins on 64-bit keys;
   *     cost is linear in corpus size + output pairs, never all-pairs;
@@ -827,6 +827,107 @@ object Dedup {
       |SELECT doc_id, COUNT(*) AS n_fps, MIN(fp) AS min_fp, MAX(fp) AS max_fp
       |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- repeated spans
+  /** Cross-document repeated-span detection — substring-level dedup (the
+    * Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better" criterion, re-expressed relationally): a token position is
+    * DUPLICATED when some word-3-gram covering its 3-gram start also
+    * occurs in at least one OTHER document; per document, duplicated
+    * 3-gram occurrences merge into maximal spans (gaps-and-islands over
+    * positions — overlapping or adjacent windows fuse), and the query
+    * emits per-doc span statistics: the signal a curation pipeline
+    * thresholds to drop boilerplate-heavy documents or clip copied
+    * passages, one level finer than the whole-doc jaccard/minhash rungs.
+    *
+    * Plan shape at 100 TB — every stage linear: the duplicated-shingle
+    * set is one count over the SHARED distinct (doc, shingle-hash) index
+    * (count ≥ 2 ⇔ present in ≥ 2 docs, because the index is distinct per
+    * doc); occurrence tagging is one hash join of positional shingles
+    * against that set on 8-byte keys (a semi join — no pairwise stage of
+    * any kind, unlike every operator above this one); span merging is a
+    * per-doc window — embarrassingly parallel, partitions bounded by
+    * document length.
+    */
+  def dedupRepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val dupSh = docShingles(s, dir).groupBy(col("sh"))
+      .agg(count(lit(1)).as("docs_with"))
+      .filter(col("docs_with") >= 2)
+      .select(col("sh"))
+    val occ = positionedShingles(s, dir)
+      .select(col("doc_id"), col("p"), md5Long60(col("sh")).as("sh"))
+      .join(dupSh, Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = occ
+      .withColumn("pe", col("p") + lit(k - 1))
+      // classic gaps-and-islands: a new span starts where this window
+      // neither overlaps nor abuts the furthest end seen so far
+      .withColumn("prev_max", max(col("pe")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("new_span", when(
+        col("prev_max").isNull || col("p") > col("prev_max") + 1, 1
+      ).otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(w))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("p")).as("ss"), max(col("pe")).as("se"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss") + 1).as("dup_tokens"),
+        max(col("se") - col("ss") + 1).cast("long").as("max_span"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+      .withColumn("dup_ratio", when(col("n_tokens") > 0,
+        col("dup_tokens").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupRepeatedSpansSql =
+    s"""$shinglesCte,
+      |occ AS (
+      |  SELECT a.doc_id, a.p,
+      |    ('0x' || substr(md5(a.tok || ' ' || b.tok || ' ' || c.tok), 1, 15))::BIGINT AS h
+      |  FROM t a
+      |  JOIN t b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      |  JOIN t c ON a.doc_id = c.doc_id AND c.p = a.p + 2),
+      |dup AS (
+      |  SELECT sh AS h FROM sh GROUP BY sh HAVING COUNT(*) >= 2),
+      |d_occ AS (SELECT occ.doc_id, occ.p FROM occ JOIN dup USING (h)),
+      |isl AS (
+      |  SELECT doc_id, p, p + 2 AS pe,
+      |         MAX(p + 2) OVER (PARTITION BY doc_id ORDER BY p
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM d_occ),
+      |sp AS (
+      |  SELECT doc_id, p, pe,
+      |         SUM(CASE WHEN prev_max IS NULL OR p > prev_max + 1 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, span_id, MIN(p) AS ss, MAX(pe) AS se
+      |  FROM sp GROUP BY doc_id, span_id),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |         CAST(SUM(se - ss + 1) AS BIGINT) AS dup_tokens,
+      |         CAST(MAX(se - ss + 1) AS BIGINT) AS max_span
+      |  FROM spans GROUP BY doc_id),
+      |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM docs)
+      |SELECT nt.doc_id, nt.n_tokens,
+      |       COALESCE(n_spans, 0) AS n_spans,
+      |       COALESCE(dup_tokens, 0) AS dup_tokens,
+      |       COALESCE(max_span, 0) AS max_span,
+      |       CASE WHEN nt.n_tokens > 0
+      |            THEN CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / nt.n_tokens
+      |            ELSE 0.0 END AS dup_ratio
+      |FROM nt LEFT JOIN per_doc USING (doc_id)
+      |ORDER BY nt.doc_id""".stripMargin
+
   // ------------------------------------------------------------ export
   // --------------------------------------------------- decontamination
   /** Benchmark decontamination: flag training documents sharing any
@@ -971,6 +1072,7 @@ object Dedup {
     "dedup_clusters" -> (dedupClusters _),
     "text_winnow_fingerprint" -> (textWinnowFingerprints _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_repeated_spans" -> (dedupRepeatedSpans _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -983,6 +1085,7 @@ object Dedup {
     "text_decontaminate_bloom" -> textDecontaminateSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_repeated_spans" -> dedupRepeatedSpansSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

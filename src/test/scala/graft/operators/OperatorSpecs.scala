@@ -165,6 +165,41 @@ class DedupSpec extends AnyFunSuite {
       "prefix-filtered build diverges from the brute count join")
   }
 
+  test("repeated spans match a brute-force reimplementation") {
+    // independent Scala reimplementation on the collected fixture: exact
+    // string 3-grams (no hashing), cross-doc presence count, interval
+    // merge — pins the whole operator, not just its SQL mirror
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").toSeq)
+      .toMap
+    val grams = docs.map { case (id, ts) =>
+      id -> ts.sliding(3).zipWithIndex
+        .collect { case (g, p) if g.length == 3 => (p, g) }.toSeq
+    }
+    val docsWith = grams.toSeq
+      .flatMap { case (id, gs) => gs.map { case (_, g) => (g, id) } }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val expected = docs.map { case (id, ts) =>
+      val dupPos = grams(id).collect { case (p, g) if docsWith(g) >= 2 => p }.sorted
+      var spans = List.empty[(Int, Int)]
+      for (p <- dupPos) spans match {
+        case (s, e) :: rest if p <= e + 1 => spans = (s, math.max(e, p + 2)) :: rest
+        case _ => spans = (p, p + 2) :: spans
+      }
+      val lens = spans.map { case (s, e) => e - s + 1 }
+      (id, ts.length.toLong, spans.length.toLong, lens.sum.toLong,
+        if (lens.isEmpty) 0L else lens.max.toLong)
+    }.toSet
+    val got = Dedup.dedupRepeatedSpans(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"),
+        r.getAs[Long]("max_span"))).toSet
+    assert(got === expected)
+    assert(got.exists(_._4 > 0), "fixture has no repeated span — test is vacuous")
+  }
+
   test("exact dedup keeps one representative per fingerprint") {
     val df = Dedup.dedupExact(spark, sf)
     val total = graft.Tables.documents(spark, sf).count()
