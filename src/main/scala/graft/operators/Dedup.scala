@@ -848,22 +848,22 @@ object Dedup {
     * per-doc window — embarrassingly parallel, partitions bounded by
     * document length.
     */
-  def dedupRepeatedSpans(s: SparkSession, dir: String): DataFrame = {
-    val k = 3
-    val dupSh = docShingles(s, dir).groupBy(col("sh"))
-      .agg(count(lit(1)).as("docs_with"))
-      .filter(col("docs_with") >= 2)
-      .select(col("sh"))
-    val occ = positionedShingles(s, dir)
-      .select(col("doc_id"), col("p"), md5Long60(col("sh")).as("sh"))
-      .join(dupSh, Seq("sh"), "left_semi")
-      .select(col("doc_id"), col("p"))
+  /** Per-doc maximal-span statistics from marked k-gram start positions
+    * `(doc_id, p)`: merge each occurrence's covered token interval
+    * [p, p+k−1] with classic gaps-and-islands (overlapping or abutting
+    * windows fuse), return one row per doc that has ≥ 1 span —
+    * (doc_id, n_spans, covered_tokens, max_span). The window partitions
+    * by doc_id: embarrassingly parallel, partitions bounded by document
+    * length. Shared by [[dedupRepeatedSpans]] (k=3, cross-doc duplicated
+    * 3-grams) and [[textDecontaminateSpans]] (k=8, eval-matching 8-grams).
+    */
+  private def spanStats(occ: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
-    val spans = occ
+    occ
       .withColumn("pe", col("p") + lit(k - 1))
-      // classic gaps-and-islands: a new span starts where this window
-      // neither overlaps nor abuts the furthest end seen so far
+      // a new span starts where this window neither overlaps nor abuts
+      // the furthest end seen so far
       .withColumn("prev_max", max(col("pe")).over(w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
       .withColumn("new_span", when(
@@ -874,8 +874,21 @@ object Dedup {
       .agg(min(col("p")).as("ss"), max(col("pe")).as("se"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(col("se") - col("ss") + 1).as("dup_tokens"),
+        sum(col("se") - col("ss") + 1).as("covered_tokens"),
         max(col("se") - col("ss") + 1).cast("long").as("max_span"))
+  }
+
+  def dedupRepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val dupSh = docShingles(s, dir).groupBy(col("sh"))
+      .agg(count(lit(1)).as("docs_with"))
+      .filter(col("docs_with") >= 2)
+      .select(col("sh"))
+    val occ = positionedShingles(s, dir)
+      .select(col("doc_id"), col("p"), md5Long60(col("sh")).as("sh"))
+      .join(dupSh, Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("p"))
+    val spans = spanStats(occ, k = 3)
+      .withColumnRenamed("covered_tokens", "dup_tokens")
     Tables.documents(s, dir)
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
       .join(spans, Seq("doc_id"), "left")
@@ -947,7 +960,7 @@ object Dedup {
     * side at sf0.1. The window partitions by doc_id: embarrassingly
     * parallel at any scale.
     */
-  private def shingled8(docs: DataFrame): DataFrame = {
+  private def positioned8(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     docs
@@ -958,8 +971,11 @@ object Dedup {
         col("tok") +: (1 to 6).map(i => lead(col("tok"), i).over(w)) :+
           col("lead7"): _*))
       .filter(col("lead7").isNotNull) // complete 8-token windows only
-      .select(col("doc_id"), col("sh")).distinct()
+      .select(col("doc_id"), col("pos"), col("sh"))
   }
+
+  private def shingled8(docs: DataFrame): DataFrame =
+    positioned8(docs).select(col("doc_id"), col("sh")).distinct()
 
   /** Decontaminate `train` against an ARBITRARY benchmark corpus — the
     * deployment form: both frames are (doc_id, text); output is one row
@@ -983,6 +999,71 @@ object Dedup {
       docs.filter(col("doc_id") % 7 =!= 0),
       docs.filter(col("doc_id") % 7 === 0))
   }
+
+  /** Span-level decontamination — the CLIP form: instead of flagging
+    * whole (train, eval) doc pairs, mark WHICH token spans of each train
+    * document match any evaluation 8-gram, merged maximally (a pipeline
+    * that drops whole documents at any hit over-deletes; the standard
+    * remedy excises the contaminated spans and keeps the rest). Output is
+    * one row per contaminated train doc: span count, contaminated token
+    * count, longest span, contamination ratio — the clip plan a
+    * downstream rewrite executes.
+    *
+    * Same join discipline as [[textDecontaminateAgainst]]: the eval
+    * shingle set broadcasts, the train side streams its positional
+    * 8-grams through one semi join (occurrences keep positions, so no
+    * distinct before the join — still linear, never pairwise), and the
+    * span merge is the shared per-doc gaps-and-islands window.
+    */
+  def textDecontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val evSh = shingled8(docs.filter(col("doc_id") % 7 === 0)).select(col("sh"))
+    val occ = positioned8(train)
+      .join(broadcast(evSh), Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("pos").as("p"))
+    spanStats(occ, k = 8)
+      .join(train.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+      .select(col("doc_id").as("train_doc"), col("n_tokens"), col("n_spans"),
+        col("covered_tokens").as("contaminated_tokens"), col("max_span"))
+      .withColumn("contamination_ratio",
+        col("contaminated_tokens").cast("double") / col("n_tokens"))
+      .orderBy(col("train_doc"))
+  }
+
+  private val textDecontaminateSpansSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |idx AS (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks) - 7)) AS i
+      |        FROM docs),
+      |g AS (SELECT doc_id, i AS p, array_to_string(toks[i:i+7], ' ') AS sh FROM idx),
+      |ev AS (SELECT DISTINCT sh FROM g WHERE doc_id % 7 = 0),
+      |occ AS (SELECT g.doc_id, g.p FROM g JOIN ev USING (sh) WHERE g.doc_id % 7 != 0),
+      |isl AS (
+      |  SELECT doc_id, p, p + 7 AS pe,
+      |         MAX(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM occ),
+      |sp AS (
+      |  SELECT doc_id, p, pe,
+      |         SUM(CASE WHEN prev_max IS NULL OR p > prev_max + 1 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, span_id, MIN(p) AS ss, MAX(pe) AS se
+      |  FROM sp GROUP BY doc_id, span_id),
+      |per_doc AS (
+      |  SELECT doc_id AS train_doc, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |         CAST(SUM(se - ss + 1) AS BIGINT) AS contaminated_tokens,
+      |         CAST(MAX(se - ss + 1) AS BIGINT) AS max_span
+      |  FROM spans GROUP BY doc_id),
+      |nt AS (SELECT doc_id AS train_doc, CAST(len(toks) AS BIGINT) AS n_tokens FROM docs)
+      |SELECT p.train_doc, nt.n_tokens, p.n_spans, p.contaminated_tokens, p.max_span,
+      |       CAST(p.contaminated_tokens AS DOUBLE) / nt.n_tokens AS contamination_ratio
+      |FROM per_doc p JOIN nt USING (train_doc)
+      |ORDER BY train_doc""".stripMargin
 
   /** [[textDecontaminateAgainst]] with a BLOOM pre-filter on the train
     * side — the 100 TB shape when the benchmark's shingle set is too big
@@ -1068,6 +1149,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "text_decontaminate" -> (textDecontaminate _),
+    "text_decontaminate_spans" -> (textDecontaminateSpans _),
     "text_decontaminate_bloom" -> (textDecontaminateBloom _),
     "dedup_clusters" -> (dedupClusters _),
     "text_winnow_fingerprint" -> (textWinnowFingerprints _),
@@ -1080,6 +1162,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate" -> textDecontaminateSql,
+    "text_decontaminate_spans" -> textDecontaminateSpansSql,
     // no false negatives + identical exact join downstream => the bloom
     // variant provably computes the same result; it shares the oracle
     "text_decontaminate_bloom" -> textDecontaminateSql,

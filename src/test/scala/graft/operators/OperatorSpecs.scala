@@ -200,6 +200,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0), "fixture has no repeated span — test is vacuous")
   }
 
+  test("decontamination spans match a brute-force reimplementation") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").toSeq)
+      .toMap
+    def grams8(ts: Seq[String]) = ts.sliding(8).zipWithIndex
+      .collect { case (g, p) if g.length == 8 => (p, g.mkString(" ")) }.toSeq
+    val evalSet = docs.collect { case (id, ts) if id % 7 == 0 => grams8(ts) }
+      .flatten.map(_._2).toSet
+    val expected = docs.collect { case (id, ts) if id % 7 != 0 =>
+      val hitPos = grams8(ts).collect { case (p, g) if evalSet(g) => p }.sorted
+      var spans = List.empty[(Int, Int)]
+      for (p <- hitPos) spans match {
+        case (s, e) :: rest if p <= e + 1 => spans = (s, math.max(e, p + 7)) :: rest
+        case _ => spans = (p, p + 7) :: spans
+      }
+      val lens = spans.map { case (s, e) => e - s + 1 }
+      (id, ts.length.toLong, spans.length.toLong, lens.sum.toLong,
+        if (lens.isEmpty) 0L else lens.max.toLong)
+    }.filter(_._3 > 0).toSet
+    val got = Dedup.textDecontaminateSpans(spark, sf).collect().map(r =>
+      (r.getAs[Long]("train_doc"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("contaminated_tokens"),
+        r.getAs[Long]("max_span"))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture has no contaminated span — test is vacuous")
+  }
+
   test("exact dedup keeps one representative per fingerprint") {
     val df = Dedup.dedupExact(spark, sf)
     val total = graft.Tables.documents(spark, sf).count()
