@@ -1032,6 +1032,80 @@ object Dedup {
       .orderBy(col("train_doc"))
   }
 
+  /** The clip itself — the rewrite [[textDecontaminateSpans]] plans:
+    * for every contaminated train document, excise all tokens covered by
+    * an eval-matching 8-gram and re-assemble the remaining tokens in
+    * order. Output is one row per contaminated doc with the cleaned text
+    * and the kept-token count (possibly 0 tokens / empty string when the
+    * whole document is contaminated) — what a curation pipeline writes
+    * back in place of dropping the document.
+    *
+    * Cost stays linear: covered positions explode from MATCHED 8-gram
+    * starts only (≤ 8× the match count, not the corpus), kept tokens are
+    * one anti join on (doc, pos), and reassembly is a per-doc sort-merge
+    * of its own tokens — no stage touches more than the corpus token
+    * stream once.
+    */
+  def textClipContaminated(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val evSh = shingled8(docs.filter(col("doc_id") % 7 === 0)).select(col("sh"))
+    val occ = positioned8(train)
+      .join(broadcast(evSh), Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val covered = occ
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("pos"))
+      .distinct()
+    val toksPos = train.select(col("doc_id"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+    val kept = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val contaminated = covered.select(col("doc_id")).distinct()
+    val cleaned = kept
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    contaminated
+      .join(train.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id").as("train_doc"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("train_doc"))
+  }
+
+  private val textClipContaminatedSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |idx AS (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks) - 7)) AS i
+      |        FROM docs),
+      |g AS (SELECT doc_id, i AS p, array_to_string(toks[i:i+7], ' ') AS sh FROM idx),
+      |ev AS (SELECT DISTINCT sh FROM g WHERE doc_id % 7 = 0),
+      |occ AS (SELECT g.doc_id, g.p FROM g JOIN ev USING (sh) WHERE g.doc_id % 7 != 0),
+      |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(p, p + 7)) AS pos FROM occ),
+      |t AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+      |      FROM docs WHERE doc_id % 7 != 0),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos, t.tok FROM t
+      |  LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+      |  WHERE cov.doc_id IS NULL),
+      |cleaned AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+      |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id),
+      |contaminated AS (SELECT DISTINCT doc_id FROM cov),
+      |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM docs)
+      |SELECT c.doc_id AS train_doc, nt.n_tokens,
+      |       COALESCE(cleaned.kept_tokens, 0) AS kept_tokens,
+      |       COALESCE(cleaned.clean_text, '') AS clean_text
+      |FROM contaminated c
+      |JOIN nt USING (doc_id)
+      |LEFT JOIN cleaned USING (doc_id)
+      |ORDER BY train_doc""".stripMargin
+
   private val textDecontaminateSpansSql =
     """WITH docs AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -1150,6 +1224,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "text_decontaminate" -> (textDecontaminate _),
     "text_decontaminate_spans" -> (textDecontaminateSpans _),
+    "text_clip_contaminated" -> (textClipContaminated _),
     "text_decontaminate_bloom" -> (textDecontaminateBloom _),
     "dedup_clusters" -> (dedupClusters _),
     "text_winnow_fingerprint" -> (textWinnowFingerprints _),
@@ -1163,6 +1238,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "text_decontaminate" -> textDecontaminateSql,
     "text_decontaminate_spans" -> textDecontaminateSpansSql,
+    "text_clip_contaminated" -> textClipContaminatedSql,
     // no false negatives + identical exact join downstream => the bloom
     // variant provably computes the same result; it shares the oracle
     "text_decontaminate_bloom" -> textDecontaminateSql,

@@ -229,6 +229,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture has no contaminated span — test is vacuous")
   }
 
+  test("clip is consistent with the span plan it executes") {
+    val spans = Dedup.textDecontaminateSpans(spark, sf).collect()
+      .map(r => r.getAs[Long]("train_doc") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("contaminated_tokens"))).toMap
+    val clipped = Dedup.textClipContaminated(spark, sf).collect()
+    assert(clipped.map(_.getAs[Long]("train_doc")).toSet === spans.keySet,
+      "clip and span plans disagree on which docs are contaminated")
+    clipped.foreach { r =>
+      val (id, n, kept, text) = (r.getAs[Long]("train_doc"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("kept_tokens"),
+        r.getAs[String]("clean_text"))
+      val (sn, sc) = spans(id)
+      assert(n === sn)
+      assert(kept === n - sc, s"doc $id: kept $kept != $n - $sc")
+      val emitted = if (text.isEmpty) 0L else text.split(" ").length.toLong
+      assert(emitted === kept, s"doc $id: clean_text has $emitted tokens, expected $kept")
+    }
+  }
+
   test("exact dedup keeps one representative per fingerprint") {
     val df = Dedup.dedupExact(spark, sf)
     val total = graft.Tables.documents(spark, sf).count()
