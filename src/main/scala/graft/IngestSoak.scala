@@ -113,18 +113,19 @@ object IngestSoak {
         admitted.exceptAll(expected).count() + expected.exceptAll(admitted).count()
       } else {
         val admitted = operators.IncrementalNearDup.admittedSnapshot(spark, indexDir)
-        // one-shot pairwise first-wins filter, same hash ladder
+        // one-shot pairwise first-wins filter — the ingest's own predicate
+        // (nearDup, package-private) so the two definitions cannot drift
         val bands = operators.IncrementalNearDup.bandRowsOf(corpus).persist()
-        val k = operators.IncrementalNearDup.K
-        val estEq = aggregate(zip_with(col("x.sig"), col("y.sig"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v) >= k / 2
         val rejected = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
               col("y.doc_id") < col("x.doc_id"))
-          .filter(estEq)
+          .filter(operators.IncrementalNearDup.nearDup(col("x.sig"), col("y.sig")))
           .select(col("x.doc_id").as("doc_id")).distinct()
-        val expected = corpus.select(col("doc_id"))
+        // the admitted universe is docs that PRODUCE band rows (ingest
+        // derives admission from bands) — a <3-token or null-text doc has
+        // no bands and can never be admitted, so the expected set must
+        // start from the same universe, not from the raw corpus
+        val expected = bands.select(col("doc_id")).distinct()
           .join(rejected, Seq("doc_id"), "left_anti")
         val d = admitted.exceptAll(expected).count() +
           expected.exceptAll(admitted).count()

@@ -111,6 +111,10 @@ object LatencySoak {
     val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
     val segsObserved = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
     val done = new java.util.concurrent.atomic.AtomicLong(0L)
+    // first deferred-probe failure, surfaced at drain — the single-thread
+    // executor would otherwise swallow it and turn a real error into a
+    // 5-minute stall ending in a cause-free "drained X of Y"
+    val probeError = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     val changelog = streaming.CdcStream.fromFiles(spark, in)
     val q = changelog.writeStream
       .option("checkpointLocation", s"$base/ckpt")
@@ -154,11 +158,15 @@ object LatencySoak {
         // drain loop below waits on `done`, which the deferred probe
         // advances.
         probePool.execute(() => {
-          val stamps = batch.select(col("ts_ms")).collect().map(_.getLong(0))
-          stamps.foreach(s => latencies.add(commit - s))
-          if (batchId >= 2) stamps.foreach(s => steady.add(commit - s))
-          commitCosts.add(commit - t0)
-          done.addAndGet(stamps.length.toLong)
+          try {
+            val stamps = batch.select(col("ts_ms")).collect().map(_.getLong(0))
+            stamps.foreach(s => latencies.add(commit - s))
+            if (batchId >= 2) stamps.foreach(s => steady.add(commit - s))
+            commitCosts.add(commit - t0)
+            done.addAndGet(stamps.length.toLong)
+          } catch {
+            case t: Throwable => probeError.compareAndSet(null, t)
+          }
         })
         ()
       }
@@ -168,9 +176,13 @@ object LatencySoak {
     producer.join()
     // drain: wait until every produced event has been committed
     val deadline = System.currentTimeMillis() + 300000
-    while (done.get() < total && System.currentTimeMillis() < deadline)
+    while (done.get() < total && probeError.get() == null &&
+      System.currentTimeMillis() < deadline)
       Thread.sleep(200)
     q.stop(); q.awaitTermination(60000)
+    if (probeError.get() != null)
+      throw new IllegalStateException("deferred latency probe failed",
+        probeError.get())
 
     import scala.jdk.CollectionConverters._
     val ls = latencies.asScala.map(_.longValue()).toArray.sorted

@@ -31,20 +31,27 @@ object ImageHeader {
 
   val Unknown: ImageInfo = ImageInfo("unknown", -1, -1, -1, -1)
 
-  // big-endian reads, bounds-checked (truncation ⇒ None, never a throw)
+  // bounds-checked reads, BOTH ends (truncation ⇒ None, never a throw;
+  // the lower bound matters because offsets read FROM the file — the
+  // EXIF IFD0 offset — can be adversarially huge and wrap negative
+  // through .toInt)
   private def u8(b: Array[Byte], i: Int): Option[Int] =
-    if (i < b.length) Some(b(i) & 0xFF) else None
+    if (i >= 0 && i < b.length) Some(b(i) & 0xFF) else None
   private def u16be(b: Array[Byte], i: Int): Option[Int] =
-    if (i + 1 < b.length) Some(((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)) else None
+    if (i >= 0 && i + 1 < b.length)
+      Some(((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF))
+    else None
   private def u16le(b: Array[Byte], i: Int): Option[Int] =
-    if (i + 1 < b.length) Some(((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)) else None
+    if (i >= 0 && i + 1 < b.length)
+      Some(((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF))
+    else None
   private def u32be(b: Array[Byte], i: Int): Option[Long] =
-    if (i + 3 < b.length)
+    if (i >= 0 && i + 3 < b.length)
       Some(((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
         ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL))
     else None
   private def u32le(b: Array[Byte], i: Int): Option[Long] =
-    if (i + 3 < b.length)
+    if (i >= 0 && i + 3 < b.length)
       Some(((b(i + 3) & 0xFFL) << 24) | ((b(i + 2) & 0xFFL) << 16) |
         ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL))
     else None
@@ -119,6 +126,9 @@ object ImageHeader {
     def rd32(i: Int) = if (little) u32le(b, i) else u32be(b, i)
     (for {
       ifdOff <- rd32(tiff + 4)
+      // a crafted u32 offset ≥ 2^31 would wrap negative through .toInt;
+      // reject anything that cannot point inside the buffer
+      if ifdOff >= 0 && tiff.toLong + ifdOff <= b.length.toLong
       ifd = tiff + ifdOff.toInt
       nEntries <- rd16(ifd)
     } yield {
@@ -149,31 +159,38 @@ object ImageHeader {
     var i = 2 // past SOI
     var w = -1; var h = -1; var comps = -1; var orient = -1
     var done = false
-    while (!done && i + 3 < b.length) {
+    while (!done && i + 1 < b.length) {
       if ((b(i) & 0xFF) != 0xFF) { done = true } // desynced: stop, keep what we have
       else {
-        val marker = b(i + 1) & 0xFF
-        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) {
-          i += 2 // standalone markers carry no length
-        } else if (marker == 0xD9 || marker == 0xDA) {
-          done = true // EOI / start-of-scan: entropy data follows, headers over
-        } else {
-          val len = u16be(b, i + 2).getOrElse(-1)
-          if (len < 2) { done = true }
-          else {
-            val isSof = marker >= 0xC0 && marker <= 0xCF &&
-              marker != 0xC4 && marker != 0xC8 && marker != 0xCC
-            if (isSof && w < 0) {
-              // SOF payload: u8 precision, u16 height, u16 width, u8 ncomps
-              h = u16be(b, i + 5).getOrElse(-1)
-              w = u16be(b, i + 7).getOrElse(-1)
-              comps = u8(b, i + 9).getOrElse(-1)
-            } else if (marker == 0xE1 && i + 10 < b.length &&
-              b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
-              b(i + 7) == 'f' && b(i + 8) == 0 && orient < 0) {
-              orient = exifOrientation(b, i + 4, len - 2)
+        // B.1.1.2: any number of 0xFF fill bytes may pad before a marker
+        var m = i + 1
+        while (m < b.length && (b(m) & 0xFF) == 0xFF) m += 1
+        if (m >= b.length) { done = true }
+        else {
+          val marker = b(m) & 0xFF
+          val seg = m + 1 // u16 length position for length-carrying segments
+          if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) {
+            i = m + 1 // standalone markers carry no length
+          } else if (marker == 0xD9 || marker == 0xDA || marker == 0x00) {
+            done = true // EOI / start-of-scan / stuffed byte: headers over
+          } else {
+            val len = u16be(b, seg).getOrElse(-1)
+            if (len < 2) { done = true }
+            else {
+              val isSof = marker >= 0xC0 && marker <= 0xCF &&
+                marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+              if (isSof && w < 0) {
+                // SOF payload: u8 precision, u16 height, u16 width, u8 ncomps
+                h = u16be(b, seg + 3).getOrElse(-1)
+                w = u16be(b, seg + 5).getOrElse(-1)
+                comps = u8(b, seg + 7).getOrElse(-1)
+              } else if (marker == 0xE1 && seg + 8 < b.length &&
+                b(seg + 2) == 'E' && b(seg + 3) == 'x' && b(seg + 4) == 'i' &&
+                b(seg + 5) == 'f' && b(seg + 6) == 0 && orient < 0) {
+                orient = exifOrientation(b, seg + 2, len - 2)
+              }
+              i = seg + len
             }
-            i += 2 + len
           }
         }
       }

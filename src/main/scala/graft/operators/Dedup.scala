@@ -186,7 +186,6 @@ object Dedup {
       .select(col("doc_id"), col("n"),
         transform(sequence(lit(0), lit(g - 1)),
           j => size(filter(col("pl"), x => x === j)).cast("short")).as("cnt"))
-    val sizes = perDoc.select(col("doc_id"), col("n"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
@@ -373,7 +372,15 @@ object Dedup {
     */
   val LshBucketCap = 2000L
 
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashLshCapped(s, dir, LshBucketCap)
+
+  /** [[dedupMinhashLsh]] with an explicit bucket cap — `Long.MaxValue`
+    * recovers the pure uncapped banding (the recall-A/B baseline);
+    * tiny caps force the identical-signature rescue on the whole
+    * corpus (spec-pinned).
+    */
+  def dedupMinhashLshCapped(s: SparkSession, dir: String, cap: Long): DataFrame = {
     val k = 32
     val bands = 8
     val rows = k / bands
@@ -391,16 +398,42 @@ object Dedup {
     // so filtering after would not help)
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bh"))
-    val eligible = banded
-      .withColumn("bn", count(lit(1)).over(wBucket))
-      .filter(col("bn") <= LshBucketCap)
+    val sized = banded.withColumn("bn", count(lit(1)).over(wBucket))
+    val eligible = sized
+      .filter(col("bn") <= cap)
       .select(col("doc_id"), col("band"), col("bh"))
     val cand = eligible.as("x").join(eligible.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val est = cand
+    // IDENTICAL-SIGNATURE RESCUE for over-cap buckets. A bare cap loses
+    // every pair whose agreeing bands are all degenerate — catastrophic
+    // for exactly the truest duplicates: a cluster of > cap docs sharing
+    // the SAME signature has all 8 of its band buckets over cap, so the
+    // bare cap silently drops the whole cluster. Docs seen in any
+    // over-cap bucket are re-blocked by their FULL 32-slot signature:
+    // equal-signature pairs (est = 1.0) are emitted from that equality
+    // join, whose fan-out is Σ(equal-signature group size)² — every such
+    // pair is REAL OUTPUT (est 1.0 ≥ 0.5), so the rescue is output-
+    // bound, never a revived bucket quadratic. The declared semantics
+    // (mirrored exactly in the DuckDB oracle at every scale): banding,
+    // minus over-cap buckets, plus equal-full-signature pairs among
+    // over-cap members. What remains lost vs pure banding is the
+    // probabilistic tail — pairs whose EVERY agreeing band is degenerate
+    // AND whose signatures differ somewhere (est < 1.0); no scheme can
+    // recover those without re-running the bucket quadratic the cap
+    // exists to prevent.
+    val overCapDocs = sized.filter(col("bn") > cap)
+      .select(col("doc_id")).distinct()
+    val fullSig = sigArr
+      .join(overCapDocs, "doc_id")
+      .select(col("doc_id"),
+        array_join(transform(col("sig"), v => v.cast("string")), ",").as("fs"))
+    val rescue = fullSig.as("x").join(fullSig.as("y"),
+        col("x.fs") === col("y.fs") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val est = cand.unionByName(rescue).distinct()
       .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
@@ -427,14 +460,35 @@ object Dedup {
     }
     val eqSum = (0 until k)
       .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    val fullSig = (0 until k).map(i => s"CAST(m$i AS VARCHAR)")
+      .mkString(" || ',' || ")
+    // the cap + identical-signature rescue are part of the DECLARED
+    // semantics, so the oracle replays them exactly (see LshBucketCap
+    // and the rescue comment in dedupMinhashLshCapped) — both engines
+    // agree at EVERY corpus scale, not just where no bucket is over cap
     s"""$shinglesCte,
        |hs AS (SELECT doc_id, sh AS h FROM sh),
        |sig AS (SELECT doc_id, ${perms.mkString(", ")} FROM hs GROUP BY doc_id),
        |banded AS (${bandRows.mkString(" UNION ALL ")}),
+       |bsz AS (SELECT band, bh, COUNT(*) AS bn FROM banded GROUP BY band, bh),
+       |eligible AS (
+       |  SELECT banded.doc_id, banded.band, banded.bh
+       |  FROM banded JOIN bsz USING (band, bh) WHERE bn <= $LshBucketCap),
+       |overcap AS (
+       |  SELECT DISTINCT banded.doc_id
+       |  FROM banded JOIN bsz USING (band, bh) WHERE bn > $LshBucketCap),
+       |fs AS (
+       |  SELECT sig.doc_id, $fullSig AS fsig
+       |  FROM sig JOIN overcap ON overcap.doc_id = sig.doc_id),
        |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM eligible x JOIN eligible y
+       |      ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |    UNION ALL
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM fs x JOIN fs y
+       |      ON x.fsig = y.fsig AND x.doc_id < y.doc_id)),
        |est AS (
        |  SELECT doc_a, doc_b, CAST($eqSum AS DOUBLE) / $k AS est_jaccard
        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)

@@ -95,7 +95,7 @@ object IncrementalNearDup {
   /** est-Jaccard ≥ 0.5 over two 32-slot signature arrays — matches/K as
     * in the one-shot rung; ≥ 0.5 ⟺ ≥ 16 equal slots (integer-exact).
     */
-  private def nearDup(a: Column, b: Column): Column =
+  private[graft] def nearDup(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x) >= K / 2
 

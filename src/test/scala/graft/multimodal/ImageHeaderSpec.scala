@@ -104,6 +104,42 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(ImageHeader.parse(topDown) === ImageInfo("bmp", 640, 480, 3, -1))
   }
 
+  test("0xFF fill bytes before markers are skipped (B.1.1.2 padding)") {
+    def be16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    // SOI, two fill bytes, COM, three fill bytes, SOF0 5x7, EOI
+    val com = Array(0xFF, 0xFE).map(_.toByte) ++ be16(4) ++
+      "hi".getBytes("US-ASCII")
+    val sof = Array(0xFF, 0xC0).map(_.toByte) ++ be16(11) ++
+      (Array[Byte](8) ++ be16(7) ++ be16(5) ++ Array[Byte](1, 0x11, 0))
+    val jpeg = Array(0xFF, 0xD8).map(_.toByte) ++
+      Array(0xFF.toByte, 0xFF.toByte) ++ com ++
+      Array(0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++ sof ++
+      Array(0xFF, 0xD9).map(_.toByte)
+    assert(ImageHeader.parse(jpeg) === ImageInfo("jpeg", 5, 7, 1, -1))
+  }
+
+  test("adversarial EXIF IFD offsets never throw: negative wrap and out-of-range") {
+    def be16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Long) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def jpegWithIfdOff(off: Long): Array[Byte] = {
+      val tiff = "II".getBytes("US-ASCII") ++ le16(42) ++ le32(off) ++
+        Array.fill[Byte](8)(0)
+      val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      Array(0xFF, 0xD8).map(_.toByte) ++
+        Array(0xFF, 0xE1).map(_.toByte) ++ be16(payload.length + 2) ++ payload ++
+        Array(0xFF, 0xD9).map(_.toByte)
+    }
+    // 0x80000080 wraps negative through .toInt; 0xFFFFFFFF is the all-ones
+    // extreme; a large positive in-u32 offset lands far past the buffer
+    for (off <- Seq(0x80000080L, 0xFFFFFFFFL, 1000000L)) {
+      val info = ImageHeader.parse(jpegWithIfdOff(off))
+      assert(info.format === "jpeg" && info.orientation === -1,
+        s"ifd offset $off must classify, not throw")
+    }
+  }
+
   test("truncated, non-image, and null inputs never throw") {
     val png = Multimodal.BlobBuilders.png(640, 480)
     for (cut <- 0 to png.length)

@@ -165,6 +165,29 @@ class DedupSpec extends AnyFunSuite {
       "prefix-filtered build diverges from the brute count join")
   }
 
+  test("minhash bucket cap + identical-signature rescue semantics") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val uncappedRows = Dedup.dedupMinhashLshCapped(spark, sf, Long.MaxValue).collect()
+    val uncapped = uncappedRows
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // fixture buckets are far under the production cap: output identical
+    assert(pairSet(Dedup.dedupMinhashLsh(spark, sf)) === uncapped)
+    // cap = 0 forces every bucket over cap: eligible side empty, output
+    // is the pure identical-signature rescue — exactly the est = 1.0
+    // subset of the uncapped pairs (est 1.0 ⟺ all 32 slots equal ⟺ same
+    // full signature), each emitted at est 1.0
+    val rescueRows = Dedup.dedupMinhashLshCapped(spark, sf, 0L).collect()
+    assert(rescueRows.forall(_.getAs[Double]("est_jaccard") == 1.0))
+    val expectedRescue = uncappedRows
+      .filter(_.getAs[Double]("est_jaccard") == 1.0)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(rescueRows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet === expectedRescue)
+    assert(expectedRescue.nonEmpty,
+      "fixture has no identical-signature pair — rescue test is vacuous")
+  }
+
   test("repeated spans match a brute-force reimplementation") {
     // independent Scala reimplementation on the collected fixture: exact
     // string 3-grams (no hashing), cross-doc presence count, interval
