@@ -118,17 +118,25 @@ object ImageHeader {
     */
   private def exifOrientation(b: Array[Byte], app1Start: Int, app1Len: Int): Int = {
     val tiff = app1Start + 6 // past "Exif\0\0"
-    if (app1Len < 14 || tiff + 8 > b.length) return -1
+    // every IFD read is clamped to the APP1 SEGMENT, not the whole file:
+    // an offset pointing past the payload (but inside the buffer) must
+    // not walk other segments' or entropy bytes as IFD entries
+    val segEnd = math.min(b.length.toLong, app1Start.toLong + app1Len)
+    if (app1Len < 14 || tiff + 8 > segEnd) return -1
     val little = (b(tiff) & 0xFF) == 0x49 && (b(tiff + 1) & 0xFF) == 0x49
     val big = (b(tiff) & 0xFF) == 0x4D && (b(tiff + 1) & 0xFF) == 0x4D
     if (!little && !big) return -1
-    def rd16(i: Int) = if (little) u16le(b, i) else u16be(b, i)
-    def rd32(i: Int) = if (little) u32le(b, i) else u32be(b, i)
+    def rd16(i: Int): Option[Int] =
+      if (i.toLong + 2 > segEnd) None
+      else if (little) u16le(b, i) else u16be(b, i)
+    def rd32(i: Int): Option[Long] =
+      if (i.toLong + 4 > segEnd) None
+      else if (little) u32le(b, i) else u32be(b, i)
     (for {
       ifdOff <- rd32(tiff + 4)
       // a crafted u32 offset ≥ 2^31 would wrap negative through .toInt;
-      // reject anything that cannot point inside the buffer
-      if ifdOff >= 0 && tiff.toLong + ifdOff <= b.length.toLong
+      // reject anything that cannot point inside the segment
+      if ifdOff >= 0 && tiff.toLong + ifdOff <= segEnd
       ifd = tiff + ifdOff.toInt
       nEntries <- rd16(ifd)
     } yield {
@@ -138,7 +146,9 @@ object ImageHeader {
         val entry = ifd + 2 + e * 12
         (rd16(entry), rd16(entry + 2)) match {
           case (Some(0x0112), Some(3)) => // tag=Orientation, type=SHORT
-            out = rd16(entry + 8).getOrElse(-1)
+            // the documented contract is 1-8; anything else (corrupt
+            // value, or stray bytes matching the tag pattern) is "absent"
+            out = rd16(entry + 8).filter(v => v >= 1 && v <= 8).getOrElse(-1)
           case _ => ()
         }
         e += 1

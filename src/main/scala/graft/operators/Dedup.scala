@@ -393,9 +393,15 @@ object Dedup {
           v => v.cast("string")), ","))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     // bucket-size window shares the (band, bh) shuffle the self-join
-    // needs anyway; the filter drops degenerate buckets BEFORE the join
-    // fan-out (see LshBucketCap — the quadratic lives in the join output,
-    // so filtering after would not help)
+    // needs anyway (ReusedExchange serves both join sides); the filter
+    // drops degenerate buckets BEFORE the join fan-out (see LshBucketCap
+    // — the quadratic lives in the join output, so filtering after would
+    // not help). Measured in both directions at sf10: the "cheaper"
+    // aggregate-overcap-keys + broadcast anti/semi formulation ran
+    // 15.2 s warm vs this window plan's 10.2 s — when nearly every
+    // bucket is unique the groupBy(band,bh) aggregate gets no combiner
+    // reduction and its shuffle is pure addition, while the window rides
+    // the join's own exchange.
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bh"))
     val sized = banded.withColumn("bn", count(lit(1)).over(wBucket))
@@ -1069,13 +1075,26 @@ object Dedup {
     * distinct before the join — still linear, never pairwise), and the
     * span merge is the shared per-doc gaps-and-islands window.
     */
-  def textDecontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+  /** (train frame, matched positional-8-gram occurrences `(doc_id, pos)`)
+    * for the %7 benchmark split — the ONE definition of "contaminated
+    * position" that both [[textDecontaminateSpans]] and
+    * [[textClipContaminated]] consume. The clip's correctness story is
+    * "executes exactly the plan the span query computes"; sharing this
+    * makes that identity structural instead of textual duplication.
+    */
+  private def contaminatedOcc(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
     val train = docs.filter(col("doc_id") % 7 =!= 0)
     val evSh = shingled8(docs.filter(col("doc_id") % 7 === 0)).select(col("sh"))
     val occ = positioned8(train)
       .join(broadcast(evSh), Seq("sh"), "left_semi")
-      .select(col("doc_id"), col("pos").as("p"))
+      .select(col("doc_id"), col("pos"))
+    (train, occ)
+  }
+
+  def textDecontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val (train, occ0) = contaminatedOcc(s, dir)
+    val occ = occ0.select(col("doc_id"), col("pos").as("p"))
     spanStats(occ, k = 8)
       .join(train.select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
@@ -1101,12 +1120,7 @@ object Dedup {
     * stream once.
     */
   def textClipContaminated(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val train = docs.filter(col("doc_id") % 7 =!= 0)
-    val evSh = shingled8(docs.filter(col("doc_id") % 7 === 0)).select(col("sh"))
-    val occ = positioned8(train)
-      .join(broadcast(evSh), Seq("sh"), "left_semi")
-      .select(col("doc_id"), col("pos"))
+    val (train, occ) = contaminatedOcc(s, dir)
     val covered = occ
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("pos"))
       .distinct()

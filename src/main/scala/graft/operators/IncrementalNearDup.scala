@@ -333,9 +333,15 @@ object IncrementalNearDup {
        |  SELECT DISTINCT doc_b FROM cand
        |  JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
        |  WHERE $eqSum >= ${K / 2})
-       |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM docs
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM sig
        |WHERE doc_id NOT IN (SELECT doc_b FROM rejected)
        |ORDER BY doc_id""".stripMargin
+    // admitted universe is SIG (docs that produce band rows), not DOCS:
+    // a <3-token or null-text doc has no shingles, hence no signature and
+    // no band rows, and the ingest (which derives admission from band
+    // rows) can never admit it — the oracle must start from the same
+    // universe or it would spuriously include short docs the engine
+    // structurally excludes (same invariant as IngestSoak's expected set)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
