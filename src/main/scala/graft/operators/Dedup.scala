@@ -1119,30 +1119,105 @@ object Dedup {
     * of its own tokens — no stage touches more than the corpus token
     * stream once.
     */
-  def textClipContaminated(s: SparkSession, dir: String): DataFrame = {
-    val (train, occ) = contaminatedOcc(s, dir)
+  /** Clip executor shared by [[textClipContaminated]] (k=8, eval-matching
+    * spans) and [[dedupClipRepeated]] (k=3, non-canonical duplicated
+    * spans): given a docs universe and marked k-gram start occurrences
+    * `(doc_id, pos)`, excise every covered token and re-assemble the
+    * survivors in order — one row per AFFECTED doc (doc_id, n_tokens,
+    * kept_tokens, clean_text; empty string when fully covered). Covered
+    * positions explode from matched starts only (≤ k× the match count),
+    * kept tokens are one (doc, pos) anti join, reassembly a per-doc sort
+    * of its own tokens — all linear.
+    */
+  private def clipSpans(docs: DataFrame, occ: DataFrame, k: Int): DataFrame = {
     val covered = occ
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("pos"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
       .distinct()
-    val toksPos = train.select(col("doc_id"),
+    val toksPos = docs.select(col("doc_id"),
       posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
     val kept = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
-    val contaminated = covered.select(col("doc_id")).distinct()
+    val affected = covered.select(col("doc_id")).distinct()
     val cleaned = kept
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("kept_tokens"),
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")), " ").as("clean_text"))
-    contaminated
-      .join(train.select(col("doc_id"),
+    affected
+      .join(docs.select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
       .join(cleaned, Seq("doc_id"), "left")
-      .select(col("doc_id").as("train_doc"), col("n_tokens"),
+      .select(col("doc_id"), col("n_tokens"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-      .orderBy(col("train_doc"))
+      .orderBy(col("doc_id"))
   }
+
+  def textClipContaminated(s: SparkSession, dir: String): DataFrame = {
+    val (train, occ) = contaminatedOcc(s, dir)
+    clipSpans(train, occ, k = 8)
+      .withColumnRenamed("doc_id", "train_doc")
+  }
+
+  /** Self-dedup clip — the first-wins span-removal rewrite (the Lee et
+    * al. "keep one copy" discipline at span granularity): for every
+    * word-3-gram shared by ≥ 2 documents, the CANONICAL document is the
+    * smallest doc_id containing it (the same first-wins rule the exact
+    * dedup and incremental-admission rungs use); every occurrence in a
+    * NON-canonical document is clipped, so exactly one copy of each
+    * repeated span survives in the corpus. Output is one row per
+    * affected doc with the cleaned text. Plan shape: the canonical map
+    * is one aggregate over the shared distinct (doc, shingle-hash)
+    * index; occurrence tagging one 8-byte-key hash join; the clip is
+    * [[clipSpans]] — all linear, no pairwise stage.
+    */
+  def dedupClipRepeated(s: SparkSession, dir: String): DataFrame = {
+    val canon = docShingles(s, dir).groupBy(col("sh"))
+      .agg(count(lit(1)).as("docs_with"), min(col("doc_id")).as("canon"))
+      .filter(col("docs_with") >= 2)
+      .select(col("sh"), col("canon"))
+    val occ = positionedShingles(s, dir)
+      .select(col("doc_id"), col("p").as("pos"), md5Long60(col("sh")).as("sh"))
+      .join(canon, "sh")
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"), col("pos"))
+    clipSpans(Tables.documents(s, dir), occ, k = 3)
+  }
+
+  private val dedupClipRepeatedSql =
+    s"""$shinglesCte,
+      |occ AS (
+      |  SELECT a.doc_id, a.p,
+      |    ('0x' || substr(md5(a.tok || ' ' || b.tok || ' ' || c.tok), 1, 15))::BIGINT AS h
+      |  FROM t a
+      |  JOIN t b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      |  JOIN t c ON a.doc_id = c.doc_id AND c.p = a.p + 2),
+      |canon AS (
+      |  SELECT sh AS h, MIN(doc_id) AS canon FROM sh
+      |  GROUP BY sh HAVING COUNT(*) >= 2),
+      |d_occ AS (
+      |  SELECT occ.doc_id, occ.p FROM occ JOIN canon USING (h)
+      |  WHERE occ.doc_id != canon.canon),
+      |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(p, p + 2)) AS pos
+      |        FROM d_occ),
+      |kept AS (
+      |  SELECT t.doc_id, t.p AS pos, t.tok FROM t
+      |  LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.p = cov.pos
+      |  WHERE cov.doc_id IS NULL),
+      |cleaned AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+      |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id),
+      |affected AS (SELECT DISTINCT doc_id FROM cov),
+      |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM docs)
+      |SELECT a.doc_id, nt.n_tokens,
+      |       COALESCE(cleaned.kept_tokens, 0) AS kept_tokens,
+      |       COALESCE(cleaned.clean_text, '') AS clean_text
+      |FROM affected a
+      |JOIN nt USING (doc_id)
+      |LEFT JOIN cleaned USING (doc_id)
+      |ORDER BY a.doc_id""".stripMargin
 
   private val textClipContaminatedSql =
     """WITH docs AS (
@@ -1298,6 +1373,7 @@ object Dedup {
     "text_winnow_fingerprint" -> (textWinnowFingerprints _),
     "dedup_exact" -> (dedupExact _),
     "dedup_repeated_spans" -> (dedupRepeatedSpans _),
+    "dedup_clip_repeated" -> (dedupClipRepeated _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1313,6 +1389,7 @@ object Dedup {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_repeated_spans" -> dedupRepeatedSpansSql,
+    "dedup_clip_repeated" -> dedupClipRepeatedSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -252,6 +252,43 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture has no contaminated span — test is vacuous")
   }
 
+  test("self-dedup clip matches a brute-force reimplementation (first-wins canonical)") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").toSeq)
+      .toMap
+    val grams = docs.map { case (id, ts) =>
+      id -> ts.sliding(3).zipWithIndex
+        .collect { case (g, p) if g.length == 3 => (p, g) }.toSeq
+    }
+    val byGram = grams.toSeq
+      .flatMap { case (id, gs) => gs.map { case (_, g) => (g, id) } }
+      .groupBy(_._1).map { case (g, xs) =>
+        val ids = xs.map(_._2).distinct
+        g -> (ids.size, ids.min)
+      }
+    val expected = docs.flatMap { case (id, ts) =>
+      val clipPos = grams(id).collect {
+        case (p, g) if byGram(g)._1 >= 2 && byGram(g)._2 != id => p
+      }.sorted
+      if (clipPos.isEmpty) None
+      else {
+        val covered = clipPos.flatMap(p => p to p + 2).toSet
+        val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        Some((id, ts.length.toLong, kept.length.toLong, kept.mkString(" ")))
+      }
+    }.toSet
+    val got = Dedup.dedupClipRepeated(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("kept_tokens"), r.getAs[String]("clean_text"))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture has no clipped doc — test is vacuous")
+    // the globally smallest doc_id is canonical for every gram it holds:
+    // first-wins means it is never clipped
+    assert(!got.exists(_._1 == docs.keySet.min))
+  }
+
   test("clip is consistent with the span plan it executes") {
     val spans = Dedup.textDecontaminateSpans(spark, sf).collect()
       .map(r => r.getAs[Long]("train_doc") ->
