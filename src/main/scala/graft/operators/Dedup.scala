@@ -825,6 +825,80 @@ object Dedup {
        |SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- quality retention
+  /** Quality-aware canonical retention: per near-dup cluster, keep the
+    * HIGHEST-QUALITY member (max [[TextAnalysis.textQuality]] score,
+    * min doc_id on ties) instead of [[dedupClusters]]' min-id
+    * representative — the curation move real pipelines make (CCNet/C4
+    * lineage: among duplicates, retain the cleanest copy, not the one
+    * that happened to be crawled first).
+    *
+    * Shape at 100 TB: the cluster assignment is the CC pass (already
+    * scaled — edge-induced subgraph only), the score is map-only over the
+    * corpus scan, and the retention itself is ONE hash aggregation on
+    * cluster id with map-side partial `max_by` — no window over the
+    * corpus, no second shuffle. Ties are impossible in the `max_by`
+    * ordering (the struct's second field, −doc_id, is unique), so the
+    * result is deterministic under any partitioning.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val quality = Tables.documents(s, dir).select(
+      col("doc_id"),
+      (size(array_distinct(toks)).cast("double") / size(toks) *
+        (lit(1.0) -
+          TextFns.countIn(toks, TextAnalysis.stopwords).cast("double") /
+            size(toks))).as("score"))
+    dedupClusters(s, dir)
+      .join(quality, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(struct(col("doc_id"), col("score")),
+          struct(col("score"), -col("doc_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("best.doc_id").as("doc_id"),
+        col("best.score").as("score"), col("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  private val dedupKeepBestSql = {
+    val stop = TextAnalysis.stopwords.map(w => s"'$w'")
+      .mkString("t -> t IN (", ", ", ")")
+    s"""${shinglesCte.replaceFirst("WITH docs AS", "WITH RECURSIVE docs AS")},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL SELECT doc_b, doc_a FROM edges),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM docs
+       |  UNION
+       |  SELECT und.dst, reach.lbl FROM reach JOIN und ON und.src = reach.id),
+       |clusters AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+       |q AS (
+       |  SELECT doc_id,
+       |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) *
+       |      (1.0 - CAST(len(list_filter(toks, $stop)) AS DOUBLE) / len(toks))
+       |      AS score
+       |  FROM docs),
+       |j AS (
+       |  SELECT c.cluster, c.doc_id, q.score,
+       |    COUNT(*) OVER (PARTITION BY c.cluster) AS n_members,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster
+       |                       ORDER BY q.score DESC, c.doc_id) AS rn
+       |  FROM clusters c JOIN q USING (doc_id))
+       |SELECT cluster, doc_id, score, n_members FROM j WHERE rn = 1
+       |ORDER BY cluster""".stripMargin
+  }
+
   // --------------------------------------------------------- winnowing
   /** Winnowing document fingerprints (the MOSS scheme): hash every
     * positional 3-gram shingle (rolling k-gram), then keep the minimum
@@ -1370,6 +1444,7 @@ object Dedup {
     "text_clip_contaminated" -> (textClipContaminated _),
     "text_decontaminate_bloom" -> (textDecontaminateBloom _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "text_winnow_fingerprint" -> (textWinnowFingerprints _),
     "dedup_exact" -> (dedupExact _),
     "dedup_repeated_spans" -> (dedupRepeatedSpans _),
@@ -1387,6 +1462,7 @@ object Dedup {
     // variant provably computes the same result; it shares the oracle
     "text_decontaminate_bloom" -> textDecontaminateSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_repeated_spans" -> dedupRepeatedSpansSql,
     "dedup_clip_repeated" -> dedupClipRepeatedSql,

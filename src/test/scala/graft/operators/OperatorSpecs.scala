@@ -315,6 +315,28 @@ class DedupSpec extends AnyFunSuite {
     val dups = df.agg(org.apache.spark.sql.functions.sum("n_dups")).head.getLong(0)
     assert(kept + dups === total)
   }
+
+  test("keep-best retains the max-quality member of every cluster") {
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+    val kept = Dedup.dedupKeepBest(spark, sf).collect()
+    assert(kept.map(_.getAs[Long]("cluster")).toSet ===
+      clusters.map(_._2).toSet)
+    assert(kept.length === clusters.map(_._2).distinct.length)
+    val score = TextAnalysis.textQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val byCluster = clusters.groupBy(_._2)
+    kept.foreach { r =>
+      val members = byCluster(r.getAs[Long]("cluster")).map(_._1)
+      assert(r.getAs[Long]("n_members") === members.length.toLong)
+      val (bestScore, negId) = members.map(d => (score(d), -d)).max
+      assert(r.getAs[Long]("doc_id") === -negId)
+      assert(r.getAs[Double]("score") === bestScore)
+    }
+    // the fixture's injected near-dups guarantee a non-trivial cluster,
+    // so the retention choice is actually exercised
+    assert(kept.exists(_.getAs[Long]("n_members") > 1))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
