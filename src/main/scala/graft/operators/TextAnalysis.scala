@@ -577,6 +577,65 @@ object TextAnalysis {
        |       (cum_tokens - n_tokens) // $packBudget AS shard
        |FROM t ORDER BY source, doc_id""".stripMargin
 
+  // ------------------------------------------------- epoch shuffle+pack
+  /** Seeded deterministic epoch shuffle + in-shard packing: the step that
+    * turns a curated corpus into ONE training epoch's read order. A new
+    * seed is a new epoch permutation; the whole assignment is a pure
+    * function of (corpus, seed) — reproducible across runs, engines, and
+    * partitionings, resumable mid-epoch from (shard, pos).
+    *
+    * Scale shape (the reason this is NOT `ORDER BY rand()`): a global
+    * sort of 100 TB is an all-data range-exchange whose skew is hostage
+    * to the sampler. Here the permutation is hash-factored instead —
+    * shard = uniform hash bucket (map-only, balanced by construction),
+    * order WITHIN shard = the same hash (one shuffle on shard id, local
+    * sort per shard, `pos`/`file_in_shard` from one window pass). Readers
+    * stream shards independently; no stage ever sees a global order.
+    * The in-shard token packing reuses [[packBudget]] greedy fill, so a
+    * packed file is the unit a data loader maps to one sequence batch.
+    */
+  def textShufflePack(s: SparkSession, dir: String): DataFrame = {
+    val shards = 8L
+    val rank = md5(concat_ws("|", lit("epoch-0"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), rank.as("rk"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        pmod(conv(substring(col("rk"), 1, 15), 16, 10).cast("long"),
+          lit(shards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wRun))
+      .withColumn("file_in_shard",
+        expr(s"(cum_tokens - n_tokens) div $packBudget"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+        col("file_in_shard"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private val textShufflePackSql =
+    s"""WITH r AS (
+       |  SELECT doc_id, md5('epoch-0' || '|' || doc_id) AS rk,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, rk, n_tokens,
+       |    ('0x' || substr(rk, 1, 15))::BIGINT % 8 AS shard
+       |  FROM r),
+       |t AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rk, doc_id)
+       |      AS BIGINT) AS pos,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY rk, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM s)
+       |SELECT doc_id, shard, pos, n_tokens,
+       |       (cum_tokens - n_tokens) // $packBudget AS file_in_shard
+       |FROM t ORDER BY shard, pos""".stripMargin
+
   // ------------------------------------------------------- fuzzy match
   /** Edit-distance fuzzy matching over a bounded sample (doc_id < 30
     * pairwise on 60-char prefixes): the string-similarity complement to
@@ -680,6 +739,7 @@ object TextAnalysis {
     "text_sample_stratified" -> (textSampleStratified _),
     "text_ngram_topk" -> (textNgramTopk _),
     "text_pack_shards" -> (textPackShards _),
+    "text_shuffle_pack" -> (textShufflePack _),
     "text_sample_mixture" -> (textSampleMixture _),
     "text_repetition" -> (textRepetition _),
     "corpus_domain_report" -> (corpusDomainReport _))
@@ -698,6 +758,7 @@ object TextAnalysis {
     "text_sample_stratified" -> textSampleStratifiedSql,
     "text_ngram_topk" -> textNgramTopkSql,
     "text_pack_shards" -> textPackShardsSql,
+    "text_shuffle_pack" -> textShufflePackSql,
     "text_sample_mixture" -> textSampleMixtureSql,
     "text_repetition" -> textRepetitionSql,
     "corpus_domain_report" -> corpusDomainReportSql)

@@ -856,6 +856,32 @@ class TextCensusSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle-pack: a seeded permutation — every doc once, shards balanced, files contiguous") {
+    val rows = TextAnalysis.textShufflePack(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === total)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length.toLong === total)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.forall(s => s >= 0 && s < 8))
+    // uniform-hash balance: no shard more than 2x the mean (500 docs / 8)
+    val sizes = byShard.values.map(_.length)
+    assert(sizes.max <= 2 * (total / 8).toInt, s"skewed shards: $sizes")
+    byShard.values.foreach { docs =>
+      val inOrder = docs.sortBy(_.getAs[Long]("pos"))
+      // pos is 1..n dense, file ids start at 0 and never decrease or skip
+      assert(inOrder.map(_.getAs[Long]("pos")).toSeq ===
+        (1L to docs.length.toLong))
+      // greedy fill: file ids start at 0 and never decrease (a jump > 1
+      // is possible only when one doc alone spans a whole budget)
+      val files = inOrder.map(_.getAs[Long]("file_in_shard")).toSeq
+      assert(files.head === 0L)
+      assert(files.sliding(2).forall {
+        case Seq(a, b) => b >= a
+        case _         => true
+      })
+    }
+  }
+
   test("bloom-prefiltered decontaminate == exact form; plan carries the bloom probe") {
     val exact = Dedup.textDecontaminate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

@@ -78,6 +78,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(source"), s"cumsum must shuffle by source:\n$p")
   }
 
+  test("shuffle-pack: windows partition by shard — the epoch order is never a global sort") {
+    val p = plan(TextAnalysis.textShufflePack(spark, sf))
+    assert(p.contains("hashpartitioning(shard"), s"epoch windows must shuffle by shard:\n$p")
+    assert(!p.contains("SinglePartition"), s"global window found:\n$p")
+  }
+
   test("decontaminate: eval side broadcasts; filters push to both scans") {
     val p = plan(Dedup.textDecontaminate(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
