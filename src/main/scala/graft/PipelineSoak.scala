@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end continuous-curation soak: the WHOLE training-data pipeline
+  * the engine's pieces exist for, run as one checkpointed stream —
+  *
+  *   crawl drops → quality gate → incremental EXACT dedup → incremental
+  *   NEAR-dup admission → curated corpus → seeded epoch shuffle + packed
+  *   shard write
+  *
+  * Each micro-batch runs the stages in cheapest-first order (the pure
+  * per-doc gate BEFORE any index I/O; the 32-byte-key exact index before
+  * the banded near-dup index), so every downstream stage sees only the
+  * upstream survivors. Both persisted indexes are keyed by the SAME
+  * foreachBatch batchId: a crash anywhere between the two manifest
+  * commits and the checkpoint commit replays the batch, the exact
+  * index's recorded-fingerprint guard turns its replay into an
+  * idempotent no-op RETURNING THE SAME SURVIVORS, and the near-dup
+  * ingest therefore re-sees byte-identical input — exactly-once
+  * composition across two independent state stores from one checkpoint,
+  * the same contract `CdcStream` documents for its single store.
+  *
+  * After the stream drains, the curated corpus (near-dup admitted ids
+  * joined back to text) is shuffled into epoch order and written as
+  * hash-sharded parquet ([[operators.TextAnalysis.shufflePackOf]]).
+  *
+  * The consistency assertion (printed as `pipeline_diff`, must be 0):
+  * the streamed result EQUALS the one-shot pipeline over the whole
+  * corpus — gate, then min-doc_id-per-fingerprint, then the pairwise
+  * first-wins near-dup filter (the ingest's own `nearDup` predicate, so
+  * the two definitions cannot drift). The gate is a pure per-doc filter
+  * and drops arrive in ascending doc_id ranges, so chunked ≡ one-shot
+  * holds stage by stage (the IncrementalDedupSpec argument, composed).
+  *
+  * Usage: `graft.PipelineSoak [nDocs] [nBatches] [workDir] [tau]`
+  * (tau = quality-score admission threshold; adaptive async compaction
+  * fixed at 8 segments/bucket on both indexes — the production stance).
+  */
+object PipelineSoak {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(8)
+    val base = args.lift(2).filter(_.nonEmpty).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-pipeline-soak").toString)
+    val tau = args.lift(3).map(_.toDouble).getOrElse(0.5)
+    val compactWhenSegments = 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    ScaleProbe.writeDocuments(spark, s"$base/corpus", nDocs)
+    val corpus = spark.read.parquet(s"$base/corpus/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val per = (nDocs + nBatches - 1) / nBatches
+    (0 until nBatches).foreach { b =>
+      corpus.filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(f"$base/drops/d$b%03d")
+    }
+
+    val exactDir = s"$base/exact-index"
+    val ndDir = s"$base/nd-index"
+    val gate = operators.TextAnalysis.scoreExpr(col("text")) >= tau
+
+    // per-drop stage counts + wall times (onBatch-to-onBatch deltas;
+    // AvailableNow runs drops back to back)
+    case class DropStat(batchId: Long, raw: Long, gated: Long,
+                        exact: Long, admitted: Long)
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[DropStat]()
+    val batchEnds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+
+    val stream = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/drops/d*")
+    val t0 = System.nanoTime()
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val raw = batch.count()
+        // three downstream consumers (exact ingest, nd join, count) —
+        // pin the gated frame once instead of re-filtering the batch
+        val gated = batch.filter(gate).persist()
+        try {
+          // stage 2: exact admission (32-byte fingerprint index)
+          val exactSurvivors =
+            operators.IncrementalDedup.ingest(s, exactDir, gated, batchId)
+          // stage 3: near-dup admission over the exact survivors only
+          val ndInput = gated.join(
+            exactSurvivors.select(col("doc_id")), Seq("doc_id"))
+          val admitted =
+            operators.IncrementalNearDup.ingest(s, ndDir, ndInput, batchId)
+          stats.add(DropStat(batchId, raw, gated.count(),
+            exactSurvivors.count(), admitted.count()))
+        } finally gated.unpersist()
+        // adaptive async compaction on BOTH indexes — the fold runs on a
+        // background thread racing later drops (locked leased-read
+        // ingest protocol), never on this hot path
+        Seq(exactDir, ndDir).foreach { d =>
+          val m = streaming.BucketState.readManifest(s, d)
+          val maxSegs =
+            if (m.buckets.isEmpty) 0 else m.buckets.values.map(_.size).max
+          if (maxSegs >= compactWhenSegments)
+            streaming.BucketState.maybeCompactConcurrent(s, d, async = true)
+        }
+        batchEnds.add(System.nanoTime())
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    Seq(exactDir, ndDir).foreach { d =>
+      while (streaming.BucketState.compactionInFlight(d)) Thread.sleep(100)
+    }
+    val streamSec = (System.nanoTime() - t0) / 1e9
+
+    // ---- one-shot equivalence over the whole corpus ------------------
+    val gatedAll = corpus.filter(gate)
+    val exactOne = gatedAll
+      .select(functions.TextFns.fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val exactDocs = gatedAll.join(exactOne.select("doc_id"), Seq("doc_id"))
+    val bands = operators.IncrementalNearDup.bandRowsOf(exactDocs).persist()
+    val rejected = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .filter(operators.IncrementalNearDup.nearDup(col("x.sig"), col("y.sig")))
+      .select(col("x.doc_id").as("doc_id")).distinct()
+    val expected = bands.select(col("doc_id")).distinct()
+      .join(rejected, Seq("doc_id"), "left_anti")
+    val admittedIds =
+      operators.IncrementalNearDup.admittedSnapshot(spark, ndDir)
+    val diff = admittedIds.exceptAll(expected).count() +
+      expected.exceptAll(admittedIds).count()
+    bands.unpersist()
+
+    // ---- epoch shuffle + packed shard write over the curated corpus --
+    val curated = corpus.join(admittedIds, Seq("doc_id"))
+    val tPack = System.nanoTime()
+    val packed = operators.TextAnalysis.shufflePackOf(curated)
+      .join(curated, Seq("doc_id"))
+    packed.select(col("doc_id"), col("shard"), col("pos"),
+        col("file_in_shard"), col("text"))
+      .repartition(col("shard"))
+      // epoch order INSIDE each shard file — a loader streams the file
+      // and reads the permutation directly, no shuffle at load time
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$base/epoch0")
+    val packSec = (System.nanoTime() - tPack) / 1e9
+    val shardSizes = spark.read.parquet(s"$base/epoch0")
+      .groupBy("shard").count().collect().map(_.getAs[Long]("count"))
+
+    import scala.jdk.CollectionConverters._
+    val ds = stats.asScala.toSeq.sortBy(_.batchId)
+    val ends = batchEnds.asScala.map(_.longValue()).toArray.sorted
+    val drops = (t0 +: ends.dropRight(1)).zip(ends)
+      .map { case (a, b) => (b - a) / 1e9 }
+    def med(xs: Array[Double]): Double =
+      if (xs.isEmpty) 0.0 else { val s = xs.sorted; s(s.length / 2) }
+    val (h1, h2) = drops.splitAt(drops.length / 2)
+    val raw = ds.map(_.raw).sum
+    val gatedN = ds.map(_.gated).sum
+    val exactN = ds.map(_.exact).sum
+    val admittedN = ds.map(_.admitted).sum
+    // the gate must actually bite, else the soak proves less than it claims
+    require(gatedN > 0 && gatedN < raw,
+      s"degenerate gate at tau=$tau: $gatedN of $raw passed")
+    println(s"""{"metric":"pipeline_soak","docs":$nDocs,"batches":$nBatches,""" +
+      s""""tau":$tau,"raw":$raw,"gated":$gatedN,"exact_admitted":$exactN,""" +
+      s""""nd_admitted":$admittedN,"pipeline_diff":$diff,""" +
+      s""""stream_sec":${math.round(streamSec * 1000) / 1000.0},""" +
+      s""""docs_per_sec":${math.round(nDocs / streamSec)},""" +
+      s""""drop_sec":${drops.map(d => f"$d%.3f").mkString("[", ",", "]")},""" +
+      s""""drop_med_first_half":${f"${med(h1)}%.3f"},""" +
+      s""""drop_med_second_half":${f"${med(h2)}%.3f"},""" +
+      s""""pack_sec":${math.round(packSec * 1000) / 1000.0},""" +
+      s""""shard_docs":${shardSizes.sorted.mkString("[", ",", "]")}}""")
+    spark.stop()
+    if (diff != 0) sys.exit(1)
+  }
+}

@@ -842,13 +842,8 @@ object Dedup {
     * result is deterministic under any partitioning.
     */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
     val quality = Tables.documents(s, dir).select(
-      col("doc_id"),
-      (size(array_distinct(toks)).cast("double") / size(toks) *
-        (lit(1.0) -
-          TextFns.countIn(toks, TextAnalysis.stopwords).cast("double") /
-            size(toks))).as("score"))
+      col("doc_id"), TextAnalysis.scoreExpr(col("text")).as("score"))
     dedupClusters(s, dir)
       .join(quality, Seq("doc_id"))
       .groupBy(col("cluster"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -62,6 +62,17 @@ object TextAnalysis {
     * the length/punct/stopword-ratio family of filters used to gate
     * training corpora.
     */
+  /** The quality score as one column expression — the single source of
+    * truth [[textQuality]], [[Dedup.dedupKeepBest]] and the pipeline
+    * soak's admission gate all evaluate (drift between the query and the
+    * gate would make the soak's one-shot equivalence vacuous).
+    */
+  def scoreExpr(text: Column): Column = {
+    val toks = TextFns.tokens(text)
+    size(array_distinct(toks)).cast("double") / size(toks) *
+      (lit(1.0) - TextFns.countIn(toks, stopwords).cast("double") / size(toks))
+  }
+
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val toks = TextFns.tokens(col("text"))
     Tables.documents(s, dir)
@@ -594,14 +605,21 @@ object TextAnalysis {
     * The in-shard token packing reuses [[packBudget]] greedy fill, so a
     * packed file is the unit a data loader maps to one sequence batch.
     */
-  def textShufflePack(s: SparkSession, dir: String): DataFrame = {
-    val shards = 8L
-    val rank = md5(concat_ws("|", lit("epoch-0"), col("doc_id")))
+  def textShufflePack(s: SparkSession, dir: String): DataFrame =
+    shufflePackOf(Tables.documents(s, dir))
+
+  /** [[textShufflePack]] over an arbitrary `(doc_id, text, …)` frame —
+    * the form the continuous-curation pipeline calls on its admitted
+    * corpus (same assignment, same window shapes).
+    */
+  def shufflePackOf(docs: DataFrame, shards: Long = 8L,
+                    seed: String = "epoch-0"): DataFrame = {
+    val rank = md5(concat_ws("|", lit(seed), col("doc_id")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))
     val wRun = w.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), rank.as("rk"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("shard",
