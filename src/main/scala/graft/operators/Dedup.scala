@@ -451,7 +451,13 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val dedupMinhashLshSql: String = {
+  /** Shared oracle CTE chain for the minhash family: permutation
+    * signatures → banding → bucket cap → identical-signature rescue →
+    * `est(doc_a, doc_b, est_jaccard)`. [[dedupMinhashLshSql]] selects
+    * from it directly; [[dedupKeepBestMinhashSql]] builds the recursive
+    * component CTE on top.
+    */
+  private def minhashEstCtes: String = {
     val k = 32
     val p = TextFns.minhashPrime
     val perms = (0 until k).map { i =>
@@ -497,9 +503,42 @@ object Dedup {
        |      ON x.fsig = y.fsig AND x.doc_id < y.doc_id)),
        |est AS (
        |  SELECT doc_a, doc_b, CAST($eqSum AS DOUBLE) / $k AS est_jaccard
-       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
+  }
+
+  private val dedupMinhashLshSql: String =
+    s"""$minhashEstCtes
        |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val dedupKeepBestMinhashSql: String = {
+    val stop = TextAnalysis.stopwords.map(w => s"'$w'")
+      .mkString("t -> t IN (", ", ", ")")
+    s"""${minhashEstCtes.replaceFirst("WITH docs AS", "WITH RECURSIVE docs AS")},
+       |mh_pairs AS (
+       |  SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM docs
+       |  UNION
+       |  SELECT und.dst, reach.lbl FROM reach JOIN und ON und.src = reach.id),
+       |clusters AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+       |q AS (
+       |  SELECT doc_id,
+       |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) *
+       |      (1.0 - CAST(len(list_filter(toks, $stop)) AS DOUBLE) / len(toks))
+       |      AS score
+       |  FROM docs),
+       |j AS (
+       |  SELECT c.cluster, c.doc_id, q.score,
+       |    COUNT(*) OVER (PARTITION BY c.cluster) AS n_members,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster
+       |                       ORDER BY q.score DESC, c.doc_id) AS rn
+       |  FROM clusters c JOIN q USING (doc_id))
+       |SELECT cluster, doc_id, score, n_members FROM j WHERE rn = 1
+       |ORDER BY cluster""".stripMargin
   }
 
   // ----------------------------------------------------------- simhash
@@ -748,13 +787,26 @@ object Dedup {
     * edge-free documents are their own cluster and join back at the end.
     * Oracle: DuckDB recursive CTE computing min reachable id.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersOf(s, jaccardPairs(s, dir),
+      Tables.documents(s, dir).select(col("doc_id")))
+
+  /** [[dedupClusters]]' label-propagation core over an ARBITRARY
+    * near-dup pair graph — the edge set is a parameter so the same
+    * convergence loop serves both the exact jaccard graph (above) and
+    * the banded-minhash graph ([[dedupKeepBestMinhash]], the corpus-
+    * scale rung). `pairs` needs columns (doc_a, doc_b); `universe` the
+    * doc_id frame whose edge-free members become singleton clusters.
+    */
+  def clustersOf(s: SparkSession, pairs: DataFrame,
+                 universe: DataFrame): DataFrame = {
     val sc = s.sparkContext
     // Mirror the (checkpointed) pair list; narrow re-read per round, no
     // separate materialization needed.
-    val und = jaccardPairs(s, dir)
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+    val und = edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(jaccardPairs(s, dir)
+      .unionByName(edges
         .select(col("doc_b").as("src"), col("doc_a").as("dst")))
 
     // Each round must truncate lineage (localCheckpoint), not chain
@@ -796,7 +848,7 @@ object Dedup {
     }
     // The final round's blocks back the returned (lazy) plan — released by
     // the caller via Shared.releaseTransient once the result is consumed.
-    Tables.documents(s, dir).select(col("doc_id"))
+    universe.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "ldoc"),
         col("doc_id") === col("ldoc"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
@@ -841,10 +893,18 @@ object Dedup {
     * ordering (the struct's second field, −doc_id, is unique), so the
     * result is deterministic under any partitioning.
     */
-  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val quality = Tables.documents(s, dir).select(
-      col("doc_id"), TextAnalysis.scoreExpr(col("text")).as("score"))
-    dedupClusters(s, dir)
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    keepBestOf(dedupClusters(s, dir),
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.scoreExpr(col("text")).as("score")))
+
+  /** The retention aggregation alone — cluster assignment and quality
+    * score are parameters so the same one-shuffle `max_by` serves the
+    * exact graph ([[dedupKeepBest]]) and the minhash graph
+    * ([[dedupKeepBestMinhash]]).
+    */
+  def keepBestOf(clusters: DataFrame, quality: DataFrame): DataFrame =
+    clusters
       .join(quality, Seq("doc_id"))
       .groupBy(col("cluster"))
       .agg(
@@ -854,6 +914,26 @@ object Dedup {
       .select(col("cluster"), col("best.doc_id").as("doc_id"),
         col("best.score").as("score"), col("n_members"))
       .orderBy(col("cluster"))
+
+  /** [[dedupKeepBest]] on the CORPUS-SCALE ladder rung: clusters come
+    * from the banded-MinHash near-dup graph (est_jaccard ≥ 0.5 pairs,
+    * cap + identical-signature rescue — [[dedupMinhashLshCapped]])
+    * instead of the exact shingle-overlap graph. This is the variant a
+    * 100 TB curation pass actually runs: every stage is the sf100-
+    * measured minhash pipeline plus the (edge-subgraph-only) label
+    * propagation and one retention shuffle — no stage touches the
+    * exact `overlap_pairs` build whose measured decade ceiling the
+    * exact variant inherits. Same output contract: one row per
+    * cluster, highest-score member kept, min doc_id on ties
+    * (tie-free `max_by` ordering), singleton docs are their own
+    * cluster.
+    */
+  def dedupKeepBestMinhash(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    keepBestOf(
+      clustersOf(s, pairs, Tables.documents(s, dir).select(col("doc_id"))),
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.scoreExpr(col("text")).as("score")))
   }
 
   private val dedupKeepBestSql = {
@@ -1440,6 +1520,7 @@ object Dedup {
     "text_decontaminate_bloom" -> (textDecontaminateBloom _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_keep_best" -> (dedupKeepBest _),
+    "dedup_keep_best_minhash" -> (dedupKeepBestMinhash _),
     "text_winnow_fingerprint" -> (textWinnowFingerprints _),
     "dedup_exact" -> (dedupExact _),
     "dedup_repeated_spans" -> (dedupRepeatedSpans _),
@@ -1458,6 +1539,7 @@ object Dedup {
     "text_decontaminate_bloom" -> textDecontaminateSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_best" -> dedupKeepBestSql,
+    "dedup_keep_best_minhash" -> dedupKeepBestMinhashSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_repeated_spans" -> dedupRepeatedSpansSql,
     "dedup_clip_repeated" -> dedupClipRepeatedSql,

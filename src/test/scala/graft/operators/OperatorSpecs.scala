@@ -337,6 +337,40 @@ class DedupSpec extends AnyFunSuite {
     // so the retention choice is actually exercised
     assert(kept.exists(_.getAs[Long]("n_members") > 1))
   }
+
+  test("keep-best over the minhash graph: brute CC + retention parity") {
+    // Independent reimplementation: union-find over the minhash pair
+    // list, then per-component (max score, min doc_id) — the operator's
+    // generalized clustersOf/keepBestOf must match exactly.
+    val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_a") -> r.getAs[Long]("doc_b"))
+    val docs = graft.Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getAs[Long]("doc_id"))
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val score = TextAnalysis.textQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val expected = docs.groupBy(find).map { case (root, members) =>
+      val (bestScore, negId) = members.map(d => (score(d), -d)).max
+      root -> ((-negId, bestScore, members.length.toLong))
+    }
+    val kept = Dedup.dedupKeepBestMinhash(spark, sf).collect()
+    assert(kept.length === expected.size)
+    kept.foreach { r =>
+      val (doc, sc, n) = expected(r.getAs[Long]("cluster"))
+      assert(r.getAs[Long]("doc_id") === doc)
+      assert(r.getAs[Double]("score") === sc)
+      assert(r.getAs[Long]("n_members") === n)
+    }
+    // the minhash graph on this fixture must produce at least one real
+    // near-dup cluster, or the variant proves nothing beyond singletons
+    assert(kept.exists(_.getAs[Long]("n_members") > 1))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
