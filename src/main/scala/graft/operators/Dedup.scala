@@ -380,7 +380,15 @@ object Dedup {
     * tiny caps force the identical-signature rescue on the whole
     * corpus (spec-pinned).
     */
-  def dedupMinhashLshCapped(s: SparkSession, dir: String, cap: Long): DataFrame = {
+  def dedupMinhashLshCapped(s: SparkSession, dir: String, cap: Long): DataFrame =
+    minhashPairs(s, dir, cap).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The est ≥ 0.5 pair set WITHOUT the presentation sort — the form
+    * graph consumers take ([[dedupKeepBestMinhash]]'s component pass
+    * reads the edges in any order); the driver query above adds the
+    * ORDER BY for the oracle.
+    */
+  def minhashPairs(s: SparkSession, dir: String, cap: Long): DataFrame = {
     val k = 32
     val bands = 8
     val rows = k / bands
@@ -448,7 +456,6 @@ object Dedup {
           .cast("double") / k)
     est.filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Shared oracle CTE chain for the minhash family: permutation
@@ -929,7 +936,20 @@ object Dedup {
     * cluster.
     */
   def dedupKeepBestMinhash(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    // Eager checkpoint: the propagation loop re-reads the edge list
+    // every round (twice — both directions), and without materializing
+    // it here each round would re-run the WHOLE banded-minhash pipeline
+    // (measured at sf10: ~46 s/round vs ~1 s/round materialized).
+    // MEMORY_AND_DISK_SER, not the deserialized default — the same
+    // lesson Shared's indexes learned at the 5M-doc rung: checkpoint
+    // blocks are pinned lineage, and the deserialized form OOM'd this
+    // materialization at sf100 (23M pair rows inflating while the est
+    // join was still in flight). Blocks are released between queries
+    // by Shared.releaseTransient, same as the loop's own round state.
+    val pairs = minhashPairs(s, dir, LshBucketCap)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = true, storageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     keepBestOf(
       clustersOf(s, pairs, Tables.documents(s, dir).select(col("doc_id"))),
       Tables.documents(s, dir).select(
