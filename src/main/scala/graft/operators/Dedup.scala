@@ -373,7 +373,22 @@ object Dedup {
   val LshBucketCap = 2000L
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    dedupMinhashLshCapped(s, dir, LshBucketCap)
+    sharedMinhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Session-shared banded est ≥ 0.5 pair set at the production cap —
+    * the minhash analog of [[overlapPairs]]: `dedup_minhash_lsh` reads
+    * it sorted, [[dedupKeepBestMinhash]] clusters over it, so the
+    * banded pipeline builds ONCE per (session, dataset) instead of once
+    * per query. `Shared.materialize` checkpoints it eagerly and
+    * SERIALIZED, which is also exactly what the propagation loop needs:
+    * it re-reads the edge list every round (lazy edges measured
+    * ~46 s/round at sf10 re-running the whole pipeline), and the
+    * deserialized checkpoint default OOM'd the 23M-row sf100
+    * materialization before this moved under Shared.
+    */
+  private def sharedMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.Shared.materialize(s, dir, "minhash_pairs")(
+      minhashPairs(s, dir, LshBucketCap))
 
   /** [[dedupMinhashLsh]] with an explicit bucket cap — `Long.MaxValue`
     * recovers the pure uncapped banding (the recall-A/B baseline);
@@ -936,20 +951,13 @@ object Dedup {
     * cluster.
     */
   def dedupKeepBestMinhash(s: SparkSession, dir: String): DataFrame = {
-    // Eager checkpoint: the propagation loop re-reads the edge list
-    // every round (twice — both directions), and without materializing
-    // it here each round would re-run the WHOLE banded-minhash pipeline
-    // (measured at sf10: ~46 s/round vs ~1 s/round materialized).
-    // MEMORY_AND_DISK_SER, not the deserialized default — the same
-    // lesson Shared's indexes learned at the 5M-doc rung: checkpoint
-    // blocks are pinned lineage, and the deserialized form OOM'd this
-    // materialization at sf100 (23M pair rows inflating while the est
-    // join was still in flight). Blocks are released between queries
-    // by Shared.releaseTransient, same as the loop's own round state.
-    val pairs = minhashPairs(s, dir, LshBucketCap)
+    // The edge list is the shared materialized pair set (see
+    // sharedMinhashPairs for the two measured reasons it must be a
+    // checkpoint, and a serialized one) — the loop's narrow per-round
+    // re-reads hit its blocks, same contract as dedupClusters over the
+    // shared overlap_pairs frame.
+    val pairs = sharedMinhashPairs(s, dir)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(eager = true, storageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     keepBestOf(
       clustersOf(s, pairs, Tables.documents(s, dir).select(col("doc_id"))),
       Tables.documents(s, dir).select(
