@@ -20,7 +20,20 @@ sf=${1:?usage: bench_scale.sh <sfDir> <outJson> [runs]}
 out=${2:?usage: bench_scale.sh <sfDir> <outJson> [runs]}
 runs=${3:-3}
 
-LOCAL_DIR=${SPARK_LOCAL_DIR_OVERRIDE:-/tmp/spark-bench-local}
+# Per-PID default: a fixed path is a foot-gun — a killed run's EXIT
+# trap (rm -rf below) deletes the dir out from under any run launched
+# after the kill but before the wrapper exits (observed as
+# FileNotFoundException on shuffle blocks mid-run). The override stays
+# for callers that pin placement deliberately.
+LOCAL_DIR=${SPARK_LOCAL_DIR_OVERRIDE:-/tmp/spark-bench-local-$$}
+# Sweep per-PID dirs whose owning wrapper is gone (a SIGKILLed wrapper
+# never runs its trap) — but never a live run's dir.
+for d in /tmp/spark-bench-local-*; do
+  pid=${d##*-}
+  if [[ "$pid" =~ ^[0-9]+$ ]] && ! kill -0 "$pid" 2>/dev/null; then
+    rm -rf "$d"
+  fi
+done
 rm -rf "$LOCAL_DIR"
 mkdir -p "$LOCAL_DIR"
 
