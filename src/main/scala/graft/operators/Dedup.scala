@@ -909,11 +909,15 @@ object Dedup {
     *
     * Shape at 100 TB: the cluster assignment is the CC pass (already
     * scaled — edge-induced subgraph only), the score is map-only over the
-    * corpus scan, and the retention itself is ONE hash aggregation on
+    * corpus scan, and the retention itself is ONE aggregation shuffle on
     * cluster id with map-side partial `max_by` — no window over the
-    * corpus, no second shuffle. Ties are impossible in the `max_by`
-    * ordering (the struct's second field, −doc_id, is unique), so the
-    * result is deterministic under any partitioning.
+    * corpus, no second shuffle. (Physically a SortAggregate pair, not
+    * hash: `max_by`'s argmax buffer is a struct, which the hash-agg
+    * codegen's mutable-primitive buffer cannot hold — the exchange
+    * count, the metric that matters at scale, is pinned by spec.) Ties
+    * are impossible in the `max_by` ordering (the struct's second
+    * field, −doc_id, is unique), so the result is deterministic under
+    * any partitioning.
     */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
     keepBestOf(dedupClusters(s, dir),

@@ -371,6 +371,7 @@ class DedupSpec extends AnyFunSuite {
     // near-dup cluster, or the variant proves nothing beyond singletons
     assert(kept.exists(_.getAs[Long]("n_members") > 1))
   }
+
 }
 
 class SimilaritySpec extends AnyFunSuite {

@@ -84,6 +84,27 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"global window found:\n$p")
   }
 
+  test("keep-best retention: one aggregation shuffle, never a window over the corpus") {
+    // The retention's scale contract is its exchange count: the max_by
+    // argmax must reach the plan as a partial+final aggregate pair over
+    // ONE shuffle keyed on cluster (a window formulation would sort the
+    // whole corpus inside each cluster partition; a naive
+    // groupBy+self-join would shuffle twice). SortAggregate is expected —
+    // max_by's struct argmax buffer cannot live in the hash-agg codegen's
+    // mutable-primitive buffer — the shuffle count is the scale metric.
+    import org.apache.spark.sql.functions.col
+    val clusters = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), (col("doc_id") % 50).as("cluster"))
+    val quality = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.scoreExpr(col("text")).as("score"))
+    val p = plan(Dedup.keepBestOf(clusters, quality))
+    assert(!p.contains("Window"), s"retention must not use a window:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"retention lost its map-side partial aggregate:\n$p")
+    assert(p.split("hashpartitioning\\(cluster").length - 1 === 1,
+      s"expected exactly one cluster-keyed exchange:\n$p")
+  }
+
   test("decontaminate: eval side broadcasts; filters push to both scans") {
     val p = plan(Dedup.textDecontaminate(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
