@@ -366,6 +366,53 @@ object Similarity {
         dotFx(fixedPoint(col("embedding")), fixedPoint(col("embedding"))).as("norm_fx"))
       .orderBy(col("vec_id"))
 
+  // ------------------------------------------ per-dimension scaling
+  /** Per-dimension min–max normalization — the embedding-preprocessing
+    * step LSH/PQ pipelines run so no dimension dominates the hash or
+    * codebook geometry. Emitted relationally as (vec_id, i, xs) with
+    * xs = (x − min_i) / (max_i − min_i), 0.0 on degenerate dimensions
+    * (min = max).
+    *
+    * Exactness contract (full hash oracle on DOUBLE output): per-dim
+    * min/max SELECT an existing float (no summation, so no float-order
+    * nondeterminism), float→double widening is exact, and IEEE-754
+    * double subtraction/division are bit-specified — identical inputs
+    * give bit-identical quotients in any engine.
+    *
+    * Shape at 100 TB: the range aggregate reduces map-side to ≤ dim
+    * rows per task (one 96-row exchange), the ranges broadcast back,
+    * and the scaling itself is map-only over the corpus scan — one
+    * pass, no corpus shuffle.
+    */
+  def embeddingMinmaxScale(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+    val ranges = pos.groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    pos.join(broadcast(ranges), Seq("i"))
+      .select(col("vec_id"), col("i"),
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise(
+            (col("x").cast("double") - col("mn").cast("double")) /
+              (col("mx").cast("double") - col("mn").cast("double")))
+          .as("xs"))
+      .orderBy(col("vec_id"), col("i"))
+  }
+
+  // generate_subscripts is 1-based; `- 1` aligns with Spark's posexplode.
+  private val embeddingMinmaxScaleSql =
+    """WITH comp AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |r AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY i)
+      |SELECT c.vec_id, c.i,
+      |  CASE WHEN r.mx = r.mn THEN 0.0
+      |       ELSE (c.x - r.mn) / (r.mx - r.mn) END AS xs
+      |FROM comp c JOIN r USING (i)
+      |ORDER BY c.vec_id, c.i""".stripMargin
+
   // ------------------------------------------- product quantization
   private val PqM = 16      // subspaces (64 dims → 4-dim subvectors)
   private val PqK = 16      // codewords per subspace
@@ -760,6 +807,7 @@ object Similarity {
   // ------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "embedding_stats" -> (embeddingStats _),
+    "embedding_minmax_scale" -> (embeddingMinmaxScale _),
     "embedding_centroids" -> (embeddingCentroids _),
     "ann_pq_topk" -> (annPqTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
@@ -772,6 +820,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "embedding_stats" -> embeddingStatsSql,
+    "embedding_minmax_scale" -> embeddingMinmaxScaleSql,
     "embedding_centroids" -> embeddingCentroidsSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "ann_cosine_topk" -> annCosineTopkSql,

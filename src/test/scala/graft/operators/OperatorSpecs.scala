@@ -378,6 +378,32 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf0001
 
+  test("min-max scale: [0,1] bounds, extremes hit per dimension, round-trip exact") {
+    import org.apache.spark.sql.functions.col
+    val scaled = Similarity.embeddingMinmaxScale(spark, sf).collect()
+    val raw = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    val dim = raw.values.head.length
+    assert(scaled.length === raw.size * dim)
+    val byDim = scaled.groupBy(_.getAs[Int]("i"))
+    assert(byDim.keySet === (0 until dim).toSet)
+    byDim.foreach { case (_, rows) =>
+      val xs = rows.map(_.getAs[Double]("xs"))
+      assert(xs.forall(v => v >= 0.0 && v <= 1.0))
+      // a non-degenerate dimension must hit both extremes exactly
+      assert(xs.min === 0.0 && xs.max === 1.0)
+    }
+    // round-trip: xs * (mx - mn) + mn recovers the input within one ulp
+    val mins = (0 until dim).map(i => raw.values.map(_(i)).min.toDouble)
+    val maxs = (0 until dim).map(i => raw.values.map(_(i)).max.toDouble)
+    scaled.foreach { r =>
+      val (v, i) = (r.getAs[Long]("vec_id"), r.getAs[Int]("i"))
+      val back = r.getAs[Double]("xs") * (maxs(i) - mins(i)) + mins(i)
+      assert(math.abs(back - raw(v)(i).toDouble) < 1e-9)
+    }
+  }
+
   test("brute-force top-k: 10 rows, strictly ordered, cosine in [-1,1]") {
     val rows = Similarity.annCosineTopk(spark, sf).collect()
     assert(rows.length === 10)
