@@ -87,7 +87,11 @@ object ScaleProbe {
     "corpus_domain_report",
     "ann_cosine_topk", "ann_topk_by_label", "ann_lsh_histogram",
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "embedding_stats", "embedding_centroids")
+    "embedding_stats", "embedding_centroids",
+    // r11 curation additions — screened so a superlinear regression in
+    // any of them is caught by the cheap probe before a decade rung is
+    "dedup_repeated_spans", "dedup_clip_repeated", "dedup_keep_best_minhash",
+    "text_decontaminate_spans", "text_shuffle_pack", "embedding_minmax_scale")
 
   def main(args: Array[String]): Unit = {
     val baseN = args.headOption.map(_.toLong).getOrElse(5000L)
