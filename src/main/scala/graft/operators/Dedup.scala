@@ -533,6 +533,38 @@ object Dedup {
        |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Corpus dedup report: the near-dup CLUSTER-SIZE histogram over the
+    * minhash graph — (cluster size, number of clusters), size 1 =
+    * unique docs. The first thing a curation team reads off a new
+    * crawl: a heavy tail of large clusters means boilerplate; mass at
+    * size 2–3 means genuine near-dup structure. Cost beyond the shared
+    * pair index is the CC pass (edge-subgraph only) plus two tiny
+    * aggregations — output is ≤ max-cluster-size rows.
+    */
+  def dedupClusterHistogram(s: SparkSession, dir: String): DataFrame = {
+    val pairs = sharedMinhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    clustersOf(s, pairs, Tables.documents(s, dir).select(col("doc_id")))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  private val dedupClusterHistogramSql: String =
+    s"""${minhashEstCtes.replaceFirst("WITH docs AS", "WITH RECURSIVE docs AS")},
+       |mh_pairs AS (
+       |  SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM docs
+       |  UNION
+       |  SELECT und.dst, reach.lbl FROM reach JOIN und ON und.src = reach.id),
+       |clusters AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster)
+       |SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
+       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   private val dedupKeepBestMinhashSql: String = {
     val stop = TextAnalysis.stopwords.map(w => s"'$w'")
       .mkString("t -> t IN (", ", ", ")")
@@ -1553,6 +1585,7 @@ object Dedup {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_keep_best_minhash" -> (dedupKeepBestMinhash _),
+    "dedup_cluster_histogram" -> (dedupClusterHistogram _),
     "text_winnow_fingerprint" -> (textWinnowFingerprints _),
     "dedup_exact" -> (dedupExact _),
     "dedup_repeated_spans" -> (dedupRepeatedSpans _),
@@ -1572,6 +1605,7 @@ object Dedup {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_keep_best_minhash" -> dedupKeepBestMinhashSql,
+    "dedup_cluster_histogram" -> dedupClusterHistogramSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_repeated_spans" -> dedupRepeatedSpansSql,
     "dedup_clip_repeated" -> dedupClipRepeatedSql,

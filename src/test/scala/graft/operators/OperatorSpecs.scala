@@ -370,6 +370,17 @@ class DedupSpec extends AnyFunSuite {
     // the minhash graph on this fixture must produce at least one real
     // near-dup cluster, or the variant proves nothing beyond singletons
     assert(kept.exists(_.getAs[Long]("n_members") > 1))
+
+    // the cluster-size histogram is the same graph viewed as a report:
+    // its (size -> count) must equal the keep-best rows' n_members
+    // distribution, and its mass must cover the whole corpus
+    val hist = Dedup.dedupClusterHistogram(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters"))
+      .toMap
+    val fromKept = kept.groupBy(_.getAs[Long]("n_members"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(hist === fromKept)
+    assert(hist.map { case (sz, n) => sz * n }.sum === docs.length.toLong)
   }
 
 }
