@@ -20,8 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, ShortType}
   * ~40 s over the sf3 candidate stream's 2.2e8 residual evaluations,
   * dominating the whole overlap build. This expression emits one fused
   * Java loop inside whole-stage codegen. Bit-identical to the HOF form
-  * by construction (same integer mins and sum), asserted by the
-  * overlap parity spec against the brute count join.
+  * by construction (same integer mins and sum) for non-null,
+  * unsaturated slots — null slots poison to null exactly like the HOF,
+  * and a both-sides-saturated slot (min = Short.MaxValue, i.e. the
+  * builder's clamp fired on both docs) returns Int.MaxValue because the
+  * true min is unknowable from a clamped vector and the only sound
+  * pruning bound is "don't prune". Asserted by the overlap parity spec
+  * against the brute count join.
   *
   * Interpreted `nullSafeEval` and generated code are kept textually
   * parallel so a reviewer can check they compute the same thing.
@@ -45,6 +50,14 @@ case class MinSumExpr(left: Expression, right: Expression)
 
   // Length mismatch ⇒ null, matching the HOF form exactly (zip_with
   // null-pads the shorter side and the null poisons the aggregate).
+  // A null ELEMENT also ⇒ null for the same parity reason: the HOF's
+  // per-slot min is null-poisoning, so an accepted containsNull=true
+  // input must not silently treat null slots as 0 (they previously did).
+  // A SATURATED slot-min (both sides Short.MaxValue) ⇒ Int.MaxValue:
+  // the count-vector builder clamps per-part counts at Short.MaxValue,
+  // so a saturated min means the true min is unknowable from the vector
+  // (≥ 32767) — the only sound bound is +∞, i.e. never prune. Slots
+  // where just one side saturates stay exact (min = the smaller side).
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -54,32 +67,46 @@ case class MinSumExpr(left: Expression, right: Expression)
     else {
       val n = x.numElements()
       var s = 0
+      var sat = false
       var i = 0
-      while (i < n) {
-        val xi = x.getShort(i); val yi = y.getShort(i)
-        s += (if (xi < yi) xi else yi)
+      var nul = false
+      while (i < n && !nul) {
+        if (x.isNullAt(i) || y.isNullAt(i)) nul = true
+        else {
+          val xi = x.getShort(i); val yi = y.getShort(i)
+          val m = if (xi < yi) xi else yi
+          if (m == Short.MaxValue) sat = true
+          s += m
+        }
         i += 1
       }
-      s
+      if (nul) null else if (sat) Int.MaxValue else s
     }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val (s, n, i, xi, yi) = (ctx.freshName("s"), ctx.freshName("n"),
-        ctx.freshName("i"), ctx.freshName("xi"), ctx.freshName("yi"))
+      val (s, n, i, xi, yi, m, sat) = (ctx.freshName("s"), ctx.freshName("n"),
+        ctx.freshName("i"), ctx.freshName("xi"), ctx.freshName("yi"),
+        ctx.freshName("m"), ctx.freshName("sat"))
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $s = 0;
+         |  boolean $sat = false;
          |  int $n = $a.numElements();
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    short $xi = $a.getShort($i);
          |    short $yi = $b.getShort($i);
-         |    $s += ($xi < $yi) ? $xi : $yi;
+         |    short $m = ($xi < $yi) ? $xi : $yi;
+         |    if ($m == Short.MAX_VALUE) $sat = true;
+         |    $s += $m;
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $sat ? Integer.MAX_VALUE : $s;
+         |  }
          |}
        """.stripMargin
     })

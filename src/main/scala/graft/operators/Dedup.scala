@@ -176,16 +176,22 @@ object Dedup {
     // zip_with/min/aggregate bound below is a SOUND i upper bound
     // (partition-based filtering à la PTJ): it can never prune a
     // qualifying pair, because a qualifying pair generated via guaranteed
-    // side p has i ≥ p.q and thus bound ≥ p.q. Shorts cannot saturate
-    // for any document under ~2M shingles, so clamping unsoundness is a
-    // non-issue.
+    // side p has i ≥ p.q and thus bound ≥ p.q. Per-part counts CLAMP at
+    // Short.MaxValue (not cast-wrap, which goes negative and unsoundly
+    // understates the bound): an average doc needs ~2M shingles to
+    // saturate a part, but the bound must not depend on hash balance.
+    // Soundness under clamping is restored inside [[MinSumExpr]]: a
+    // slot whose min is the clamp value means the true min is
+    // unknowable, and the expression returns Int.MaxValue (never prune)
+    // for that pair instead of a possibly-understated sum.
     val perDoc = sh
       .withColumn("pt", pmod(xxhash64(col("sh")), lit(g.toLong)).cast("int"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), collect_list(col("pt")).as("pl"))
       .select(col("doc_id"), col("n"),
         transform(sequence(lit(0), lit(g - 1)),
-          j => size(filter(col("pl"), x => x === j)).cast("short")).as("cnt"))
+          j => least(size(filter(col("pl"), x => x === j)),
+            lit(Short.MaxValue.toInt)).cast("short")).as("cnt"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
@@ -533,6 +539,58 @@ object Dedup {
        |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Cap-visibility report for [[dedupMinhashLsh]]'s declared semantics:
+    * how hard [[LshBucketCap]] is biting on THIS corpus — over-cap band
+    * buckets, documents routed through the identical-signature rescue,
+    * and the rescued (est = 1.0) pair count. The cap permanently trades
+    * away the probabilistic tail (est ∈ [0.5, 1.0) pairs whose every
+    * agreeing band is degenerate), so an operator needs to SEE when a
+    * corpus enters that regime instead of inferring it from recall
+    * drift; all-zeros (every driver sf through sf10, measured max bucket
+    * 857) certifies the capped output is bit-identical to pure banding.
+    * One extra banded aggregation + the rescue's own equality join —
+    * report-cadence cost, not on the pair-build path.
+    */
+  def dedupMinhashCapReport(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val bands = 8
+    val rows = k / bands
+    val sigArr = minhashSignatures(s, dir, k)
+      .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
+    val banded = sigArr.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
+          v => v.cast("string")), ","))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val bsz = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn"))
+    val overBuckets = bsz.filter(col("bn") > LshBucketCap)
+    val overDocs = banded
+      .join(overBuckets.select(col("band"), col("bh")), Seq("band", "bh"))
+      .select(col("doc_id")).distinct()
+    val fullSig = sigArr.join(overDocs, "doc_id")
+      .select(col("doc_id"),
+        array_join(transform(col("sig"), v => v.cast("string")), ",").as("fs"))
+    val rescued = fullSig.as("x").join(fullSig.as("y"),
+      col("x.fs") === col("y.fs") && col("x.doc_id") < col("y.doc_id"))
+    overBuckets.agg(count(lit(1)).as("n_overcap_buckets"))
+      .crossJoin(overDocs.agg(count(lit(1)).as("n_overcap_docs")))
+      .crossJoin(rescued.agg(count(lit(1)).as("n_rescued_pairs")))
+  }
+
+  private val dedupMinhashCapReportSql: String =
+    // minhashEstCtes' bsz/overcap/fs CTEs are exactly the report's
+    // inputs (unreferenced trailing CTEs are legal and ignored)
+    s"""$minhashEstCtes,
+       |rescued AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM fs x JOIN fs y ON x.fsig = y.fsig AND x.doc_id < y.doc_id)
+       |SELECT
+       |  (SELECT COUNT(*) FROM bsz WHERE bn > $LshBucketCap) AS n_overcap_buckets,
+       |  (SELECT COUNT(*) FROM overcap) AS n_overcap_docs,
+       |  (SELECT COUNT(*) FROM rescued) AS n_rescued_pairs""".stripMargin
+
   /** Corpus dedup report: the near-dup CLUSTER-SIZE histogram over the
     * minhash graph — (cluster size, number of clusters), size 1 =
     * unique docs. The first thing a curation team reads off a new
@@ -564,6 +622,8 @@ object Dedup {
        |sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster)
        |SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  private[operators] def dedupKeepBestMinhashOracle: String = dedupKeepBestMinhashSql
 
   private val dedupKeepBestMinhashSql: String = {
     val stop = TextAnalysis.stopwords.map(w => s"'$w'")
@@ -1593,6 +1653,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_minhash_cap_report" -> (dedupMinhashCapReport _),
     "dedup_simhash" -> (dedupSimhash _))
 
   val oracles: Map[String, String] = Map(
@@ -1612,6 +1673,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_minhash_cap_report" -> dedupMinhashCapReportSql,
     "dedup_simhash" -> dedupSimhashSql,
     "text_winnow_fingerprint" -> textWinnowFingerprintSql)
 }

@@ -50,7 +50,10 @@ import graft.streaming.BucketState
   * same atomic rename, so no interleaving can observe keys without
   * their signature. (v1 indexes on disk are not readable by this
   * code — the index carries no cross-layout durability promise;
-  * rebuild from the corpus, which every caller in-repo does anyway.)
+  * rebuild from the corpus, which every caller in-repo does anyway.
+  * ENFORCED, not just documented: the store is stamped `neardup-v2`
+  * at creation and a non-empty index without a matching stamp fails
+  * loudly at ingest — [[BucketState.checkOrStampLayout]].)
   *
   * MEASURED trade at 1M docs (same-box back-to-back A/B, 16 drops,
   * async folds; `tools/soak_neardup_1M_v{1,2}ab_r11.json`): v2 drops
@@ -156,6 +159,12 @@ object IncrementalNearDup {
       // scans, the locked merge preserves a mid-ingest swap).
       val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
       try {
+        // v2 layout guard: a persisted v1 index (band rows carrying sig,
+        // no sig rows) would read back with an EMPTY seen-signature set
+        // and silently admit every cross-batch duplicate — fail loudly
+        // instead (the docstring's no-cross-layout-durability promise,
+        // now enforced).
+        BucketState.checkOrStampLayout(spark, indexDir, m, "neardup-v2")
         BucketState.checkBatch(m, batchId, batchFp) match {
           case BucketState.AlreadyCommitted => ()
           case BucketState.Proceed(proposed) =>

@@ -145,6 +145,43 @@ private[graft] object BucketState {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Layout-version guard for stores whose PHYSICAL row encoding has
+    * changed across releases (e.g. the near-dup index's v1 → v2 move of
+    * signatures off the band rows). The manifest records versions and
+    * fingerprints but nothing about row layout, so without a marker a
+    * reader silently misinterprets an old index — for the near-dup index
+    * that meant an empty seen-signature set and every cross-batch
+    * duplicate silently admitted. Call under the writer's lease/lock:
+    * an EMPTY store is stamped with `layoutId`; a non-empty store must
+    * carry a matching stamp or the read fails loudly (the store carries
+    * no cross-layout durability promise — rebuild from the corpus).
+    * Stamp-then-crash before the first manifest commit just re-stamps
+    * the same id on replay; the write is idempotent.
+    */
+  def checkOrStampLayout(spark: SparkSession, stateDir: String,
+                         m: Manifest, layoutId: String): Unit = {
+    val fs = hadoopFs(spark, stateDir)
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/_LAYOUT")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val found =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(found == layoutId,
+        s"state at $stateDir has layout '$found' but this reader expects " +
+          s"'$layoutId' — rebuild the index; it carries no cross-layout " +
+          "durability promise")
+    } else if (m.buckets.nonEmpty) {
+      throw new IllegalStateException(
+        s"state at $stateDir has committed segments but no _LAYOUT stamp " +
+          s"(written by a pre-'$layoutId' release) — rebuild the index; " +
+          "it carries no cross-layout durability promise")
+    } else {
+      val out = fs.create(p, true)
+      try out.write(layoutId.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** `_CURRENT` manifest: one `bucket,version` line per live SEGMENT
     * (a bucket may list several — replace-merge writers like the CDC
     * replica keep exactly one per bucket, append-only writers like the

@@ -111,4 +111,31 @@ class IncrementalNearDupSpec extends AnyFunSuite {
         docsDf(Seq((11L, text + " extra"))), 0, nBuckets = 4))
     assert(e.getMessage.contains("fingerprint"))
   }
+
+  test("layout guard: a non-empty index without the v2 stamp fails loudly") {
+    val dir = freshDir()
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    IncrementalNearDup.ingest(spark, dir, docsDf(Seq((1L, text))), 0, nBuckets = 4)
+      .count()
+    // simulate an index written by the pre-stamp (v1-era) release: committed
+    // segments, no _LAYOUT marker — reading it as v2 would silently admit
+    // every cross-batch duplicate, so ingest must refuse instead
+    assert(new java.io.File(s"$dir/_LAYOUT").delete())
+    val e = intercept[IllegalStateException](
+      IncrementalNearDup.ingest(spark, dir, docsDf(Seq((2L, text))), 1, nBuckets = 4))
+    assert(e.getMessage.contains("_LAYOUT"))
+
+    // and a MISMATCHED stamp (some future v3) must refuse symmetrically
+    val dir2 = freshDir()
+    IncrementalNearDup.ingest(spark, dir2, docsDf(Seq((1L, text))), 0, nBuckets = 4)
+      .count()
+    // drop the checksum sidecar too — a raw rewrite under an intact .crc
+    // trips Hadoop's ChecksumException before the guard even reads
+    new java.io.File(s"$dir2/._LAYOUT.crc").delete()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir2/_LAYOUT"),
+      "neardup-v3".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](
+      IncrementalNearDup.ingest(spark, dir2, docsDf(Seq((2L, text))), 1, nBuckets = 4))
+    assert(e2.getMessage.contains("neardup-v3"))
+  }
 }

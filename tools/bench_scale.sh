@@ -27,10 +27,13 @@ runs=${3:-3}
 # for callers that pin placement deliberately.
 LOCAL_DIR=${SPARK_LOCAL_DIR_OVERRIDE:-/tmp/spark-bench-local-$$}
 # Sweep per-PID dirs whose owning wrapper is gone (a SIGKILLed wrapper
-# never runs its trap) — but never a live run's dir.
+# never runs its trap) — but never a live run's dir. Liveness check is
+# /proc, not `kill -0`: kill -0 also fails with EPERM for a live process
+# owned by another user, which would sweep a live run's dir out from
+# under it on a shared box.
 for d in /tmp/spark-bench-local-*; do
   pid=${d##*-}
-  if [[ "$pid" =~ ^[0-9]+$ ]] && ! kill -0 "$pid" 2>/dev/null; then
+  if [[ "$pid" =~ ^[0-9]+$ ]] && [ ! -d "/proc/$pid" ]; then
     rm -rf "$d"
   fi
 done
