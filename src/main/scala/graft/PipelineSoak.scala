@@ -7,8 +7,16 @@ import org.apache.spark.sql.functions._
   * the engine's pieces exist for, run as one checkpointed stream —
   *
   *   crawl drops → quality gate → incremental EXACT dedup → incremental
-  *   NEAR-dup admission → curated corpus → seeded epoch shuffle + packed
-  *   shard write
+  *   NEAR-dup admission ∥ incremental KEEP-BEST retention → curated
+  *   corpus → seeded epoch shuffle + packed shard write
+  *
+  * Near-dup admission and keep-best retention are PARALLEL consumers of
+  * the exact survivors — two retention policies over the same stream:
+  * first-wins admission (cheapest storage: rejected docs keep only band
+  * rows) and quality-aware replace-on-better (the curation answer: per
+  * near-dup cluster the best-scoring member so far, cluster merges
+  * folded in). Both are asserted against their one-shot equivalents
+  * after the drain (`pipeline_diff` and `kb_diff`, both must be 0).
   *
   * Each micro-batch runs the stages in cheapest-first order (the pure
   * per-doc gate BEFORE any index I/O; the 32-byte-key exact index before
@@ -68,6 +76,7 @@ object PipelineSoak {
 
     val exactDir = s"$base/exact-index"
     val ndDir = s"$base/nd-index"
+    val kbDir = s"$base/kb-index"
     val gate = operators.TextAnalysis.scoreExpr(col("text")) >= tau
 
     // per-drop stage counts + wall times (onBatch-to-onBatch deltas;
@@ -95,18 +104,22 @@ object PipelineSoak {
           // stage 2: exact admission (32-byte fingerprint index)
           val exactSurvivors =
             operators.IncrementalDedup.ingest(s, exactDir, gated, batchId)
-          // stage 3: near-dup admission over the exact survivors only
+          // stage 3: near-dup admission + keep-best retention, parallel
+          // consumers of the exact survivors
           val ndInput = gated.join(
-            exactSurvivors.select(col("doc_id")), Seq("doc_id"))
-          val admitted =
-            operators.IncrementalNearDup.ingest(s, ndDir, ndInput, batchId)
-          stats.add(DropStat(batchId, raw, gated.count(),
-            exactSurvivors.count(), admitted.count()))
+            exactSurvivors.select(col("doc_id")), Seq("doc_id")).persist()
+          try {
+            val admitted =
+              operators.IncrementalNearDup.ingest(s, ndDir, ndInput, batchId)
+            operators.IncrementalKeepBest.ingest(s, kbDir, ndInput, batchId)
+            stats.add(DropStat(batchId, raw, gated.count(),
+              exactSurvivors.count(), admitted.count()))
+          } finally ndInput.unpersist()
         } finally gated.unpersist()
-        // adaptive async compaction on BOTH indexes — the fold runs on a
+        // adaptive async compaction on ALL indexes — the fold runs on a
         // background thread racing later drops (locked leased-read
         // ingest protocol), never on this hot path
-        Seq(exactDir, ndDir).foreach { d =>
+        Seq(exactDir, ndDir, kbDir).foreach { d =>
           val m = streaming.BucketState.readManifest(s, d)
           val maxSegs =
             if (m.buckets.isEmpty) 0 else m.buckets.values.map(_.size).max
@@ -118,7 +131,7 @@ object PipelineSoak {
       }
       .start()
     q.processAllAvailable(); q.stop()
-    Seq(exactDir, ndDir).foreach { d =>
+    Seq(exactDir, ndDir, kbDir).foreach { d =>
       while (streaming.BucketState.compactionInFlight(d)) Thread.sleep(100)
     }
     val streamSec = (System.nanoTime() - t0) / 1e9
@@ -141,6 +154,22 @@ object PipelineSoak {
       operators.IncrementalNearDup.admittedSnapshot(spark, ndDir)
     val diff = admittedIds.exceptAll(expected).count() +
       expected.exceptAll(admittedIds).count()
+
+    // keep-best: streamed retention must equal the one-shot keepBestOf
+    // over the same exact survivors (uncapped banded est>=0.5 graph)
+    val kbPairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(operators.IncrementalNearDup.nearDup(col("x.sig"), col("y.sig")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val kbExpected = operators.Dedup.keepBestOf(
+      operators.Dedup.clustersOf(spark, kbPairs, exactDocs.select(col("doc_id"))),
+      exactDocs.select(col("doc_id"),
+        operators.TextAnalysis.scoreExpr(col("text")).as("score")))
+    val kbGot = operators.IncrementalKeepBest.snapshot(spark, kbDir)
+    val kbDiff = kbGot.exceptAll(kbExpected).count() +
+      kbExpected.exceptAll(kbGot).count()
     bands.unpersist()
 
     // ---- epoch shuffle + packed shard write over the curated corpus --
@@ -177,7 +206,7 @@ object PipelineSoak {
       s"degenerate gate at tau=$tau: $gatedN of $raw passed")
     println(s"""{"metric":"pipeline_soak","docs":$nDocs,"batches":$nBatches,""" +
       s""""tau":$tau,"raw":$raw,"gated":$gatedN,"exact_admitted":$exactN,""" +
-      s""""nd_admitted":$admittedN,"pipeline_diff":$diff,""" +
+      s""""nd_admitted":$admittedN,"pipeline_diff":$diff,"kb_diff":$kbDiff,""" +
       s""""stream_sec":${math.round(streamSec * 1000) / 1000.0},""" +
       s""""docs_per_sec":${math.round(nDocs / streamSec)},""" +
       s""""drop_sec":${drops.map(d => f"$d%.3f").mkString("[", ",", "]")},""" +
@@ -186,6 +215,6 @@ object PipelineSoak {
       s""""pack_sec":${math.round(packSec * 1000) / 1000.0},""" +
       s""""shard_docs":${shardSizes.sorted.mkString("[", ",", "]")}}""")
     spark.stop()
-    if (diff != 0) sys.exit(1)
+    if (diff != 0 || kbDiff != 0) sys.exit(1)
   }
 }

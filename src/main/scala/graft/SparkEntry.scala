@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Similarity.queries ++ multimodal.Multimodal.queries ++
       operators.Skew.queries ++ operators.AsofJoin.queries ++
       operators.RangeJoin.queries ++ operators.IncrementalDedup.queries ++
-      operators.IncrementalNearDup.queries ++ operators.FuzzyJoin.queries
+      operators.IncrementalNearDup.queries ++
+      operators.IncrementalKeepBest.queries ++ operators.FuzzyJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
@@ -37,5 +38,6 @@ object SparkEntry {
       operators.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       operators.Skew.oracles ++ operators.AsofJoin.oracles ++
       operators.RangeJoin.oracles ++ operators.IncrementalDedup.oracles ++
-      operators.IncrementalNearDup.oracles ++ operators.FuzzyJoin.oracles
+      operators.IncrementalNearDup.oracles ++
+      operators.IncrementalKeepBest.oracles ++ operators.FuzzyJoin.oracles
 }

@@ -1,0 +1,370 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType, StructField, StructType}
+
+import graft.streaming.BucketState
+
+/** Incremental QUALITY-AWARE RETENTION over a persisted banded-MinHash
+  * cluster index — the streaming form of [[Dedup.dedupKeepBestMinhash]]
+  * and the retention semantics the live pipeline was missing: the
+  * first-wins admission of [[IncrementalNearDup]] DISCARDS a
+  * higher-quality duplicate that arrives after its cluster's first
+  * member, while a real curation pipeline must keep the BEST member of
+  * every near-dup cluster no matter the arrival order
+  * (replace-on-better). This is the reference's last-correct-state-per-
+  * key semantic (`/root/reference/tests/test_consistency.py:56-75`)
+  * lifted from primary keys to near-dup clusters: the key is the
+  * cluster, the "latest state" is the best-scoring member so far.
+  *
+  * CONTRACT: after ingesting any ascending-doc_id partition of a corpus
+  * in any number of batches, [[snapshot]] EQUALS the one-shot
+  * `keepBestOf(clustersOf(banded est≥0.5 pairs), scoreExpr)` over the
+  * union — per cluster (= min doc_id of the connected component of the
+  * banded near-dup graph) the row (cluster, best doc_id, best score,
+  * n_members), max score winning, min doc_id on ties. The edge
+  * predicate is IDENTICAL to the one-shot rung's: same shingle window,
+  * same 60-bit md5, same 32 permutations, same 8×4 banding
+  * ([[IncrementalNearDup.bandRowsOf]] — one hash ladder, drift
+  * impossible), est-Jaccard ≥ 0.5 via [[IncrementalNearDup.nearDup]].
+  * Candidate generation is UNCAPPED banding; equivalence with the
+  * capped batch form ([[Dedup.LshBucketCap]] + rescue) holds wherever
+  * no bucket is over cap — every driver scale, certified all-zeros by
+  * `dedup_minhash_cap_report`. A corpus degenerate enough to need the
+  * cap needs it here too; that is a declared future knob, not a silent
+  * difference.
+  *
+  * WHY CLUSTERS ARE HARD INCREMENTALLY (and what this does about it):
+  * a new document can BRIDGE two existing clusters, so cluster
+  * identity cannot be frozen at insert time. The index therefore
+  * stores, per document, the cluster root AS OF its insertion, plus an
+  * append-only FORWARDING relation (old root → smaller root) written
+  * whenever a batch merges components — a relational union-find.
+  * Because drops arrive in ascending doc_id order, roots only ever
+  * decrease toward the component's true minimum, so "min(to) per from"
+  * is always the freshest pointer and resolution is a short pointer
+  * chase. Every batch path-compresses the chains it walks (it appends
+  * label → final-root rows for each label it had to resolve), so
+  * chains stay near length 1 for hot clusters; [[snapshot]] resolves
+  * all labels to fixpoint regardless, so even a cold chain of any
+  * length reads correctly.
+  *
+  * Index layout (one [[BucketState]] store, one manifest, one atomic
+  * commit per batch — layout stamp `keepbest-v1`): four row kinds under
+  * one schema `(band, bh, doc_id, sig, label, score)`, bucketed by
+  * `xxhash64(band, bh)`:
+  *  - band rows `(band ∈ [0,8), bh, doc_id)` — LSH keys, the batch's
+  *    candidate probe reads only the buckets its own band rows hash
+  *    into (partition-pruned paths);
+  *  - sig rows `(band = -1, bh = doc_id, sig)` — one 32-slot signature
+  *    per doc, fetched only for the buckets candidate seen-ids hash to;
+  *  - member rows `(band = -2, bh = doc_id, label, score)` — the
+  *    doc's insert-time cluster root and quality score, fetched only
+  *    for candidate seen-ids;
+  *  - fwd rows `(band = -3, bh = from-label, doc_id = from, label =
+  *    to)` — the union-find forwarding relation, fetched only for the
+  *    label frontier being resolved.
+  * Every read side is O(batch ∪ touched index): the corpus is never
+  * rescanned, and at 100 TB a drop moves only its own band keys, the
+  * signatures/members of its collision candidates, and the (merge-
+  * bounded, path-compressed) forwarding rows of the labels it touches.
+  * The per-batch component pass runs over the BATCH SUBGRAPH only
+  * (batch docs + the existing roots its edges reach) — label
+  * propagation cost is edge-shaped, never corpus-shaped.
+  */
+object IncrementalKeepBest {
+
+  private val rowSchema = StructType(Seq(
+    StructField("band", LongType), StructField("bh", StringType),
+    StructField("doc_id", LongType),
+    StructField("sig", ArrayType(LongType, containsNull = false)),
+    StructField("label", LongType), StructField("score", DoubleType)))
+
+  private val memberSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("label", LongType),
+    StructField("score", DoubleType)))
+
+  private def bucketOf(nBuckets: Int) =
+    pmod(xxhash64(col("band"), col("bh")), lit(nBuckets.toLong))
+
+  private def kindBucketOf(kind: Long, key: Column, nBuckets: Int): Column =
+    pmod(xxhash64(lit(kind), key.cast("string")), lit(nBuckets.toLong))
+
+  private def emptyIdx(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      rowSchema.add("p", LongType))
+
+  /** Resolve each distinct `lbl` to its current root by chasing the
+    * forwarding relation to fixpoint. `readFwd(frontierRoots)` returns
+    * `(from, to)` rows covering at least the frontier (bucket-pruned in
+    * ingest, a single pre-read frame in snapshot); "min(to) per from"
+    * picks the freshest pointer since roots only decrease. Frames here
+    * are label-frontier-sized (edge-bounded), never corpus-sized.
+    */
+  private def resolve(labels: DataFrame, readFwd: DataFrame => DataFrame)
+      : DataFrame = {
+    var cur = labels.select(col("lbl"), col("lbl").as("root")).persist()
+    cur.count()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 64) {
+      rounds += 1
+      val fwd = readFwd(cur.select(col("root")).distinct())
+        .groupBy(col("from")).agg(min(col("to")).as("to"))
+      val next = cur.join(fwd, cur("root") === fwd("from"), "left")
+        .select(col("lbl"), coalesce(col("to"), col("root")).as("root"),
+          col("to").isNotNull.as("chg"))
+        .persist()
+      done = next.filter(col("chg")).limit(1).isEmpty
+      cur.unpersist()
+      cur = next.drop("chg")
+    }
+    cur
+  }
+
+  /** Ingest `docs` (columns `doc_id`, `text`; ids strictly above every
+    * previously ingested id — the same ascending contract as
+    * [[IncrementalDedup]]/[[IncrementalNearDup]]) into the cluster
+    * index at `indexDir`. Returns this batch's member rows
+    * `(doc_id, label, score)` — label = the component root as of this
+    * batch. Replay contract identical to the sibling indexes: same
+    * batchId + same input → idempotent no-op returning the same rows;
+    * different input fails loudly.
+    */
+  def ingest(spark: SparkSession, indexDir: String, docs: DataFrame,
+             batchId: Long, nBuckets: Int = 64): DataFrame = {
+    val newVersion = batchId + 1
+    val membersDir = s"$indexDir/members/$newVersion"
+    val clean = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val bands = IncrementalNearDup.bandRowsOf(clean).persist()
+    val scored = clean
+      .select(col("doc_id"), TextAnalysis.scoreExpr(col("text")).as("score"))
+      .persist()
+    try {
+      // fingerprint covers the FULL batch (short no-shingle docs are
+      // members too, so they must perturb it), touched band buckets come
+      // off the persisted band rows
+      val batchFp = BucketState.inputFingerprint(clean)
+      val touched = bands
+        .select(bucketOf(nBuckets).as("p")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
+      try {
+        BucketState.checkOrStampLayout(spark, indexDir, m, "keepbest-v1")
+        BucketState.checkBatch(m, batchId, batchFp) match {
+          case BucketState.AlreadyCommitted => ()
+          case BucketState.Proceed(proposed) =>
+            val physicalVersion = BucketState.reserveVersion(indexDir, proposed)
+            try {
+              def readKind(buckets: Set[Long], kind: Long): DataFrame =
+                BucketState.readBuckets(spark, indexDir,
+                  m.buckets.view.filterKeys(buckets).toMap, emptyIdx(spark))
+                  .filter(col("band") === kind)
+
+              // ---- edge discovery -----------------------------------
+              val prevBands = BucketState.readBuckets(spark, indexDir,
+                  m.buckets.view.filterKeys(touched).toMap, emptyIdx(spark))
+                .filter(col("band") >= 0)
+              val cand = bands.as("b").join(prevBands.as("i"),
+                  col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
+                    col("i.doc_id") < col("b.doc_id"))
+                .select(col("b.doc_id").as("doc_id"), col("b.sig").as("sig"),
+                  col("i.doc_id").as("seen_id"))
+                .distinct().persist()
+              try {
+                val sigBuckets = cand
+                  .select(kindBucketOf(-1L, col("seen_id"), nBuckets).as("p"))
+                  .distinct().collect().map(_.getLong(0)).toSet
+                val seenSigs = readKind(sigBuckets, -1L)
+                  .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
+                val edgesSeen = cand.join(seenSigs, Seq("seen_id"))
+                  .filter(IncrementalNearDup.nearDup(col("sig"), col("seen_sig")))
+                  .select(col("doc_id"), col("seen_id"))
+                  .persist()
+                val edgesBatch = bands.as("x").join(bands.as("y"),
+                    col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+                      col("y.doc_id") < col("x.doc_id"))
+                  .filter(IncrementalNearDup.nearDup(col("x.sig"), col("y.sig")))
+                  .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+                  .distinct()
+
+                // ---- seen-side label resolution -----------------------
+                val memberBuckets = edgesSeen
+                  .select(kindBucketOf(-2L, col("seen_id"), nBuckets).as("p"))
+                  .distinct().collect().map(_.getLong(0)).toSet
+                val seenLab = edgesSeen.join(
+                    readKind(memberBuckets, -2L)
+                      .select(col("doc_id").as("seen_id"), col("label")),
+                    Seq("seen_id"))
+                  .select(col("doc_id"), col("seen_id"), col("label"))
+                  .persist()
+                val rootMap = resolve(
+                  seenLab.select(col("label").as("lbl")).distinct(),
+                  frontier => readKind(
+                    frontier.select(kindBucketOf(-3L, col("root"), nBuckets).as("p"))
+                      .distinct().collect().map(_.getLong(0)).toSet, -3L)
+                    .select(col("doc_id").as("from"), col("label").as("to")))
+
+                // ---- batch-subgraph components ------------------------
+                // nodes: batch docs + the existing roots its edges reach;
+                // cost is edge-shaped (Dedup.clustersOf over this subgraph),
+                // the corpus is never touched
+                val toRoot = seenLab
+                  .join(rootMap, seenLab("label") === rootMap("lbl"))
+                  .select(col("doc_id").as("doc_a"), col("root").as("doc_b"))
+                  .distinct()
+                val pairs = edgesBatch.unionByName(toRoot)
+                val universe = clean.select(col("doc_id"))
+                  .unionByName(toRoot.select(col("doc_b").as("doc_id")))
+                  .distinct()
+                val sc = spark.sparkContext
+                val before = sc.getPersistentRDDs.keySet.toSet
+                val lab = Dedup.clustersOf(spark, pairs, universe)
+                  .persist()
+                lab.count()
+
+                // ---- new forwarding rows ------------------------------
+                // (a) real merges: an existing root whose component gained a
+                // smaller root; (b) path compression: every label we had to
+                // chase now points straight at its final root
+                val mergeFwd = lab
+                  .join(toRoot.select(col("doc_b").as("doc_id")).distinct(),
+                    Seq("doc_id"))
+                  .filter(col("cluster") =!= col("doc_id"))
+                  .select(col("doc_id").as("from"), col("cluster").as("to"))
+                val compressFwd = rootMap
+                  .join(lab, rootMap("root") === lab("doc_id"))
+                  .filter(col("lbl") =!= col("cluster"))
+                  .select(col("lbl").as("from"), col("cluster").as("to"))
+                val fwdNew = mergeFwd.unionByName(compressFwd).distinct()
+
+                // ---- member rows for the whole batch ------------------
+                val members = scored
+                  .join(lab.withColumnRenamed("doc_id", "ldoc"),
+                    col("doc_id") === col("ldoc"), "left")
+                  .select(col("doc_id"),
+                    coalesce(col("cluster"), col("doc_id")).as("label"),
+                    col("score"))
+
+                // stage the batch's durable answer FIRST, then the segment
+                // (all four row kinds in one atomic commit)
+                members.write.mode("overwrite").parquet(membersDir)
+                val nullSig = lit(null).cast(ArrayType(LongType, containsNull = false))
+                val bandKeys = bands.select(col("band"), col("bh"), col("doc_id"),
+                  nullSig.as("sig"), lit(null).cast("long").as("label"),
+                  lit(null).cast("double").as("score"))
+                val sigRows = bands.filter(col("band") === 0L)
+                  .select(lit(-1L).as("band"), col("doc_id").cast("string").as("bh"),
+                    col("doc_id"), col("sig"), lit(null).cast("long").as("label"),
+                    lit(null).cast("double").as("score"))
+                val memberRows = spark.read.schema(memberSchema).parquet(membersDir)
+                  .select(lit(-2L).as("band"), col("doc_id").cast("string").as("bh"),
+                    col("doc_id"), nullSig.as("sig"), col("label"), col("score"))
+                val fwdRows = fwdNew
+                  .select(lit(-3L).as("band"), col("from").cast("string").as("bh"),
+                    col("from").as("doc_id"), nullSig.as("sig"),
+                    col("to").as("label"), lit(null).cast("double").as("score"))
+                bandKeys.unionByName(sigRows).unionByName(memberRows)
+                  .unionByName(fwdRows)
+                  .withColumn("p", bucketOf(nBuckets))
+                  .repartition(col("p"))
+                  .write.mode("overwrite").partitionBy("p")
+                  .parquet(s"$indexDir/v=$physicalVersion")
+
+                // release this batch's component-pass checkpoints (tracked
+                // diff — same exposure as clustersOf's own internal
+                // tracking: nothing in this store's protocol persists RDDs
+                // concurrently (compactConcurrent is a pure read→write and
+                // the single-writer contract excludes other ingests), so
+                // the diff captures only this thread's checkpoint blocks)
+                lab.unpersist()
+                (sc.getPersistentRDDs.keySet.toSet -- before)
+                  .foreach(id => sc.getPersistentRDDs.get(id)
+                    .foreach(_.unpersist(blocking = false)))
+                seenLab.unpersist(); edgesSeen.unpersist()
+              } finally cand.unpersist()
+              val outBuckets =
+                BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
+              BucketState.manifestLock(indexDir).synchronized {
+                val mNow = BucketState.readManifest(spark, indexDir)
+                val next = outBuckets.foldLeft(mNow.buckets)((acc, b) =>
+                  acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + physicalVersion))
+                BucketState.commitManifest(spark, indexDir, next,
+                  Some(newVersion -> batchFp))
+              }
+            } finally BucketState.releaseVersion(indexDir, physicalVersion)
+        }
+      } finally BucketState.releaseReads(lease)
+      BucketState.gcVersions(spark, indexDir)
+    } finally { bands.unpersist(); scored.unpersist() }
+    spark.read.schema(memberSchema).parquet(membersDir)
+  }
+
+  /** The retention answer over everything ingested so far: one row per
+    * cluster `(cluster, doc_id, score, n_members)` — the best-scoring
+    * member (min doc_id on ties, the [[Dedup.keepBestOf]] ordering),
+    * with labels resolved through the forwarding relation to fixpoint.
+    * This is the ONLY corpus-shaped pass in the operator (one member
+    * scan + the label fixpoint + one `max_by` aggregation shuffle) —
+    * the per-drop path above never runs it.
+    */
+  def snapshot(spark: SparkSession, indexDir: String): DataFrame = {
+    val m = BucketState.readManifest(spark, indexDir)
+    val all = BucketState.readBuckets(spark, indexDir, m.buckets,
+      emptyIdx(spark)).persist()
+    val members = all.filter(col("band") === -2L)
+      .select(col("doc_id"), col("label"), col("score"))
+    val fwdAll = all.filter(col("band") === -3L)
+      .select(col("doc_id").as("from"), col("label").as("to"))
+    val roots = resolve(members.select(col("label").as("lbl")).distinct(),
+      _ => fwdAll)
+    val out = members.join(roots, members("label") === roots("lbl"))
+      .groupBy(col("root").as("cluster"))
+      .agg(
+        max_by(struct(col("doc_id"), col("score")),
+          struct(col("score"), -col("doc_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("best.doc_id").as("doc_id"),
+        col("best.score").as("score"), col("n_members"))
+      .orderBy(col("cluster"))
+    // materialize before releasing the backing blocks
+    val rows = out.localCheckpoint(eager = true)
+    all.unpersist()
+    rows
+  }
+
+  // --------------------------------------------------- driver query
+  /** Driver-facing demonstration: the documents table ingested as three
+    * ascending-doc_id drops through a fresh cluster index; the snapshot
+    * must equal the ONE-SHOT [[Dedup.dedupKeepBestMinhash]] — same
+    * oracle SQL, verbatim. The equality IS the correctness statement:
+    * retention upgrades and cluster merges across drops land on exactly
+    * the batch answer.
+    */
+  def keepBestIncremental(s: SparkSession, dir: String): DataFrame = {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-kb").toString
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    ingest(s, indexDir, docs.filter(col("doc_id") <= c1), 0, nBuckets = 16)
+      .count()
+    ingest(s, indexDir,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2), 1, nBuckets = 16)
+      .count()
+    ingest(s, indexDir, docs.filter(col("doc_id") > c2), 2, nBuckets = 16)
+      .count()
+    snapshot(s, indexDir)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep_best_incremental" -> (keepBestIncremental _))
+
+  val oracles: Map[String, String] = Map(
+    // the one-shot oracle, verbatim: streamed ≡ batch is the contract
+    "dedup_keep_best_incremental" -> Dedup.dedupKeepBestMinhashOracle)
+}
