@@ -42,6 +42,22 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object LatencySoak {
 
+  /** Median of each Spark durationMs phase over the non-empty batches,
+    * rendered as JSON members (per-phase medians need not sum to the
+    * triggerExecution median — they are independent medians).
+    */
+  private def engineMedians(
+      q: java.util.concurrent.ConcurrentLinkedQueue[
+        java.util.Map[String, java.lang.Long]]): String = {
+    import scala.jdk.CollectionConverters._
+    val maps = q.asScala.toSeq
+    Seq("latestOffset", "getBatch", "queryPlanning", "walCommit",
+      "addBatch", "commitOffsets", "triggerExecution").map { k =>
+      val v = maps.flatMap(m => Option(m.get(k)).map(_.longValue())).sorted
+      s""""$k":${if (v.isEmpty) -1 else v(v.length / 2)}"""
+    }.mkString(",")
+  }
+
   def main(args: Array[String]): Unit = {
     val nTicks = args.headOption.map(_.toInt).getOrElse(60)
     val perTick = args.lift(1).map(_.toInt).getOrElse(2000)
@@ -115,6 +131,25 @@ object LatencySoak {
     // executor would otherwise swallow it and turn a real error into a
     // 5-minute stall ending in a cause-free "drained X of Y"
     val probeError = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    // ---- engine-overhead decomposition: Spark's own per-trigger timing
+    // (durationMs) names where the non-commit floor lives — source
+    // listing (latestOffset), offset WAL (walCommit), planning
+    // (queryPlanning), execution (addBatch), commit log (commitOffsets).
+    // Non-empty batches only: idle ProcessingTime fires would skew the
+    // medians toward the no-work path.
+    val engine = new java.util.concurrent.ConcurrentLinkedQueue[
+      java.util.Map[String, java.lang.Long]]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.numInputRows > 0) engine.add(e.progress.durationMs)
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+
     val changelog = streaming.CdcStream.fromFiles(spark, in)
     val q = changelog.writeStream
       .option("checkpointLocation", s"$base/ckpt")
@@ -213,7 +248,8 @@ object LatencySoak {
       s""""steady_events":${st.length},"steady_p50_ms":${sp(0.50)},""" +
       s""""steady_p95_ms":${sp(0.95)},"steady_p99_ms":${sp(0.99)},""" +
       s""""commit_p50_ms":${cs(cs.length / 2)},""" +
-      s""""commit_max_ms":${cs.last}$lsmTail}""")
+      s""""commit_max_ms":${cs.last},""" +
+      s""""engine_ms":{${engineMedians(engine)}}$lsmTail}""")
     spark.stop()
   }
 }

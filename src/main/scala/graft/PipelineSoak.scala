@@ -64,15 +64,34 @@ object PipelineSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    ScaleProbe.writeDocuments(spark, s"$base/corpus", nDocs)
+    // Corpus + drops are generated ONCE per workDir: a resumed run (the
+    // chaos harness kill -9s the JVM mid-stream and relaunches) must NOT
+    // rewrite the drop files — parquet part-file names are fresh UUIDs
+    // per write, so the file source would see "new" files, re-process
+    // every drop under new batchIds, and the index fingerprint guards
+    // would (correctly) refuse. The marker records the parameters so a
+    // mismatched reuse fails loudly instead of soaking the wrong corpus.
+    val marker = java.nio.file.Paths.get(s"$base/_CORPUS_READY")
+    val params = s"$nDocs/$nBatches"
+    if (java.nio.file.Files.exists(marker)) {
+      val found = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      require(found == params,
+        s"workDir $base holds a corpus for $found, not $params — use a fresh dir")
+    }
+    if (!java.nio.file.Files.exists(marker)) {
+      ScaleProbe.writeDocuments(spark, s"$base/corpus", nDocs)
+      val c = spark.read.parquet(s"$base/corpus/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val per = (nDocs + nBatches - 1) / nBatches
+      (0 until nBatches).foreach { b =>
+        c.filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(f"$base/drops/d$b%03d")
+      }
+      java.nio.file.Files.write(marker, params.getBytes("UTF-8"))
+    }
     val corpus = spark.read.parquet(s"$base/corpus/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val per = (nDocs + nBatches - 1) / nBatches
-    (0 until nBatches).foreach { b =>
-      corpus.filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(f"$base/drops/d$b%03d")
-    }
 
     val exactDir = s"$base/exact-index"
     val ndDir = s"$base/nd-index"
@@ -82,7 +101,8 @@ object PipelineSoak {
     // per-drop stage counts + wall times (onBatch-to-onBatch deltas;
     // AvailableNow runs drops back to back)
     case class DropStat(batchId: Long, raw: Long, gated: Long,
-                        exact: Long, admitted: Long)
+                        exact: Long, admitted: Long,
+                        exactSec: Double, ndSec: Double, kbSec: Double)
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[DropStat]()
     val batchEnds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
 
@@ -101,19 +121,25 @@ object PipelineSoak {
         // pin the gated frame once instead of re-filtering the batch
         val gated = batch.filter(gate).persist()
         try {
+          def timed[T](f: => T): (T, Double) = {
+            val t = System.nanoTime()
+            val r = f
+            (r, (System.nanoTime() - t) / 1e9)
+          }
           // stage 2: exact admission (32-byte fingerprint index)
-          val exactSurvivors =
-            operators.IncrementalDedup.ingest(s, exactDir, gated, batchId)
+          val (exactSurvivors, tExact) = timed(
+            operators.IncrementalDedup.ingest(s, exactDir, gated, batchId))
           // stage 3: near-dup admission + keep-best retention, parallel
           // consumers of the exact survivors
           val ndInput = gated.join(
             exactSurvivors.select(col("doc_id")), Seq("doc_id")).persist()
           try {
-            val admitted =
-              operators.IncrementalNearDup.ingest(s, ndDir, ndInput, batchId)
-            operators.IncrementalKeepBest.ingest(s, kbDir, ndInput, batchId)
+            val (admitted, tNd) = timed(
+              operators.IncrementalNearDup.ingest(s, ndDir, ndInput, batchId))
+            val (_, tKb) = timed(
+              operators.IncrementalKeepBest.ingest(s, kbDir, ndInput, batchId))
             stats.add(DropStat(batchId, raw, gated.count(),
-              exactSurvivors.count(), admitted.count()))
+              exactSurvivors.count(), admitted.count(), tExact, tNd, tKb))
           } finally ndInput.unpersist()
         } finally gated.unpersist()
         // adaptive async compaction on ALL indexes — the fold runs on a
@@ -201,8 +227,11 @@ object PipelineSoak {
     val gatedN = ds.map(_.gated).sum
     val exactN = ds.map(_.exact).sum
     val admittedN = ds.map(_.admitted).sum
-    // the gate must actually bite, else the soak proves less than it claims
-    require(gatedN > 0 && gatedN < raw,
+    // the gate must actually bite, else the soak proves less than it
+    // claims. Per-drop stats cover THIS process's batches only — a chaos
+    // resume that found the stream already drained has none, and its
+    // answer is the (state-derived, full-corpus) diff assertions below.
+    require(ds.isEmpty || (gatedN > 0 && gatedN < raw),
       s"degenerate gate at tau=$tau: $gatedN of $raw passed")
     println(s"""{"metric":"pipeline_soak","docs":$nDocs,"batches":$nBatches,""" +
       s""""tau":$tau,"raw":$raw,"gated":$gatedN,"exact_admitted":$exactN,""" +
@@ -212,6 +241,9 @@ object PipelineSoak {
       s""""drop_sec":${drops.map(d => f"$d%.3f").mkString("[", ",", "]")},""" +
       s""""drop_med_first_half":${f"${med(h1)}%.3f"},""" +
       s""""drop_med_second_half":${f"${med(h2)}%.3f"},""" +
+      s""""exact_sec":${ds.map(d => f"${d.exactSec}%.2f").mkString("[", ",", "]")},""" +
+      s""""nd_sec":${ds.map(d => f"${d.ndSec}%.2f").mkString("[", ",", "]")},""" +
+      s""""kb_sec":${ds.map(d => f"${d.kbSec}%.2f").mkString("[", ",", "]")},""" +
       s""""pack_sec":${math.round(packSec * 1000) / 1000.0},""" +
       s""""shard_docs":${shardSizes.sorted.mkString("[", ",", "]")}}""")
     spark.stop()

@@ -8,13 +8,21 @@ import graft.Tables
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by batched per-partition decode.
   *
-  * The container has no media codecs, so the *decode kernel itself* is a
-  * clearly-marked deterministic stub ([[FakeDecoder]]) — what's real and
-  * tested is everything Spark-side: the binary column representation, the
-  * batched `mapPartitions` execution shape (decode libraries amortize
-  * per-batch setup — same contract as an Arrow-batched pandas UDF), the
-  * typed output schema, and partition-parallelism. Swapping [[FakeDecoder]]
-  * for a JNI/codec call changes no plan shape.
+  * The DRIVER-FACING decode surface is the real kernel: [[ImageHeader]]
+  * parses genuine PNG/GIF/BMP/JPEG+EXIF container bytes with a full
+  * DuckDB oracle (`multimodal_image_headers`). The container has no
+  * PIXEL codecs, so full-raster decode remains the documented codec
+  * boundary — the same boundary class as the Kafka broker for the
+  * stream source — carried by [[FakeDecoder]], a clearly-marked
+  * deterministic stand-in that exists to pin everything Spark-side: the
+  * binary column representation, the batched `mapPartitions` execution
+  * shape (decode libraries amortize per-batch setup — same contract as
+  * an Arrow-batched pandas UDF), the typed output schema, and
+  * partition-parallelism. Swapping [[FakeDecoder]] for a JNI/codec call
+  * changes no plan shape. The former `multimodal_decode_stub` driver
+  * query was RETIRED once the real header kernel landed (it was the
+  * inventory's last simulated-compute entry); the stub shape stays
+  * spec-pinned (`MultimodalSpec`), not driver-published.
   *
   * At 100 TB: media blobs dominate row size, so the pipeline projects
   * (id, blob) only — column pruning keeps metadata-only queries off the
@@ -273,10 +281,6 @@ object Multimodal {
       |  source
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Decode-stub features (rows-only check: FakeDecoder is engine-side). */
-  def multimodalDecodeStub(s: SparkSession, dir: String): DataFrame =
-    decodeFeatures(s, dir).toDF().orderBy(col("doc_id"))
-
   /** Byte budget per packed media shard (the tar/webdataset granularity). */
   val shardBudgetBytes = 16384L
 
@@ -315,7 +319,6 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map(
     "multimodal_blob_stats" -> (multimodalBlobStats _),
-    "multimodal_decode_stub" -> (multimodalDecodeStub _),
     "multimodal_image_headers" -> (multimodalImageHeaders _),
     "multimodal_pack_shards" -> (multimodalPackShards _))
 

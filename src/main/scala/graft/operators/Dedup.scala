@@ -166,9 +166,43 @@ object Dedup {
     */
   val OverlapParts = 64
 
+  /** Candidate-volume budget for the exact-overlap build, as a predicted
+    * prefix-join row count (conf `spark.graft.overlap.candidateBudget`).
+    * The exact trio has a MEASURED decade ceiling: the sf100 attempt
+    * (5M docs) ran the local disk out inside this build, leaving the
+    * caller a dead SparkContext instead of an answer. The predictor is
+    * one aggregation over the (already materialized) shingle index:
+    * join candidates are bounded by Σ_sh prefixDf·df, and the rarest-
+    * first prefix holds ≈ (n−q+1)/n ≈ 1/5 of each doc's entries, so
+    * est ≈ Σ df²/5. Measured anchors: sf3 ≈ 2.2e8 candidates (fine),
+    * sf10 ≈ 3.6e9 (41.7 s, the proven rung), sf100 ≈ 100× sf10 (dead).
+    * The default budget sits one decade above the proven rung and one
+    * below the measured death. Past it the build REFUSES with a pointer
+    * to the corpus-scale substitute (the banded-minhash graph —
+    * [[dedupKeepBestMinhash]] and friends) instead of dying mid-shuffle;
+    * refusal, not silent delegation, because the minhash graph is a
+    * different (banded) pair set and swapping it in silently would
+    * change declared output semantics.
+    */
+  val OverlapCandidateBudgetDefault = 40000000000L // 4e10 ≈ 10× the proven rung
+
   private[graft] def overlapPairsPlan(s: SparkSession, dir: String): DataFrame = {
     val g = OverlapParts
     val sh = docShingles(s, dir)
+    val budget = s.conf.getOption("spark.graft.overlap.candidateBudget")
+      .map(_.toLong).getOrElse(OverlapCandidateBudgetDefault)
+    val est = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")).as("s")).head().getLong(0) / 5
+    if (est > budget)
+      throw new IllegalStateException(
+        s"exact-overlap build refused: predicted ~$est candidate pairs " +
+          s"exceeds the candidate budget $budget (the build spills " +
+          "candidate-join state to disk and a corpus this size has a " +
+          "measured disk-death at the next decade). Use the banded " +
+          "minhash graph instead (dedup_minhash_lsh / " +
+          "dedup_keep_best_minhash — the corpus-scale rung, measured at " +
+          "5M docs), or raise spark.graft.overlap.candidateBudget if " +
+          "this cluster's shuffle capacity genuinely allows it.")
     // per-doc size + universe-partition count vector (shingle → one of g
     // deterministic parts; cnt[j] = how many of the doc's shingles land
     // in part j). For ANY pair, |A∩B| ≤ Σ_j min(cntA[j], cntB[j]) — each

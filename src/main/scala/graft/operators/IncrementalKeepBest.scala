@@ -62,9 +62,11 @@ import graft.streaming.BucketState
   *  - member rows `(band = -2, bh = doc_id, label, score)` — the
   *    doc's insert-time cluster root and quality score, fetched only
   *    for candidate seen-ids;
-  *  - fwd rows `(band = -3, bh = from-label, doc_id = from, label =
-  *    to)` — the union-find forwarding relation, fetched only for the
-  *    label frontier being resolved.
+  *  - fwd rows `(band = -3, bh = "fwd", doc_id = from, label = to)` —
+  *    the union-find forwarding relation, pinned to ONE constant bucket
+  *    and read as one bounded frame per batch (merge-bounded, path-
+  *    compressed — see [[fwdBucket]] for why it wants the opposite
+  *    layout from the corpus-proportional row kinds).
   * Every read side is O(batch ∪ touched index): the corpus is never
   * rescanned, and at 100 TB a drop moves only its own band keys, the
   * signatures/members of its collision candidates, and the (merge-
@@ -85,11 +87,28 @@ object IncrementalKeepBest {
     StructField("doc_id", LongType), StructField("label", LongType),
     StructField("score", DoubleType)))
 
+  /** Corpus-proportional row kinds (band/sig/member) hash over buckets
+    * `[0, nBuckets-1)`; bucket `nBuckets-1` is RESERVED for forwarding
+    * rows alone. Unlike the other kinds — spread for pruned point
+    * reads — the forwarding relation is bounded by the number of CLUSTER
+    * MERGES ever performed and path compression keeps it near-minimal,
+    * so the resolver wants the opposite layout: the whole relation in
+    * one place, read once per batch, joined in memory across fixpoint
+    * rounds — and nothing else in its bucket, or the read drags 1/N of
+    * the whole index along (measured: resolve grew 0.3 → 1.7 s/drop in
+    * the traced 200k soak while sharing a hashed bucket). (A deployment
+    * at billions of merges would shard this by `from`; the read pattern
+    * stays one bounded frame, not point reads.)
+    */
+  private def fwdBucket(nBuckets: Int): Long = nBuckets - 1L
+
   private def bucketOf(nBuckets: Int) =
-    pmod(xxhash64(col("band"), col("bh")), lit(nBuckets.toLong))
+    when(col("band") === -3L, lit(fwdBucket(nBuckets)))
+      .otherwise(pmod(xxhash64(col("band"), col("bh")),
+        lit((nBuckets - 1).toLong)))
 
   private def kindBucketOf(kind: Long, key: Column, nBuckets: Int): Column =
-    pmod(xxhash64(lit(kind), key.cast("string")), lit(nBuckets.toLong))
+    pmod(xxhash64(lit(kind), key.cast("string")), lit((nBuckets - 1).toLong))
 
   private def emptyIdx(spark: SparkSession): DataFrame =
     spark.createDataFrame(
@@ -135,6 +154,19 @@ object IncrementalKeepBest {
     */
   def ingest(spark: SparkSession, indexDir: String, docs: DataFrame,
              batchId: Long, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2, "keep-best index needs >= 2 buckets (one is reserved for forwarding rows)")
+    // opt-in phase timing (SPARK_GRAFT_KB_TRACE=1) — the per-drop cost
+    // must be attributable per stage, not guessed (the pipeline soak
+    // quantifies the total, this names it)
+    val trace = sys.env.contains("SPARK_GRAFT_KB_TRACE")
+    def tr[T](tag: String)(f: => T): T =
+      if (!trace) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[kb-trace] b$batchId $tag ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        r
+      }
     val newVersion = batchId + 1
     val membersDir = s"$indexDir/members/$newVersion"
     val clean = docs
@@ -148,10 +180,10 @@ object IncrementalKeepBest {
       // fingerprint covers the FULL batch (short no-shingle docs are
       // members too, so they must perturb it), touched band buckets come
       // off the persisted band rows
-      val batchFp = BucketState.inputFingerprint(clean)
-      val touched = bands
-        .select(bucketOf(nBuckets).as("p")).distinct()
-        .collect().map(_.getLong(0)).toSet
+      val (batchFp, touched) = tr("fp_touched")((
+        BucketState.inputFingerprint(clean),
+        bands.select(bucketOf(nBuckets).as("p")).distinct()
+          .collect().map(_.getLong(0)).toSet))
       val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
       try {
         BucketState.checkOrStampLayout(spark, indexDir, m, "keepbest-v1")
@@ -159,6 +191,14 @@ object IncrementalKeepBest {
           case BucketState.AlreadyCommitted => ()
           case BucketState.Proceed(proposed) =>
             val physicalVersion = BucketState.reserveVersion(indexDir, proposed)
+            val sc = spark.sparkContext
+            // everything persisted/checkpointed from here to the segment
+            // write is batch-local scratch — released as one tracked diff
+            // after the writes land (nothing in this store's protocol
+            // persists RDDs concurrently: compactConcurrent is a pure
+            // read→write and the single-writer contract excludes other
+            // ingests, so the diff captures only this thread's blocks)
+            val before = sc.getPersistentRDDs.keySet.toSet
             try {
               def readKind(buckets: Set[Long], kind: Long): DataFrame =
                 BucketState.readBuckets(spark, indexDir,
@@ -176,9 +216,9 @@ object IncrementalKeepBest {
                   col("i.doc_id").as("seen_id"))
                 .distinct().persist()
               try {
-                val sigBuckets = cand
+                val sigBuckets = tr("cand_probe")(cand
                   .select(kindBucketOf(-1L, col("seen_id"), nBuckets).as("p"))
-                  .distinct().collect().map(_.getLong(0)).toSet
+                  .distinct().collect().map(_.getLong(0)).toSet)
                 val seenSigs = readKind(sigBuckets, -1L)
                   .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
                 val edgesSeen = cand.join(seenSigs, Seq("seen_id"))
@@ -193,39 +233,52 @@ object IncrementalKeepBest {
                   .distinct()
 
                 // ---- seen-side label resolution -----------------------
-                val memberBuckets = edgesSeen
+                val memberBuckets = tr("sig_verify")(edgesSeen
                   .select(kindBucketOf(-2L, col("seen_id"), nBuckets).as("p"))
-                  .distinct().collect().map(_.getLong(0)).toSet
+                  .distinct().collect().map(_.getLong(0)).toSet)
                 val seenLab = edgesSeen.join(
                     readKind(memberBuckets, -2L)
                       .select(col("doc_id").as("seen_id"), col("label")),
                     Seq("seen_id"))
                   .select(col("doc_id"), col("seen_id"), col("label"))
                   .persist()
-                val rootMap = resolve(
+                // the forwarding relation lives in ONE constant bucket
+                // (merge-bounded and tiny — see fwdRows below), so it is
+                // read ONCE per batch and the fixpoint loop joins against
+                // the persisted frame; the first formulation re-opened
+                // the scattered per-(version, bucket) files every round
+                // and measured 0.36 → 3.8 s/drop over 8 drops in the
+                // traced 200k pipeline soak
+                val fwdAll = readKind(Set(fwdBucket(nBuckets)), -3L)
+                  .select(col("doc_id").as("from"), col("label").as("to"))
+                  .persist()
+                val rootMap = tr("resolve")(resolve(
                   seenLab.select(col("label").as("lbl")).distinct(),
-                  frontier => readKind(
-                    frontier.select(kindBucketOf(-3L, col("root"), nBuckets).as("p"))
-                      .distinct().collect().map(_.getLong(0)).toSet, -3L)
-                    .select(col("doc_id").as("from"), col("label").as("to")))
+                  _ => fwdAll))
 
                 // ---- batch-subgraph components ------------------------
                 // nodes: batch docs + the existing roots its edges reach;
                 // cost is edge-shaped (Dedup.clustersOf over this subgraph),
-                // the corpus is never touched
+                // the corpus is never touched. The subgraph frames MUST be
+                // materialized (eager localCheckpoint) before the loop:
+                // clustersOf re-reads its edge list every propagation
+                // round, and a lazy edge list re-runs the whole upstream
+                // (index bucket reads + sig fetch + est joins) per round —
+                // measured as per-drop growth in the 500k pipeline soak
+                // before this truncation.
                 val toRoot = seenLab
                   .join(rootMap, seenLab("label") === rootMap("lbl"))
                   .select(col("doc_id").as("doc_a"), col("root").as("doc_b"))
                   .distinct()
-                val pairs = edgesBatch.unionByName(toRoot)
+                val pairs = tr("subgraph_ck")(edgesBatch.unionByName(toRoot)
+                  .localCheckpoint(eager = true))
                 val universe = clean.select(col("doc_id"))
-                  .unionByName(toRoot.select(col("doc_b").as("doc_id")))
+                  .unionByName(pairs.select(col("doc_b").as("doc_id")))
                   .distinct()
-                val sc = spark.sparkContext
-                val before = sc.getPersistentRDDs.keySet.toSet
-                val lab = Dedup.clustersOf(spark, pairs, universe)
-                  .persist()
-                lab.count()
+                val lab = tr("cc")({
+                  val l = Dedup.clustersOf(spark, pairs, universe).persist()
+                  l.count(); l
+                })
 
                 // ---- new forwarding rows ------------------------------
                 // (a) real merges: an existing root whose component gained a
@@ -252,7 +305,8 @@ object IncrementalKeepBest {
 
                 // stage the batch's durable answer FIRST, then the segment
                 // (all four row kinds in one atomic commit)
-                members.write.mode("overwrite").parquet(membersDir)
+                tr("members_write")(
+                  members.write.mode("overwrite").parquet(membersDir))
                 val nullSig = lit(null).cast(ArrayType(LongType, containsNull = false))
                 val bandKeys = bands.select(col("band"), col("bh"), col("doc_id"),
                   nullSig.as("sig"), lit(null).cast("long").as("label"),
@@ -265,15 +319,16 @@ object IncrementalKeepBest {
                   .select(lit(-2L).as("band"), col("doc_id").cast("string").as("bh"),
                     col("doc_id"), nullSig.as("sig"), col("label"), col("score"))
                 val fwdRows = fwdNew
-                  .select(lit(-3L).as("band"), col("from").cast("string").as("bh"),
+                  .select(lit(-3L).as("band"), lit("fwd").as("bh"),
                     col("from").as("doc_id"), nullSig.as("sig"),
                     col("to").as("label"), lit(null).cast("double").as("score"))
-                bandKeys.unionByName(sigRows).unionByName(memberRows)
-                  .unionByName(fwdRows)
-                  .withColumn("p", bucketOf(nBuckets))
-                  .repartition(col("p"))
-                  .write.mode("overwrite").partitionBy("p")
-                  .parquet(s"$indexDir/v=$physicalVersion")
+                tr("segment_write")(
+                  bandKeys.unionByName(sigRows).unionByName(memberRows)
+                    .unionByName(fwdRows)
+                    .withColumn("p", bucketOf(nBuckets))
+                    .repartition(col("p"))
+                    .write.mode("overwrite").partitionBy("p")
+                    .parquet(s"$indexDir/v=$physicalVersion"))
 
                 // release this batch's component-pass checkpoints (tracked
                 // diff — same exposure as clustersOf's own internal
@@ -299,7 +354,7 @@ object IncrementalKeepBest {
             } finally BucketState.releaseVersion(indexDir, physicalVersion)
         }
       } finally BucketState.releaseReads(lease)
-      BucketState.gcVersions(spark, indexDir)
+      tr("gc")(BucketState.gcVersions(spark, indexDir))
     } finally { bands.unpersist(); scored.unpersist() }
     spark.read.schema(memberSchema).parquet(membersDir)
   }
@@ -334,6 +389,7 @@ object IncrementalKeepBest {
     // materialize before releasing the backing blocks
     val rows = out.localCheckpoint(eager = true)
     all.unpersist()
+    roots.unpersist()
     rows
   }
 

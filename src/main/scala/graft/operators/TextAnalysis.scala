@@ -613,15 +613,37 @@ object TextAnalysis {
     * corpus (same assignment, same window shapes).
     */
   def shufflePackOf(docs: DataFrame, shards: Long = 8L,
-                    seed: String = "epoch-0"): DataFrame = {
+                    seed: String = "epoch-0"): DataFrame =
+    packFrom(docs.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens")),
+      shards, seed)
+
+  /** Epoch k's permutation derived from a PRIOR epoch's persisted pack
+    * output — the multi-epoch path a training run actually takes: the
+    * pack output already carries `n_tokens`, so epoch k is a pure
+    * re-ranking of `(doc_id, n_tokens)` — the corpus text is never
+    * re-tokenized (type-level: this function accepts no text column).
+    * By construction `repackEpoch(shufflePackOf(docs, seed=e0), k)` ==
+    * `shufflePackOf(docs, seed = "epoch-k")` — the permutation is a
+    * pure function of (doc_id, seed) and the token counts are
+    * epoch-invariant; pinned by spec and by the epoch-1 driver oracle.
+    * At 100 TB each additional epoch costs one map stage + one 16-byte-
+    * row shard exchange over (doc_id, n_tokens) — the text columns
+    * (the actual terabytes) are untouched.
+    */
+  def repackEpoch(packed: DataFrame, epoch: Long, shards: Long = 8L): DataFrame =
+    packFrom(packed.select(col("doc_id"), col("n_tokens")), shards,
+      s"epoch-$epoch")
+
+  private def packFrom(withTokens: DataFrame, shards: Long,
+                       seed: String): DataFrame = {
     val rank = md5(concat_ws("|", lit(seed), col("doc_id")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))
     val wRun = w.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs
-      .select(col("doc_id"), rank.as("rk"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    withTokens
+      .select(col("doc_id"), rank.as("rk"), col("n_tokens"))
       .withColumn("shard",
         pmod(conv(substring(col("rk"), 1, 15), 16, 10).cast("long"),
           lit(shards)))
@@ -634,9 +656,17 @@ object TextAnalysis {
       .orderBy(col("shard"), col("pos"))
   }
 
-  private val textShufflePackSql =
+  /** Epoch 1 derived from epoch 0's output — the driver-facing proof
+    * that the multi-epoch path re-ranks without re-tokenizing and still
+    * lands on exactly the from-scratch epoch-1 assignment (the oracle
+    * computes epoch 1 from the raw text).
+    */
+  def textShufflePackEpoch1(s: SparkSession, dir: String): DataFrame =
+    repackEpoch(textShufflePack(s, dir), 1)
+
+  private def shufflePackSqlFor(seed: String) =
     s"""WITH r AS (
-       |  SELECT doc_id, md5('epoch-0' || '|' || doc_id) AS rk,
+       |  SELECT doc_id, md5('$seed' || '|' || doc_id) AS rk,
        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
        |  FROM documents),
        |s AS (
@@ -653,6 +683,9 @@ object TextAnalysis {
        |SELECT doc_id, shard, pos, n_tokens,
        |       (cum_tokens - n_tokens) // $packBudget AS file_in_shard
        |FROM t ORDER BY shard, pos""".stripMargin
+
+  private val textShufflePackSql = shufflePackSqlFor("epoch-0")
+  private val textShufflePackEpoch1Sql = shufflePackSqlFor("epoch-1")
 
   // ------------------------------------------------------- fuzzy match
   /** Edit-distance fuzzy matching over a bounded sample (doc_id < 30
@@ -758,6 +791,7 @@ object TextAnalysis {
     "text_ngram_topk" -> (textNgramTopk _),
     "text_pack_shards" -> (textPackShards _),
     "text_shuffle_pack" -> (textShufflePack _),
+    "text_shuffle_pack_epoch1" -> (textShufflePackEpoch1 _),
     "text_sample_mixture" -> (textSampleMixture _),
     "text_repetition" -> (textRepetition _),
     "corpus_domain_report" -> (corpusDomainReport _))
@@ -777,6 +811,7 @@ object TextAnalysis {
     "text_ngram_topk" -> textNgramTopkSql,
     "text_pack_shards" -> textPackShardsSql,
     "text_shuffle_pack" -> textShufflePackSql,
+    "text_shuffle_pack_epoch1" -> textShufflePackEpoch1Sql,
     "text_sample_mixture" -> textSampleMixtureSql,
     "text_repetition" -> textRepetitionSql,
     "corpus_domain_report" -> corpusDomainReportSql)

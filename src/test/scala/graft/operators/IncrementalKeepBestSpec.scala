@@ -105,6 +105,19 @@ class IncrementalKeepBestSpec extends AnyFunSuite {
       "test corpus no longer merges into one component — rebuild the chain")
     assert(rows(snap) === rows(expected))
     assert(snap.head().getLong(0) === 10L) // merged root = global min id
+
+    // STALE-LABEL CHASE in a later batch: a new near-dup of family B
+    // finds doc 20, whose member row still carries the superseded label
+    // 20 — ingest must resolve it through the forwarding relation
+    // (20 → 10, the constant-bucket read) and file the newcomer under 10
+    val b2 = b + " extrawordone extrawordtwo extrawordthree"
+    val m = IncrementalKeepBest.ingest(spark, dir, docsDf(Seq((60L, b2))), 3,
+      nBuckets = 4).collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((60L, 10L)),
+      "stale label not chased through forwarding")
+    val snap2 = IncrementalKeepBest.snapshot(spark, dir)
+    val expected2 = oneShot(docsDf(Seq((10L, a), (20L, b)) ++ bridge :+ (60L, b2)))
+    assert(rows(snap2) === rows(expected2))
   }
 
   test("chunked ingest equals one-shot on the real corpus (3 ascending chunks)") {

@@ -149,6 +149,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("overlap build refuses past the candidate budget with a minhash pointer; " +
+      "unchanged below it") {
+    // force the predictor over budget: the sf0.001 corpus has a tiny but
+    // non-zero Σ df², so a budget of 1 trips the guard deterministically
+    spark.conf.set("spark.graft.overlap.candidateBudget", "1")
+    try {
+      val e = intercept[IllegalStateException](
+        Dedup.overlapPairsPlan(spark, sf).count())
+      assert(e.getMessage.contains("dedup_keep_best_minhash"))
+      assert(e.getMessage.contains("candidateBudget"))
+    } finally spark.conf.unset("spark.graft.overlap.candidateBudget")
+    // and with the default budget the build is untouched (non-empty at
+    // this sf; full value parity is the brute-join spec below)
+    assert(Dedup.overlapPairsPlan(spark, sf).count() > 0)
+  }
+
   test("prefix-filtered overlap == brute count join (zero recall loss, exact i)") {
     // overlapPairsBrute is the plain Σ df² co-occurrence count join —
     // ground truth by construction. Equality of the full measure rows
@@ -952,6 +968,28 @@ class TextCensusSpec extends AnyFunSuite {
         case _         => true
       })
     }
+  }
+
+  test("multi-epoch repack: epoch k re-ranks the pack output without re-tokenizing " +
+      "and equals the from-scratch epoch-k pack; epochs genuinely differ") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+    val e0 = TextAnalysis.shufflePackOf(docs).localCheckpoint(eager = true)
+    // derived epoch 1 (re-rank of (doc_id, n_tokens) only — repackEpoch
+    // accepts no text column, so re-tokenization is impossible by type)
+    val derived = TextAnalysis.repackEpoch(e0, 1)
+    val scratch = TextAnalysis.shufflePackOf(docs, seed = "epoch-1")
+    assert(derived.exceptAll(scratch).count() === 0)
+    assert(scratch.exceptAll(derived).count() === 0)
+    // the permutation actually changes across epochs: same docs, but the
+    // (shard, pos) assignment must not be identical
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), col("shard"), col("pos"))
+    assert(key(e0).exceptAll(key(derived)).count() > 0,
+      "epoch-1 permutation identical to epoch-0")
+    // n_tokens is carried through unchanged (the reuse that makes epoch
+    // k free of the corpus scan)
+    assert(key(derived).count() === e0.count())
   }
 
   test("bloom-prefiltered decontaminate == exact form; plan carries the bloom probe") {
