@@ -39,11 +39,17 @@ object ScaleUp {
     // session warm-up read) — the corpus-shaped families (dedup / ANN /
     // text) don't touch the TPC-H side, so the sf100 rung skips 6 GB of
     // fact-table replication and generates just the 1000× corpus.
-    val docsOnly = args.lift(3) match {
-      case Some("docs") => true
-      case Some(other)  => sys.error(s"unknown mode: '$other' (expected 'docs')")
-      case None         => false
+    // `facts` mode is the mirror image — TPC-H fact/dim tables only (no
+    // events, no corpus regen): the CDC-family decade rung exercises the
+    // changelog fold over orders/lineitem and nothing else, so the rung
+    // skips generating a corpus it never reads.
+    val mode = args.lift(3) match {
+      case Some("docs")  => "docs"
+      case Some("facts") => "facts"
+      case Some(other)   => sys.error(s"unknown mode: '$other' (expected 'docs' or 'facts')")
+      case None          => "full"
     }
+    val docsOnly = mode == "docs"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -96,6 +102,11 @@ object ScaleUp {
     write(scaled("orders", "o_orderkey" -> OK, "o_custkey" -> CK), "orders")
     write(scaled("lineitem", "l_orderkey" -> OK, "l_partkey" -> PK,
       "l_suppkey" -> SK), "lineitem")
+    if (mode == "facts") {
+      println(s"[scale-up] facts-only at factor $factor — no events, no corpus")
+      spark.stop()
+      return
+    }
     // events.ts is TIMESTAMP(NANOS), unreadable natively (see
     // Tables.events); read it as long nanos and write it back as plain
     // int64 — Tables.events' ns→µs rebuild works identically on either
