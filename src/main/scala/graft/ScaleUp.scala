@@ -61,8 +61,15 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // key-shift constants: > any sf0.1 key domain, round for debuggability
-    val OK = 10000000L  // o_orderkey / l_orderkey (sf0.1 max 6e5)
+    // key-shift constants: > any sf0.1 key domain, round for debuggability.
+    // Shifted keys are cast back to the base column type (int for the
+    // TPC-H keys), so shift × factor + base-max must stay under
+    // Int.MaxValue — the orderkey shift at its original 1e7 overflowed at
+    // factor 300 (the sf30 facts rung) and the run failed loudly with
+    // CAST_OVERFLOW; 2e6 clears the base domain (6e5) with headroom to
+    // factor 1000.
+    require(factor <= 1000, s"key shifts overflow int past factor 1000 (got $factor)")
+    val OK = 2000000L   // o_orderkey / l_orderkey (sf0.1 max 6e5)
     val CK = 1000000L   // c_custkey / o_custkey
     val SK = 1000000L   // s_suppkey / l_suppkey
     val PK = 1000000L   // p_partkey / l_partkey
