@@ -115,6 +115,36 @@ object IncrementalKeepBest {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       rowSchema.add("p", LongType))
 
+  /** Driver union-find over a collected edge list — min-id roots, path
+    * compression; exactly [[Dedup.clustersOf]]'s answer ((doc_id,
+    * cluster) over `universe`, cluster = min reachable id, singletons
+    * label themselves), pinned equal by spec with the threshold forced
+    * both ways. Only called under the bounded-edge regime.
+    */
+  private def unionFindLabels(spark: SparkSession, pairs: DataFrame,
+                              universe: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.select(col("doc_a"), col("doc_b")).collect().foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val labels = parent.keys.map(id => (id, find(id))).toSeq
+    val labDf = spark.createDataFrame(labels).toDF("ldoc", "lcluster")
+    universe.select(col("doc_id"))
+      .join(broadcast(labDf), col("doc_id") === col("ldoc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lcluster"), col("doc_id")).as("cluster"))
+  }
+
   /** Resolve each distinct `lbl` to its current root by chasing the
     * forwarding relation to fixpoint. `readFwd(frontierRoots)` returns
     * `(from, to)` rows covering at least the frontier (bucket-pruned in
@@ -252,9 +282,16 @@ object IncrementalKeepBest {
                 val fwdAll = readKind(Set(fwdBucket(nBuckets)), -3L)
                   .select(col("doc_id").as("from"), col("label").as("to"))
                   .persist()
-                val rootMap = tr("resolve")(resolve(
-                  seenLab.select(col("label").as("lbl")).distinct(),
-                  _ => fwdAll))
+                // no merges recorded yet (the common early-corpus state) ⇒
+                // every label IS its root: skip the fixpoint loop's
+                // join/persist/probe jobs entirely
+                val rootMap = tr("resolve")(
+                  if (fwdAll.isEmpty)
+                    seenLab.select(col("label").as("lbl")).distinct()
+                      .withColumn("root", col("lbl")).persist()
+                  else resolve(
+                    seenLab.select(col("label").as("lbl")).distinct(),
+                    _ => fwdAll))
 
                 // ---- batch-subgraph components ------------------------
                 // nodes: batch docs + the existing roots its edges reach;
@@ -275,8 +312,25 @@ object IncrementalKeepBest {
                 val universe = clean.select(col("doc_id"))
                   .unionByName(pairs.select(col("doc_b").as("doc_id")))
                   .distinct()
+                // Two-regime component pass. The batch subgraph is
+                // edge-bounded (near-dup relations of ONE drop), so for
+                // any realistic drop it fits the driver: a union-find
+                // over the collected edges replaces the distributed
+                // label-propagation loop's ~6-8 jobs with one bounded
+                // collect — the same bounded-collect class as the sig-
+                // bucket lists (measured: the loop dominated the per-
+                // ingest job count at small drops). Past the threshold
+                // (conf `spark.graft.keepbest.ufMaxEdges`) the exact
+                // same contract runs distributed via Dedup.clustersOf.
+                val ufMax = spark.conf
+                  .getOption("spark.graft.keepbest.ufMaxEdges")
+                  .map(_.toLong).getOrElse(2000000L)
+                val nEdges = pairs.count() // checkpointed — metadata-cheap
                 val lab = tr("cc")({
-                  val l = Dedup.clustersOf(spark, pairs, universe).persist()
+                  val l = (if (nEdges <= ufMax)
+                             unionFindLabels(spark, pairs, universe)
+                           else Dedup.clustersOf(spark, pairs, universe))
+                    .persist()
                   l.count(); l
                 })
 
@@ -394,25 +448,23 @@ object IncrementalKeepBest {
   }
 
   // --------------------------------------------------- driver query
-  /** Driver-facing demonstration: the documents table ingested as three
-    * ascending-doc_id drops through a fresh cluster index; the snapshot
-    * must equal the ONE-SHOT [[Dedup.dedupKeepBestMinhash]] — same
-    * oracle SQL, verbatim. The equality IS the correctness statement:
-    * retention upgrades and cluster merges across drops land on exactly
-    * the batch answer.
+  /** Driver-facing demonstration: the documents table ingested as two
+    * ascending-doc_id drops through a fresh cluster index (the same
+    * mid-split shape as `dedup_incremental`/`dedup_neardup_incremental`;
+    * the 3-chunk form and the merge/upgrade interleavings live in
+    * `IncrementalKeepBestSpec`); the snapshot must equal the ONE-SHOT
+    * [[Dedup.dedupKeepBestMinhash]] — same oracle SQL, verbatim. The
+    * equality IS the correctness statement: retention upgrades and
+    * cluster merges across drops land on exactly the batch answer.
     */
   def keepBestIncremental(s: SparkSession, dir: String): DataFrame = {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-kb").toString
     val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
-    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-    ingest(s, indexDir, docs.filter(col("doc_id") <= c1), 0, nBuckets = 16)
+    val mid = (ids.getLong(0) + ids.getLong(1)) / 2
+    ingest(s, indexDir, docs.filter(col("doc_id") <= mid), 0, nBuckets = 16)
       .count()
-    ingest(s, indexDir,
-      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2), 1, nBuckets = 16)
-      .count()
-    ingest(s, indexDir, docs.filter(col("doc_id") > c2), 2, nBuckets = 16)
+    ingest(s, indexDir, docs.filter(col("doc_id") > mid), 1, nBuckets = 16)
       .count()
     snapshot(s, indexDir)
   }

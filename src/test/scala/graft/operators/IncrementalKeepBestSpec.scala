@@ -135,6 +135,34 @@ class IncrementalKeepBestSpec extends AnyFunSuite {
     assert(rows(IncrementalKeepBest.snapshot(spark, dir)) === rows(oneShot(docs)))
   }
 
+  test("driver union-find and distributed clustersOf regimes agree (threshold forced both ways)") {
+    val a = "one two three four five six seven eight nine ten eleven twelve " * 4
+    val b = "red orange yellow green blue indigo violet cyan magenta white black gray " * 4
+    def tok(v: Char, i: Int) = s"${v}word$i"
+    val n = 60
+    val av = (0 until n).map(tok('a', _)).mkString(" ")
+    val bv = (0 until n).map(tok('b', _)).mkString(" ")
+    def chain(step: Int) = (0 until n)
+      .map(j => if (j < 3 * step) tok('b', j) else tok('a', j)).mkString(" ")
+    val batches = Seq(
+      Seq((10L, a), (11L, av)),
+      Seq((20L, b), (21L, bv)),
+      (1 until 20).map(i => (30L + i, chain(i))))
+    def runWith(ufMax: String): Seq[(Long, Long, Long, Long)] = {
+      spark.conf.set("spark.graft.keepbest.ufMaxEdges", ufMax)
+      try {
+        val dir = freshDir()
+        batches.zipWithIndex.foreach { case (docs, i) =>
+          IncrementalKeepBest.ingest(spark, dir, docsDf(docs), i, nBuckets = 4)
+        }
+        IncrementalKeepBest.snapshot(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            math.round(r.getDouble(2) * 1e12), r.getLong(3))).toSeq
+      } finally spark.conf.unset("spark.graft.keepbest.ufMaxEdges")
+    }
+    assert(runWith("0") === runWith(Long.MaxValue.toString))
+  }
+
   test("replay of a committed batch no-ops with the same members; changed input fails loudly") {
     val dir = freshDir()
     val text = "one two three four five six seven eight nine ten eleven twelve thirteen"
