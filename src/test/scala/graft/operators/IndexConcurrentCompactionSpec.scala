@@ -80,6 +80,35 @@ class IndexConcurrentCompactionSpec extends AnyFunSuite {
     assert(diskVersions(dir) === Set(1L))
   }
 
+  test("keep-best: an ingest committed mid-fold survives the swap — retention upgrade AND merge intact") {
+    val dir = s"${Files.createTempDirectory("graft-icc-kb").toString}/index"
+    // two near-identical low/high-quality texts (J = 6/10 of the
+    // replace-on-better spec corpus) in separate early batches, plus an
+    // unrelated singleton
+    val low = "alpha beta gamma delta epsilon zeta eta theta alpha beta gamma delta epsilon zeta eta theta"
+    val high = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    IncrementalKeepBest.ingest(spark, dir,
+      docs(1L -> low, 2L -> "one two three four five six seven"),
+      batchId = 0, nBuckets = 4)
+    // mid-fold, the upgrade batch commits: doc 3 is the higher-quality
+    // near-dup of doc 1 — the retention decision and its member/fwd
+    // rows must survive the segment-preserving swap
+    BucketState.compactConcurrent(spark, dir, beforeSwap = () =>
+      IncrementalKeepBest.ingest(spark, dir, docs(3L -> high),
+        batchId = 1, nBuckets = 4))
+    val got = IncrementalKeepBest.snapshot(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got === Set((1L, 3L, 2L), (2L, 2L, 1L)),
+      s"retention state lost or resurrected across the swap: $got")
+    // replaying the mid-fold batch no-ops idempotently post-swap
+    val replay = IncrementalKeepBest.ingest(spark, dir, docs(3L -> high),
+      batchId = 1, nBuckets = 4)
+    assert(replay.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    val m = BucketState.readManifest(spark, dir)
+    assert(m.fp.map(_._1) === Some(2L))
+    assert(diskVersions(dir) === m.buckets.values.flatten.toSet)
+  }
+
   test("stress: near-dup ingests racing real background folds converge to one-shot") {
     val base = Files.createTempDirectory("graft-icc-stress").toString
     val dir = s"$base/index"
