@@ -113,6 +113,23 @@ object Shared {
     cell.df // builds outside the registry lock; per-cell exactly-once
   }
 
+  /** Best-effort recursive delete of a per-run scratch directory (the
+    * incremental driver queries' temp index dirs): repeated verify/bench
+    * runs would otherwise accrete gigabytes of dead index state under
+    * /tmp. Call only after the query's answer has been MATERIALIZED
+    * (eager localCheckpoint) — a lazy frame still reading the dir would
+    * break.
+    */
+  def deleteDirTree(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Unpersist every persistent RDD except the shared materializations.
     *
     * `spark.catalog.clearCache()` drops `cache()`d plans but not

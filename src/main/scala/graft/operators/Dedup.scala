@@ -191,8 +191,11 @@ object Dedup {
     val sh = docShingles(s, dir)
     val budget = s.conf.getOption("spark.graft.overlap.candidateBudget")
       .map(_.toLong).getOrElse(OverlapCandidateBudgetDefault)
+    // coalesce: over an EMPTY shingle set sum() is NULL and getLong would
+    // NPE — a degenerate corpus should fall through to the normal build
     val est = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .agg(sum(col("df") * col("df")).as("s")).head().getLong(0) / 5
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("s"))
+      .head().getLong(0) / 5
     if (est > budget)
       throw new IllegalStateException(
         s"exact-overlap build refused: predicted ~$est candidate pairs " +

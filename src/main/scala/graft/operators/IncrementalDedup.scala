@@ -222,9 +222,12 @@ object IncrementalDedup {
     * fingerprint), which is exactly what the DuckDB oracle computes —
     * the equality IS the correctness statement for the incremental path.
     */
-  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val indexDir = java.nio.file.Files.createTempDirectory("graft-increm")
-      .toString
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    dedupIncrementalAt(s, dir,
+      java.nio.file.Files.createTempDirectory("graft-increm").toString)
+
+  private[graft] def dedupIncrementalAt(s: SparkSession, dir: String,
+                                        indexDir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
     val mid = (ids.getLong(0) + ids.getLong(1)) / 2
@@ -235,7 +238,14 @@ object IncrementalDedup {
       nBuckets = 16).count()
     ingest(s, indexDir, docs.filter(col("doc_id") > mid), batchId = 1,
       nBuckets = 16).count()
-    snapshot(s, indexDir).orderBy(col("fp"))
+    // materialize the answer, then reclaim the per-run index dir: the
+    // snapshot frame lazily reads the dir, so delete only after the
+    // eager checkpoint (repeated verify/bench runs would otherwise
+    // accrete dead index state under /tmp)
+    val out = snapshot(s, indexDir).orderBy(col("fp"))
+      .localCheckpoint(eager = true)
+    graft.Shared.deleteDirTree(indexDir)
+    out
   }
 
   private val dedupIncrementalSql =

@@ -137,7 +137,11 @@ object IncrementalKeepBest {
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
     }
-    val labels = parent.keys.map(id => (id, find(id))).toSeq
+    // snapshot the keys BEFORE walking: find() path-compresses into the
+    // same map, and iterating a live mutable.HashMap view while writing
+    // to it is an implementation-detail bet even when no entry is
+    // structurally added
+    val labels = parent.keys.toSeq.map(id => (id, find(id)))
     val labDf = spark.createDataFrame(labels).toDF("ldoc", "lcluster")
     universe.select(col("doc_id"))
       .join(broadcast(labDf), col("doc_id") === col("ldoc"), "left")
@@ -154,8 +158,12 @@ object IncrementalKeepBest {
     */
   private def resolve(labels: DataFrame, readFwd: DataFrame => DataFrame)
       : DataFrame = {
-    var cur = labels.select(col("lbl"), col("lbl").as("root")).persist()
-    cur.count()
+    // curP is the frame persist() was CALLED on: unpersisting a Project
+    // over a cached plan is a CacheManager no-op (no sameResult entry),
+    // so releasing each round's blocks needs the persisted handle itself
+    var curP = labels.select(col("lbl"), col("lbl").as("root")).persist()
+    curP.count()
+    var cur = curP
     var rounds = 0
     var done = false
     while (!done && rounds < 64) {
@@ -167,9 +175,18 @@ object IncrementalKeepBest {
           col("to").isNotNull.as("chg"))
         .persist()
       done = next.filter(col("chg")).limit(1).isEmpty
-      cur.unpersist()
+      curP.unpersist()
+      curP = next
       cur = next.drop("chg")
     }
+    // chain length is a data-dependent invariant (path compression keeps
+    // it near 1, but nothing structural caps it at 64 the way clustersOf's
+    // diameter argument does) — a silent exit here would return stale
+    // roots and a WRONG snapshot instead of an error
+    require(done,
+      "forwarding-chain resolution did not converge within 64 rounds — " +
+        "the union-find index is deeper than path compression should " +
+        "ever allow; refusing to answer from stale roots")
     cur
   }
 
@@ -422,6 +439,12 @@ object IncrementalKeepBest {
     * the per-drop path above never runs it.
     */
   def snapshot(spark: SparkSession, indexDir: String): DataFrame = {
+    // resolve() hands back a Project over its final persisted round, so a
+    // plain unpersist() on the return value is a CacheManager no-op —
+    // release everything this call pinned as one tracked diff instead
+    // (the ingest pattern; same single-writer exposure, documented there)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
     val m = BucketState.readManifest(spark, indexDir)
     val all = BucketState.readBuckets(spark, indexDir, m.buckets,
       emptyIdx(spark)).persist()
@@ -440,10 +463,14 @@ object IncrementalKeepBest {
       .select(col("cluster"), col("best.doc_id").as("doc_id"),
         col("best.score").as("score"), col("n_members"))
       .orderBy(col("cluster"))
+    // snapshot the pinned-block diff BEFORE checkpointing: the local
+    // checkpoint's own blocks back `rows` and must outlive this call
+    val pinned = sc.getPersistentRDDs.keySet.toSet -- before
     // materialize before releasing the backing blocks
     val rows = out.localCheckpoint(eager = true)
     all.unpersist()
-    roots.unpersist()
+    pinned.foreach(id => sc.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
     rows
   }
 
@@ -457,8 +484,12 @@ object IncrementalKeepBest {
     * equality IS the correctness statement: retention upgrades and
     * cluster merges across drops land on exactly the batch answer.
     */
-  def keepBestIncremental(s: SparkSession, dir: String): DataFrame = {
-    val indexDir = java.nio.file.Files.createTempDirectory("graft-kb").toString
+  def keepBestIncremental(s: SparkSession, dir: String): DataFrame =
+    keepBestIncrementalAt(s, dir,
+      java.nio.file.Files.createTempDirectory("graft-kb").toString)
+
+  private[graft] def keepBestIncrementalAt(s: SparkSession, dir: String,
+                                           indexDir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
     val mid = (ids.getLong(0) + ids.getLong(1)) / 2
@@ -466,7 +497,12 @@ object IncrementalKeepBest {
       .count()
     ingest(s, indexDir, docs.filter(col("doc_id") > mid), 1, nBuckets = 16)
       .count()
-    snapshot(s, indexDir)
+    // snapshot() eagerly checkpoints, so the per-run index dir can be
+    // reclaimed on success (repeated verify/bench runs would otherwise
+    // accrete dead index state under /tmp)
+    val out = snapshot(s, indexDir)
+    graft.Shared.deleteDirTree(indexDir)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

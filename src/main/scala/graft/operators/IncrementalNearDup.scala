@@ -295,9 +295,12 @@ object IncrementalNearDup {
     * id) — which is exactly what the DuckDB oracle computes from the
     * same hash ladder.
     */
-  def nearDupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val indexDir = java.nio.file.Files.createTempDirectory("graft-neardup")
-      .toString
+  def nearDupIncremental(s: SparkSession, dir: String): DataFrame =
+    nearDupIncrementalAt(s, dir,
+      java.nio.file.Files.createTempDirectory("graft-neardup").toString)
+
+  private[graft] def nearDupIncrementalAt(s: SparkSession, dir: String,
+                                          indexDir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
     val mid = (ids.getLong(0) + ids.getLong(1)) / 2
@@ -305,7 +308,13 @@ object IncrementalNearDup {
       batchId = 0, nBuckets = 16)
     val b = ingest(s, indexDir, docs.filter(col("doc_id") > mid),
       batchId = 1, nBuckets = 16)
-    a.unionByName(b).orderBy(col("doc_id"))
+    // the admitted frames lazily read the dir — materialize, then reclaim
+    // the per-run index (repeated verify/bench runs would otherwise
+    // accrete dead index state under /tmp)
+    val out = a.unionByName(b).orderBy(col("doc_id"))
+      .localCheckpoint(eager = true)
+    graft.Shared.deleteDirTree(indexDir)
+    out
   }
 
   private val nearDupIncrementalSql: String = {

@@ -272,6 +272,20 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("driver queries reclaim their per-run index dir on success") {
+    val sf = TestSpark.sf0001
+    def run(name: String, q: (org.apache.spark.sql.SparkSession, String, String)
+        => org.apache.spark.sql.DataFrame): Unit = {
+      val idx = java.nio.file.Files.createTempDirectory(s"hygiene-$name")
+      assert(q(spark, sf, idx.toString).count() > 0, s"$name returned no rows")
+      assert(!java.nio.file.Files.exists(idx),
+        s"$name left its per-run index dir behind: $idx")
+    }
+    run("exact", IncrementalDedup.dedupIncrementalAt)
+    run("neardup", IncrementalNearDup.nearDupIncrementalAt)
+    run("keepbest", IncrementalKeepBest.keepBestIncrementalAt)
+  }
+
   test("chunked ingest equals one-shot exact dedup on the fixture corpus") {
     val sf = TestSpark.sf0001
     val got = IncrementalDedup.dedupIncremental(spark, sf)
