@@ -32,6 +32,20 @@ object Similarity {
   private val QueryVec = 0L
   private val LshBits = 8
 
+  /** Where the learned-parameter queries publish their trained state for
+    * the DuckDB oracle. K-means centroids/assignments and PQ codebooks/
+    * codes are ENGINE-side learned parameters — an independent engine
+    * cannot re-derive them bit-for-bit (iterative float fits) — but
+    * everything downstream of them is exact fixed-point arithmetic. So
+    * the query declares the learned state AS DATA (tiny parquet files,
+    * overwritten per invocation) and the oracle replays the full search
+    * semantics from it: probe selection, candidate pruning, ADC scoring,
+    * exact re-rank, top-k order — the same declared-parameter discipline
+    * as `dedup_minhash_cap_report`. Single-writer: a verify/bench run
+    * owns the dir for its duration (the driver runs them sequentially).
+    */
+  private val OracleParamsDir = "/tmp/graft_oracle_params"
+
   /** Cosine via the native codegen expression (graft.functions.CosineFxExpr)
     * — bit-identical to VectorFns.cosineFx (parity-tested) but runs as one
     * fused loop inside whole-stage codegen instead of interpreted HOFs.
@@ -232,6 +246,13 @@ object Similarity {
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("cell"),
         fixedPoint(vector_to_array(col("features"))).as("v"))
+    // declare the learned state as data for the full DuckDB oracle: the
+    // k-means assignment + centroids (see OracleParamsDir) — everything
+    // downstream (probe choice, pruning, re-rank) replays exactly
+    assigned.select(col("vec_id"), col("cell"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$OracleParamsDir/ivf/assign")
+    writeCentroids(s, s"$OracleParamsDir/ivf", model)
     // query's nProbe nearest cells by exact centroid distance
     val qv = assigned.filter(col("vec_id") === QueryVec)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -587,26 +608,13 @@ object Similarity {
   }
 
   def annPqTopk(s: SparkSession, dir: String): DataFrame = {
-    val vecs = Tables.embeddings(s, dir)
-    val codebooks = pqCodebooks(s, dir)
-    val tables = pqTables(s, dir, codebooks)
-
-    // encode once (native, one fused loop), then ADC-score. Two
-    // projections — CollapseProject keeps them separate because `codes`
-    // is non-cheap and consumed PqM times; collapsing would re-encode
-    // per lookup.
-    val candidates = vecs
-      .filter(col("vec_id") =!= QueryVec)
-      .select(col("vec_id"), pqNative(s, codebooks, col("embedding")).as("codes"))
-      .select(col("vec_id"), adcDot(tables).as("adot"))
-      .orderBy(col("adot").desc, col("vec_id")).limit(PqRerank)
-    // broadcast the CONSTANT-size candidate set: without the hint the
-    // re-rank would shuffle the corpus to sort-merge against 100 rows
-    broadcast(candidates).join(corpus(s, dir), "vec_id")
-      .crossJoin(broadcast(queryRow(s, dir)))
-      .withColumn("cosine", cosNative(s, col("v"), col("qv")))
-      .select(col("vec_id"), col("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+    // build the at-rest index into the oracle-params dir (codes encoded
+    // ONCE, codebooks declared as data — see OracleParamsDir), then serve
+    // from it: identical answer to the former in-memory formulation
+    // (PqSpec pins from-index ≡ in-memory), and the DuckDB oracle can now
+    // replay ADC scoring + re-rank from the same persisted state
+    writePqIndex(s, dir, s"$OracleParamsDir/pq")
+    annPqTopkFromIndex(s, dir, s"$OracleParamsDir/pq")
   }
 
   /** PQ index at rest: `out/codes` holds (vec_id, codes array — 16 small
@@ -804,6 +812,58 @@ object Similarity {
        |WHERE bit_count(xor(codes.code, qc.qcode)) <= 2
        |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin
 
+  // Full oracle for the IVF query: the learned state (assignment +
+  // centroids) is read back as data; probe-cell choice, candidate
+  // pruning, and the exact re-rank replay in DuckDB with the identical
+  // fixed-point arithmetic (integer-exact sums ⇒ bit-identical doubles).
+  private val annIvfTopkSql =
+    s"""$compCte,
+       |asg AS (SELECT vec_id, cell
+       |        FROM read_parquet('$OracleParamsDir/ivf/assign/*.parquet')),
+       |centc AS (
+       |  SELECT cell, generate_subscripts(centroid, 1) - 1 AS i0,
+       |         CAST(FLOOR(unnest(centroid) * 1048576) AS BIGINT) AS cx
+       |  FROM read_parquet('$OracleParamsDir/ivf/centroids/*.parquet')),
+       |cnorm AS (SELECT cell, SUM(cx*cx) AS ncv FROM centc GROUP BY cell),
+       |cdotq AS (
+       |  SELECT centc.cell, SUM(centc.cx * q.qx) AS cdot
+       |  FROM centc JOIN q USING (i0) GROUP BY centc.cell),
+       |probes AS (
+       |  SELECT c.cell FROM cdotq c JOIN cnorm n USING (cell), nq
+       |  ORDER BY CAST(c.cdot AS DOUBLE) /
+       |           sqrt(CAST(n.ncv AS DOUBLE) * CAST(nq.nqv AS DOUBLE)) DESC,
+       |           c.cell
+       |  LIMIT 4)
+       |SELECT s.vec_id, a.cell, s.cosine
+       |FROM cos s JOIN asg a USING (vec_id)
+       |WHERE a.cell IN (SELECT cell FROM probes)
+       |ORDER BY s.cosine DESC, s.vec_id LIMIT 10""".stripMargin
+
+  // Full oracle for the PQ query: codes + codebooks are read back as
+  // data; the ADC tables, approximate candidate ranking (exact integer
+  // sums), and the fixed-point exact re-rank replay in DuckDB.
+  private val annPqTopkSql =
+    s"""$compCte,
+       |cbc AS (
+       |  SELECT j, code, generate_subscripts(centroid, 1) - 1 AS sp,
+       |         CAST(FLOOR(unnest(centroid) * 1048576) AS BIGINT) AS cx
+       |  FROM read_parquet('$OracleParamsDir/pq/codebooks/*.parquet')),
+       |tbl AS (
+       |  SELECT cbc.j, cbc.code, CAST(SUM(cbc.cx * q.qx) AS BIGINT) AS t
+       |  FROM cbc JOIN q ON q.i0 = cbc.j * $PqSub + cbc.sp
+       |  GROUP BY cbc.j, cbc.code),
+       |cds AS (
+       |  SELECT vec_id, generate_subscripts(codes, 1) - 1 AS j,
+       |         unnest(codes) AS cval
+       |  FROM read_parquet('$OracleParamsDir/pq/codes/*.parquet')),
+       |adc AS (
+       |  SELECT c.vec_id, CAST(SUM(t.t) AS BIGINT) AS adot
+       |  FROM cds c JOIN tbl t ON t.j = c.j AND t.code = c.cval
+       |  WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+       |cand AS (SELECT vec_id FROM adc ORDER BY adot DESC, vec_id LIMIT $PqRerank)
+       |SELECT s.vec_id, s.cosine FROM cos s JOIN cand USING (vec_id)
+       |ORDER BY s.cosine DESC, s.vec_id LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------- export
   val queries: Map[String, Q] = Map(
     "embedding_stats" -> (embeddingStats _),
@@ -819,6 +879,8 @@ object Similarity {
     "ann_lsh_topk" -> (annLshTopk _))
 
   val oracles: Map[String, String] = Map(
+    "ann_ivf_topk" -> annIvfTopkSql,
+    "ann_pq_topk" -> annPqTopkSql,
     "embedding_stats" -> embeddingStatsSql,
     "embedding_minmax_scale" -> embeddingMinmaxScaleSql,
     "embedding_centroids" -> embeddingCentroidsSql,

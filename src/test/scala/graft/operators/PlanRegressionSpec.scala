@@ -161,9 +161,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     // regressed to the exploded join form
     assert(!p.contains("HashAggregate"), p.take(4000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
-    // the encode must be the native codegen expression, not the
-    // interpreted HOF chain (CodegenFallback) it replaced
-    assert(p.contains("pq_encode"), p.take(4000))
     assert(!p.contains("zip_with"), p.take(4000))
+    // the serve path now reads persisted codes (oracle-params index);
+    // the ENCODE — which moved into the index write — must still be the
+    // native codegen expression, not the interpreted HOF chain
+    val enc = plan(graft.Tables.embeddings(spark, sf)
+      .select(Similarity.pqNative(spark,
+        Similarity.pqCodebooks(spark, sf),
+        org.apache.spark.sql.functions.col("embedding"))))
+    assert(enc.contains("pq_encode"), enc.take(4000))
+    assert(!enc.contains("zip_with"), enc.take(4000))
   }
 }
