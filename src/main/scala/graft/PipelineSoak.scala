@@ -6,9 +6,19 @@ import org.apache.spark.sql.functions._
 /** End-to-end continuous-curation soak: the WHOLE training-data pipeline
   * the engine's pieces exist for, run as one checkpointed stream —
   *
-  *   crawl drops → quality gate → incremental EXACT dedup → incremental
-  *   NEAR-dup admission ∥ incremental KEEP-BEST retention → curated
-  *   corpus → seeded epoch shuffle + packed shard write
+  *   crawl drops → quality gate → DECONTAMINATION vs the eval set →
+  *   incremental EXACT dedup → incremental NEAR-dup admission ∥
+  *   incremental KEEP-BEST retention → curated corpus → seeded epoch
+  *   shuffle + packed shard write
+  *
+  * Decontamination is the unconditional pre-admission fork every
+  * document must pass: a held-out benchmark slice (doc_id % 7 = 0 —
+  * the batch operator's convention) is NEVER streamed; its 8-gram
+  * shingle hashes are computed once and broadcast, and every drop
+  * rejects any document sharing an 8-gram with it BEFORE the dedup
+  * indexes see it. A pure per-doc predicate given the static eval
+  * state, so streamed ≡ one-shot holds trivially — asserted as
+  * `decon_diff` (must be 0) from the per-batch survivor traces.
   *
   * Near-dup admission and keep-best retention are PARALLEL consumers of
   * the exact survivors — two retention policies over the same stream:
@@ -17,6 +27,9 @@ import org.apache.spark.sql.functions._
   * near-dup cluster the best-scoring member so far, cluster merges
   * folded in). Both are asserted against their one-shot equivalents
   * after the drain (`pipeline_diff` and `kb_diff`, both must be 0).
+  * They share ONE `bandRowsOf` pass per drop (the shingle→minhash
+  * ladder is the dominant shared compute; it is materialized once and
+  * handed to both ingests — `bands_sec` attributes it).
   *
   * Each micro-batch runs the stages in cheapest-first order (the pure
   * per-doc gate BEFORE any index I/O; the 32-byte-key exact index before
@@ -28,7 +41,9 @@ import org.apache.spark.sql.functions._
   * idempotent no-op RETURNING THE SAME SURVIVORS, and the near-dup
   * ingest therefore re-sees byte-identical input — exactly-once
   * composition across two independent state stores from one checkpoint,
-  * the same contract `CdcStream` documents for its single store.
+  * the same contract `CdcStream` documents for its single store. The
+  * decon survivor trace is keyed by the same batchId (idempotent
+  * overwrite), so a replayed drop re-publishes identical content.
   *
   * After the stream drains, the curated corpus (near-dup admitted ids
   * joined back to text) is shuffled into epoch order and written as
@@ -36,15 +51,16 @@ import org.apache.spark.sql.functions._
   *
   * The consistency assertion (printed as `pipeline_diff`, must be 0):
   * the streamed result EQUALS the one-shot pipeline over the whole
-  * corpus — gate, then min-doc_id-per-fingerprint, then the pairwise
-  * first-wins near-dup filter (the ingest's own `nearDup` predicate, so
-  * the two definitions cannot drift). The gate is a pure per-doc filter
-  * and drops arrive in ascending doc_id ranges, so chunked ≡ one-shot
-  * holds stage by stage (the IncrementalDedupSpec argument, composed).
+  * train corpus — gate, then decontamination, then min-doc_id-per-
+  * fingerprint, then the pairwise first-wins near-dup filter (the
+  * ingest's own `nearDup` predicate, so the two definitions cannot
+  * drift). The gate and decon are pure per-doc filters and drops arrive
+  * in ascending doc_id ranges, so chunked ≡ one-shot holds stage by
+  * stage (the IncrementalDedupSpec argument, composed).
   *
   * Usage: `graft.PipelineSoak [nDocs] [nBatches] [workDir] [tau]`
   * (tau = quality-score admission threshold; adaptive async compaction
-  * fixed at 8 segments/bucket on both indexes — the production stance).
+  * fixed at 8 segments/bucket on all indexes — the production stance).
   */
 object PipelineSoak {
   def main(args: Array[String]): Unit = {
@@ -71,8 +87,10 @@ object PipelineSoak {
     // every drop under new batchIds, and the index fingerprint guards
     // would (correctly) refuse. The marker records the parameters so a
     // mismatched reuse fails loudly instead of soaking the wrong corpus.
+    // held-out eval slice: never streamed, decon gates against it
+    val EvalMod = 7
     val marker = java.nio.file.Paths.get(s"$base/_CORPUS_READY")
-    val params = s"$nDocs/$nBatches"
+    val params = s"$nDocs/$nBatches/decon$EvalMod"
     if (java.nio.file.Files.exists(marker)) {
       val found = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
       require(found == params,
@@ -82,6 +100,7 @@ object PipelineSoak {
       ScaleProbe.writeDocuments(spark, s"$base/corpus", nDocs)
       val c = spark.read.parquet(s"$base/corpus/documents.parquet")
         .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % EvalMod =!= 0) // eval slice never streams
       val per = (nDocs + nBatches - 1) / nBatches
       (0 until nBatches).foreach { b =>
         c.filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per)
@@ -92,6 +111,11 @@ object PipelineSoak {
     }
     val corpus = spark.read.parquet(s"$base/corpus/documents.parquet")
       .select(col("doc_id"), col("text"))
+    val train = corpus.filter(col("doc_id") % EvalMod =!= 0)
+    // the static eval-side state: one build, broadcast into every drop
+    val evalHashes = operators.Dedup.evalShingleHashes(
+      corpus.filter(col("doc_id") % EvalMod === 0)).persist()
+    evalHashes.count()
 
     val exactDir = s"$base/exact-index"
     val ndDir = s"$base/nd-index"
@@ -100,9 +124,10 @@ object PipelineSoak {
 
     // per-drop stage counts + wall times (onBatch-to-onBatch deltas;
     // AvailableNow runs drops back to back)
-    case class DropStat(batchId: Long, raw: Long, gated: Long,
-                        exact: Long, admitted: Long,
-                        exactSec: Double, ndSec: Double, kbSec: Double)
+    case class DropStat(batchId: Long, raw: Long, gated: Long, decon: Long,
+                        exact: Long, admitted: Long, deconSec: Double,
+                        exactSec: Double, bandsSec: Double, ndSec: Double,
+                        kbSec: Double)
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[DropStat]()
     val batchEnds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
 
@@ -117,7 +142,6 @@ object PipelineSoak {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val raw = batch.count()
-        // three downstream consumers (exact ingest, nd join, count) —
         // pin the gated frame once instead of re-filtering the batch
         val gated = batch.filter(gate).persist()
         try {
@@ -126,21 +150,43 @@ object PipelineSoak {
             val r = f
             (r, (System.nanoTime() - t) / 1e9)
           }
-          // stage 2: exact admission (32-byte fingerprint index)
-          val (exactSurvivors, tExact) = timed(
-            operators.IncrementalDedup.ingest(s, exactDir, gated, batchId))
-          // stage 3: near-dup admission + keep-best retention, parallel
-          // consumers of the exact survivors
-          val ndInput = gated.join(
-            exactSurvivors.select(col("doc_id")), Seq("doc_id")).persist()
+          // stage 2: decontamination vs the static eval shingles — the
+          // per-batch survivor trace is keyed by batchId (idempotent
+          // overwrite on replay) and is what decon_diff reads back
+          val (deconned, tDecon) = timed {
+            val d = operators.Dedup.decontaminateAdmit(gated, evalHashes)
+              .persist()
+            d.select(col("doc_id")).coalesce(1)
+              .write.mode("overwrite").parquet(f"$base/decon/d$batchId%03d")
+            d
+          }
           try {
-            val (admitted, tNd) = timed(
-              operators.IncrementalNearDup.ingest(s, ndDir, ndInput, batchId))
-            val (_, tKb) = timed(
-              operators.IncrementalKeepBest.ingest(s, kbDir, ndInput, batchId))
-            stats.add(DropStat(batchId, raw, gated.count(),
-              exactSurvivors.count(), admitted.count(), tExact, tNd, tKb))
-          } finally ndInput.unpersist()
+            // stage 3: exact admission (32-byte fingerprint index)
+            val (exactSurvivors, tExact) = timed(
+              operators.IncrementalDedup.ingest(s, exactDir, deconned, batchId))
+            // stage 4: near-dup admission + keep-best retention over ONE
+            // banded index — the minhash ladder runs once (shared bands),
+            // candidate discovery + est-verify run once (the admission
+            // ingest exposes its verified edges), and the keep-best store
+            // is an OVERLAY (member + forwarding rows only): two retention
+            // policies, one banded corpus at rest
+            val ndInput = deconned.join(
+              exactSurvivors.select(col("doc_id")), Seq("doc_id")).persist()
+            val bands = operators.IncrementalNearDup.bandRowsOf(ndInput)
+              .persist()
+            try {
+              val (_, tBands) = timed(bands.count())
+              val ((admitted, edgesSeen, edgesBatch), tNd) = timed(
+                operators.IncrementalNearDup.ingestWithEdges(s, ndDir, ndInput,
+                  batchId, bandsIn = Some(bands)))
+              val (_, tKb) = timed(
+                operators.IncrementalKeepBest.ingest(s, kbDir, ndInput,
+                  batchId, edgesIn = Some((edgesSeen, edgesBatch))))
+              stats.add(DropStat(batchId, raw, gated.count(), deconned.count(),
+                exactSurvivors.count(), admitted.count(), tDecon, tExact,
+                tBands, tNd, tKb))
+            } finally { bands.unpersist(); ndInput.unpersist() }
+          } finally deconned.unpersist()
         } finally gated.unpersist()
         // adaptive async compaction on ALL indexes — the fold runs on a
         // background thread racing later drops (locked leased-read
@@ -162,12 +208,20 @@ object PipelineSoak {
     }
     val streamSec = (System.nanoTime() - t0) / 1e9
 
-    // ---- one-shot equivalence over the whole corpus ------------------
-    val gatedAll = corpus.filter(gate)
-    val exactOne = gatedAll
+    // ---- one-shot equivalence over the whole train corpus ------------
+    val gatedAll = train.filter(gate)
+    val deconAll = operators.Dedup.decontaminateAdmit(gatedAll, evalHashes)
+      .persist()
+    // streamed decon survivors (union of the per-batch traces) must equal
+    // the one-shot decontamination filter
+    val streamedDecon = spark.read.parquet(s"$base/decon/*")
+    val deconIds = deconAll.select(col("doc_id"))
+    val deconDiff = streamedDecon.exceptAll(deconIds).count() +
+      deconIds.exceptAll(streamedDecon).count()
+    val exactOne = deconAll
       .select(functions.TextFns.fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
-    val exactDocs = gatedAll.join(exactOne.select("doc_id"), Seq("doc_id"))
+    val exactDocs = deconAll.join(exactOne.select("doc_id"), Seq("doc_id"))
     val bands = operators.IncrementalNearDup.bandRowsOf(exactDocs).persist()
     val rejected = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -196,7 +250,7 @@ object PipelineSoak {
     val kbGot = operators.IncrementalKeepBest.snapshot(spark, kbDir)
     val kbDiff = kbGot.exceptAll(kbExpected).count() +
       kbExpected.exceptAll(kbGot).count()
-    bands.unpersist()
+    bands.unpersist(); deconAll.unpersist()
 
     // ---- epoch shuffle + packed shard write over the curated corpus --
     val curated = corpus.join(admittedIds, Seq("doc_id"))
@@ -225,28 +279,38 @@ object PipelineSoak {
     val (h1, h2) = drops.splitAt(drops.length / 2)
     val raw = ds.map(_.raw).sum
     val gatedN = ds.map(_.gated).sum
+    val deconN = ds.map(_.decon).sum
     val exactN = ds.map(_.exact).sum
     val admittedN = ds.map(_.admitted).sum
-    // the gate must actually bite, else the soak proves less than it
-    // claims. Per-drop stats cover THIS process's batches only — a chaos
-    // resume that found the stream already drained has none, and its
-    // answer is the (state-derived, full-corpus) diff assertions below.
+    // the gate AND the decontamination stage must actually bite, else the
+    // soak proves less than it claims (the synthetic corpus plants
+    // cross-slice duplicate pairs, so a zero-rejection decon run means
+    // the stage is wired wrong, not that the corpus is clean). Per-drop
+    // stats cover THIS process's batches only — a chaos resume that found
+    // the stream already drained has none, and its answer is the
+    // (state-derived, full-corpus) diff assertions below.
     require(ds.isEmpty || (gatedN > 0 && gatedN < raw),
       s"degenerate gate at tau=$tau: $gatedN of $raw passed")
+    require(ds.size < nBatches || (deconN > 0 && deconN < gatedN),
+      s"degenerate decontamination: $deconN of $gatedN gated docs survived")
     println(s"""{"metric":"pipeline_soak","docs":$nDocs,"batches":$nBatches,""" +
-      s""""tau":$tau,"raw":$raw,"gated":$gatedN,"exact_admitted":$exactN,""" +
+      s""""tau":$tau,"raw":$raw,"gated":$gatedN,"decon_admitted":$deconN,""" +
+      s""""exact_admitted":$exactN,""" +
       s""""nd_admitted":$admittedN,"pipeline_diff":$diff,"kb_diff":$kbDiff,""" +
+      s""""decon_diff":$deconDiff,""" +
       s""""stream_sec":${math.round(streamSec * 1000) / 1000.0},""" +
       s""""docs_per_sec":${math.round(nDocs / streamSec)},""" +
       s""""drop_sec":${drops.map(d => f"$d%.3f").mkString("[", ",", "]")},""" +
       s""""drop_med_first_half":${f"${med(h1)}%.3f"},""" +
       s""""drop_med_second_half":${f"${med(h2)}%.3f"},""" +
+      s""""decon_sec":${ds.map(d => f"${d.deconSec}%.2f").mkString("[", ",", "]")},""" +
       s""""exact_sec":${ds.map(d => f"${d.exactSec}%.2f").mkString("[", ",", "]")},""" +
+      s""""bands_sec":${ds.map(d => f"${d.bandsSec}%.2f").mkString("[", ",", "]")},""" +
       s""""nd_sec":${ds.map(d => f"${d.ndSec}%.2f").mkString("[", ",", "]")},""" +
       s""""kb_sec":${ds.map(d => f"${d.kbSec}%.2f").mkString("[", ",", "]")},""" +
       s""""pack_sec":${math.round(packSec * 1000) / 1000.0},""" +
       s""""shard_docs":${shardSizes.sorted.mkString("[", ",", "]")}}""")
     spark.stop()
-    if (diff != 0 || kbDiff != 0) sys.exit(1)
+    if (diff != 0 || kbDiff != 0 || deconDiff != 0) sys.exit(1)
   }
 }

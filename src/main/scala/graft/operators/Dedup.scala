@@ -1363,6 +1363,33 @@ object Dedup {
       .orderBy(col("train_doc"), col("eval_doc"))
   }
 
+  /** The static eval-side state a CONTINUOUS decontamination gate
+    * broadcasts: distinct 8-gram shingles of the benchmark corpus,
+    * 64-bit-hashed so a multi-million-shingle eval set broadcasts as
+    * longs (8 B each) instead of ~60 B strings. Compute once, persist,
+    * reuse for every drop — the benchmark does not change per batch.
+    */
+  def evalShingleHashes(benchmark: DataFrame): DataFrame =
+    shingled8(benchmark).select(xxhash64(col("sh")).as("shh")).distinct()
+
+  /** Doc-level decontamination ADMISSION — the streaming form of
+    * [[textDecontaminateAgainst]]: drop every train document sharing any
+    * 8-gram with the (pre-hashed) eval set, keep the rest. A pure
+    * per-document predicate given the static eval state, so chunked
+    * ingest trivially equals the one-shot filter — the property the
+    * continuous pipeline asserts. Per-drop cost is one map (positional
+    * 8-grams of the BATCH) + one broadcast semi join: O(batch), the
+    * corpus is never touched. Hash collisions (~|eval|·|batch shingles|
+    * / 2^64) can only over-reject, never admit contamination.
+    */
+  def decontaminateAdmit(train: DataFrame, evalHashes: DataFrame): DataFrame = {
+    val hit = positioned8(train)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      .join(broadcast(evalHashes), Seq("shh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    train.join(hit, Seq("doc_id"), "left_anti")
+  }
+
   def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     textDecontaminateAgainst(

@@ -199,8 +199,24 @@ object IncrementalKeepBest {
     * batchId + same input → idempotent no-op returning the same rows;
     * different input fails loudly.
     */
+  /** `edgesIn`: OVERLAY mode — the store is layered on a banded
+    * [[IncrementalNearDup]] index that already discovered and est-verified
+    * this batch's near-dup edges ([[IncrementalNearDup.ingestWithEdges]]).
+    * The overlay persists ONLY member + forwarding rows (layout stamp
+    * `keepbest-overlay-v1`): no duplicate band/sig state at rest (at
+    * 100 TB, storing the banded corpus once per retention policy is the
+    * waste), no duplicate candidate probe/sig fetch/verify per drop (the
+    * pipeline's measured kb-dominance was exactly this duplicated work).
+    * Contract: the overlay must consume the SAME batch sequence as the
+    * banded index supplying its edges — one foreachBatch feeding both is
+    * the enforcement point (the shared batchId + fingerprint guards make
+    * a replay of either side idempotent). A full-mode store and an
+    * overlay store are mutually unreadable by stamp.
+    */
   def ingest(spark: SparkSession, indexDir: String, docs: DataFrame,
-             batchId: Long, nBuckets: Int = 64): DataFrame = {
+             batchId: Long, nBuckets: Int = 64,
+             bandsIn: Option[DataFrame] = None,
+             edgesIn: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(nBuckets >= 2, "keep-best index needs >= 2 buckets (one is reserved for forwarding rows)")
     // opt-in phase timing (SPARK_GRAFT_KB_TRACE=1) — the per-drop cost
     // must be attributable per stage, not guessed (the pipeline soak
@@ -219,21 +235,31 @@ object IncrementalKeepBest {
     val clean = docs
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val bands = IncrementalNearDup.bandRowsOf(clean).persist()
+    val overlay = edgesIn.isDefined
+    // bandsIn: caller-shared bandRowsOf(docs) — see the IncrementalNearDup
+    // ingest doc; bandRowsOf null-filters itself, so bands-of-docs equals
+    // bands-of-clean and the fingerprint (over clean) is unchanged.
+    // Overlay mode never touches band rows at all (edges arrive verified).
+    val ownBands = !overlay && bandsIn.isEmpty
+    val bandsOpt: Option[DataFrame] =
+      if (overlay) None
+      else Some(bandsIn.getOrElse(IncrementalNearDup.bandRowsOf(clean).persist()))
+    // narrow single-consumer map (the members projection) — no persist
     val scored = clean
       .select(col("doc_id"), TextAnalysis.scoreExpr(col("text")).as("score"))
-      .persist()
     try {
       // fingerprint covers the FULL batch (short no-shingle docs are
-      // members too, so they must perturb it), touched band buckets come
-      // off the persisted band rows
+      // members too, so they must perturb it); touched band buckets come
+      // off the persisted band rows (full mode only — the overlay's
+      // segment holds no band rows to probe)
       val (batchFp, touched) = tr("fp_touched")((
         BucketState.inputFingerprint(clean),
-        bands.select(bucketOf(nBuckets).as("p")).distinct()
-          .collect().map(_.getLong(0)).toSet))
+        bandsOpt.map(_.select(bucketOf(nBuckets).as("p")).distinct()
+          .collect().map(_.getLong(0)).toSet).getOrElse(Set.empty[Long])))
       val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
       try {
-        BucketState.checkOrStampLayout(spark, indexDir, m, "keepbest-v1")
+        BucketState.checkOrStampLayout(spark, indexDir, m,
+          if (overlay) "keepbest-overlay-v1" else "keepbest-v1")
         BucketState.checkBatch(m, batchId, batchFp) match {
           case BucketState.AlreadyCommitted => ()
           case BucketState.Proceed(proposed) =>
@@ -253,36 +279,59 @@ object IncrementalKeepBest {
                   .filter(col("band") === kind)
 
               // ---- edge discovery -----------------------------------
-              val prevBands = BucketState.readBuckets(spark, indexDir,
-                  m.buckets.view.filterKeys(touched).toMap, emptyIdx(spark))
-                .filter(col("band") >= 0)
-              val cand = bands.as("b").join(prevBands.as("i"),
-                  col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
-                    col("i.doc_id") < col("b.doc_id"))
-                .select(col("b.doc_id").as("doc_id"), col("b.sig").as("sig"),
-                  col("i.doc_id").as("seen_id"))
-                .distinct().persist()
+              // overlay: edges arrive verified from the banded index;
+              // full mode discovers them from this store's own band/sig
+              // rows. Either way, downstream consumes (edgesSeen
+              // (doc_id, seen_id), edgesBatch (doc_a, doc_b)).
+              var candToRelease: Option[DataFrame] = None
+              var ownEdges = false
+              val (edgesSeen, edgesBatch, memberBuckets) = edgesIn match {
+                case Some((es, eb)) =>
+                  val mb = tr("member_probe")(es
+                    .select(kindBucketOf(-2L, col("seen_id"), nBuckets).as("p"))
+                    .distinct().collect().map(_.getLong(0)).toSet)
+                  (es, eb, mb)
+                case None =>
+                  val bands = bandsOpt.get
+                  val prevBands = BucketState.readBuckets(spark, indexDir,
+                      m.buckets.view.filterKeys(touched).toMap, emptyIdx(spark))
+                    .filter(col("band") >= 0)
+                  val cand = bands.as("b").join(prevBands.as("i"),
+                      col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
+                        col("i.doc_id") < col("b.doc_id"))
+                    .select(col("b.doc_id").as("doc_id"), col("b.sig").as("sig"),
+                      col("i.doc_id").as("seen_id"))
+                    .distinct().persist()
+                  candToRelease = Some(cand)
+                  // ONE bounded collect yields the sig AND member probe
+                  // buckets (member buckets from cand's seen-ids — a
+                  // superset of the verified edges' ids, so at worst a few
+                  // extra buckets are opened; the member join still keys
+                  // on seen_id). The former two-collect form paid an extra
+                  // driver job barrier per drop, and job count is the
+                  // dominant per-drop cost at small drops.
+                  val probeBuckets = tr("cand_probe")(cand
+                    .select(explode(array(
+                      kindBucketOf(-1L, col("seen_id"), nBuckets),
+                      kindBucketOf(-2L, col("seen_id"), nBuckets))).as("p"))
+                    .distinct().collect().map(_.getLong(0)).toSet)
+                  val seenSigs = readKind(probeBuckets, -1L)
+                    .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
+                  val es = cand.join(seenSigs, Seq("seen_id"))
+                    .filter(IncrementalNearDup.nearDup(col("sig"), col("seen_sig")))
+                    .select(col("doc_id"), col("seen_id"))
+                    .persist()
+                  ownEdges = true
+                  val eb = bands.as("x").join(bands.as("y"),
+                      col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+                        col("y.doc_id") < col("x.doc_id"))
+                    .filter(IncrementalNearDup.nearDup(col("x.sig"), col("y.sig")))
+                    .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+                    .distinct()
+                  (es, eb, probeBuckets)
+              }
               try {
-                val sigBuckets = tr("cand_probe")(cand
-                  .select(kindBucketOf(-1L, col("seen_id"), nBuckets).as("p"))
-                  .distinct().collect().map(_.getLong(0)).toSet)
-                val seenSigs = readKind(sigBuckets, -1L)
-                  .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
-                val edgesSeen = cand.join(seenSigs, Seq("seen_id"))
-                  .filter(IncrementalNearDup.nearDup(col("sig"), col("seen_sig")))
-                  .select(col("doc_id"), col("seen_id"))
-                  .persist()
-                val edgesBatch = bands.as("x").join(bands.as("y"),
-                    col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-                      col("y.doc_id") < col("x.doc_id"))
-                  .filter(IncrementalNearDup.nearDup(col("x.sig"), col("y.sig")))
-                  .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-                  .distinct()
-
                 // ---- seen-side label resolution -----------------------
-                val memberBuckets = tr("sig_verify")(edgesSeen
-                  .select(kindBucketOf(-2L, col("seen_id"), nBuckets).as("p"))
-                  .distinct().collect().map(_.getLong(0)).toSet)
                 val seenLab = edgesSeen.join(
                     readKind(memberBuckets, -2L)
                       .select(col("doc_id").as("seen_id"), col("label")),
@@ -343,8 +392,9 @@ object IncrementalKeepBest {
                   .getOption("spark.graft.keepbest.ufMaxEdges")
                   .map(_.toLong).getOrElse(2000000L)
                 val nEdges = pairs.count() // checkpointed — metadata-cheap
-                val lab = tr("cc")({
-                  val l = (if (nEdges <= ufMax)
+                val useUf = nEdges <= ufMax
+                val lab = tr(if (useUf) s"cc_uf($nEdges)" else s"cc_dist($nEdges)")({
+                  val l = (if (useUf)
                              unionFindLabels(spark, pairs, universe)
                            else Dedup.clustersOf(spark, pairs, universe))
                     .persist()
@@ -375,17 +425,12 @@ object IncrementalKeepBest {
                     col("score"))
 
                 // stage the batch's durable answer FIRST, then the segment
-                // (all four row kinds in one atomic commit)
+                // (one atomic commit: four row kinds in full mode, member +
+                // fwd only in overlay mode — the banded index already holds
+                // the band/sig state an overlay would merely duplicate)
                 tr("members_write")(
                   members.write.mode("overwrite").parquet(membersDir))
                 val nullSig = lit(null).cast(ArrayType(LongType, containsNull = false))
-                val bandKeys = bands.select(col("band"), col("bh"), col("doc_id"),
-                  nullSig.as("sig"), lit(null).cast("long").as("label"),
-                  lit(null).cast("double").as("score"))
-                val sigRows = bands.filter(col("band") === 0L)
-                  .select(lit(-1L).as("band"), col("doc_id").cast("string").as("bh"),
-                    col("doc_id"), col("sig"), lit(null).cast("long").as("label"),
-                    lit(null).cast("double").as("score"))
                 val memberRows = spark.read.schema(memberSchema).parquet(membersDir)
                   .select(lit(-2L).as("band"), col("doc_id").cast("string").as("bh"),
                     col("doc_id"), nullSig.as("sig"), col("label"), col("score"))
@@ -393,9 +438,21 @@ object IncrementalKeepBest {
                   .select(lit(-3L).as("band"), lit("fwd").as("bh"),
                     col("from").as("doc_id"), nullSig.as("sig"),
                     col("to").as("label"), lit(null).cast("double").as("score"))
+                val segRows = bandsOpt match {
+                  case Some(bands) =>
+                    val bandKeys = bands.select(col("band"), col("bh"), col("doc_id"),
+                      nullSig.as("sig"), lit(null).cast("long").as("label"),
+                      lit(null).cast("double").as("score"))
+                    val sigRows = bands.filter(col("band") === 0L)
+                      .select(lit(-1L).as("band"), col("doc_id").cast("string").as("bh"),
+                        col("doc_id"), col("sig"), lit(null).cast("long").as("label"),
+                        lit(null).cast("double").as("score"))
+                    bandKeys.unionByName(sigRows).unionByName(memberRows)
+                      .unionByName(fwdRows)
+                  case None => memberRows.unionByName(fwdRows)
+                }
                 tr("segment_write")(
-                  bandKeys.unionByName(sigRows).unionByName(memberRows)
-                    .unionByName(fwdRows)
+                  segRows
                     .withColumn("p", bucketOf(nBuckets))
                     .repartition(col("p"))
                     .write.mode("overwrite").partitionBy("p")
@@ -411,8 +468,9 @@ object IncrementalKeepBest {
                 (sc.getPersistentRDDs.keySet.toSet -- before)
                   .foreach(id => sc.getPersistentRDDs.get(id)
                     .foreach(_.unpersist(blocking = false)))
-                seenLab.unpersist(); edgesSeen.unpersist()
-              } finally cand.unpersist()
+                seenLab.unpersist()
+                if (ownEdges) edgesSeen.unpersist()
+              } finally candToRelease.foreach(_.unpersist())
               val outBuckets =
                 BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
               BucketState.manifestLock(indexDir).synchronized {
@@ -426,7 +484,7 @@ object IncrementalKeepBest {
         }
       } finally BucketState.releaseReads(lease)
       tr("gc")(BucketState.gcVersions(spark, indexDir))
-    } finally { bands.unpersist(); scored.unpersist() }
+    } finally if (ownBands) bandsOpt.foreach(_.unpersist())
     spark.read.schema(memberSchema).parquet(membersDir)
   }
 

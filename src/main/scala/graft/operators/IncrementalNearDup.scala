@@ -142,12 +142,108 @@ object IncrementalNearDup {
     * ALL batch band rows. Replay contract identical to
     * [[IncrementalDedup.ingest]]: same batchId + same input → idempotent
     * no-op returning the same admitted set; different input fails loudly.
+    *
+    * `bandsIn`: an optional PRE-COMPUTED (and caller-persisted)
+    * `bandRowsOf(docs)` — when two indexes consume the same batch (the
+    * pipeline runs near-dup admission and keep-best retention as
+    * parallel consumers), the shingle→minhash ladder is the dominant
+    * shared per-drop compute and must run once, not once per index. The
+    * caller owns its lifecycle; fingerprints are over band VALUES, so
+    * replay contracts are unchanged.
     */
   def ingest(spark: SparkSession, indexDir: String, docs: DataFrame,
-             batchId: Long, nBuckets: Int = 64): DataFrame = {
+             batchId: Long, nBuckets: Int = 64,
+             bandsIn: Option[DataFrame] = None): DataFrame =
+    ingestCapturing(spark, indexDir, docs, batchId, nBuckets, bandsIn,
+      captureEdges = false)._1
+
+  /** [[ingest]] that ALSO returns the batch's VERIFIED near-dup edges —
+    * `(admitted, edgesSeen (doc_id, seen_id), edgesBatch (doc_a, doc_b))`,
+    * both edge frames eagerly checkpointed (safe to consume after this
+    * store folds or GCs). This is the feed an OVERLAY retention index
+    * ([[IncrementalKeepBest]] in overlay mode) consumes: at scale the
+    * banded corpus is stored and probed ONCE, and every retention policy
+    * layered on it reuses the one candidate-discovery + est-verify pass
+    * instead of duplicating band/sig state and compute per policy.
+    *
+    * Replay note: when the batch is already committed, the edges are
+    * recomputed against the CURRENT index state, which then includes the
+    * batch's own band rows — so `edgesSeen` may additionally carry
+    * in-batch pairs that the first run reported via `edgesBatch`. That is
+    * harmless to the overlay consumer: an in-batch seen id has no member
+    * row before the overlay's own commit (the pair contributes through
+    * `edgesBatch`, which is always complete), and after its commit the
+    * overlay's replay guard no-ops without reading edges.
+    */
+  def ingestWithEdges(spark: SparkSession, indexDir: String, docs: DataFrame,
+                      batchId: Long, nBuckets: Int = 64,
+                      bandsIn: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (admitted, edges) = ingestCapturing(spark, indexDir, docs, batchId,
+      nBuckets, bandsIn, captureEdges = true)
+    (admitted, edges.get._1, edges.get._2)
+  }
+
+  /** Candidate discovery + est-verify for `bands` against the index at
+    * manifest `m` (the bucket dirs must be lease-pinned by the caller):
+    * returns eagerly-checkpointed `(pairsSeen (doc_id, seen_id),
+    * pairsBatch (doc_a, doc_b))` — the one edge pass both the admission
+    * answer and any overlay consumer derive from.
+    */
+  private def verifiedEdges(spark: SparkSession, indexDir: String,
+                            m: BucketState.Manifest, bands: DataFrame,
+                            touched: Set[Long], nBuckets: Int)
+      : (DataFrame, DataFrame) = {
+    val emptyIdx = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      bandSchema.add("p", LongType))
+    val prevBands = BucketState.readBuckets(spark, indexDir,
+        m.buckets.view.filterKeys(touched).toMap, emptyIdx)
+      .filter(col("band") >= 0)
+    // candidate pairs: banded collisions against smaller SEEN ids,
+    // deduped BEFORE the signature fetch so a pair that collides on
+    // several bands moves its seen sig once
+    val cand = bands.as("b").join(prevBands.as("i"),
+        col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
+          col("i.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id"), col("b.sig").as("sig"),
+        col("i.doc_id").as("seen_id"))
+      .distinct().persist()
+    try {
+      // which buckets hold those candidates' sig rows — at most nBuckets
+      // longs collected, never doc ids
+      val sigBuckets = cand
+        .select(sigBucketOf(col("seen_id"), nBuckets).as("p"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val seenSigs = BucketState.readBuckets(spark, indexDir,
+          m.buckets.view.filterKeys(sigBuckets).toMap, emptyIdx)
+        .filter(col("band") === -1L)
+        .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
+      val pairsSeen = cand.join(seenSigs, Seq("seen_id"))
+        .filter(nearDup(col("sig"), col("seen_sig")))
+        .select(col("doc_id"), col("seen_id"))
+        .localCheckpoint(eager = true)
+      val pairsBatch = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("y.doc_id") < col("x.doc_id"))
+        .filter(nearDup(col("x.sig"), col("y.sig")))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      (pairsSeen, pairsBatch)
+    } finally cand.unpersist()
+  }
+
+  private def ingestCapturing(spark: SparkSession, indexDir: String,
+                              docs: DataFrame, batchId: Long, nBuckets: Int,
+                              bandsIn: Option[DataFrame],
+                              captureEdges: Boolean)
+      : (DataFrame, Option[(DataFrame, DataFrame)]) = {
     val newVersion = batchId + 1
     val admittedDir = s"$indexDir/admitted/$newVersion"
-    val bands = bandRowsOf(docs).persist()
+    val ownBands = bandsIn.isEmpty
+    val bands = bandsIn.getOrElse(bandRowsOf(docs).persist())
+    var edges: Option[(DataFrame, DataFrame)] = None
     try {
       val (batchFp, touched) = BucketState.inputFingerprintAndBuckets(
         bands.select(col("band"), col("bh"), col("doc_id")),
@@ -166,67 +262,48 @@ object IncrementalNearDup {
         // now enforced).
         BucketState.checkOrStampLayout(spark, indexDir, m, "neardup-v2")
         BucketState.checkBatch(m, batchId, batchFp) match {
-          case BucketState.AlreadyCommitted => ()
+          case BucketState.AlreadyCommitted =>
+            // a replayed batch still owes its consumer the edges (the
+            // overlay index may NOT have committed yet) — recompute them
+            // against the current state under this lease; see the
+            // ingestWithEdges replay note for why the extra in-batch
+            // pairs this can surface are harmless
+            if (captureEdges)
+              edges = Some(verifiedEdges(spark, indexDir, m, bands, touched,
+                nBuckets))
           case BucketState.Proceed(proposed) =>
             val physicalVersion = BucketState.reserveVersion(indexDir, proposed)
             try {
-              val emptyIdx = spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                bandSchema.add("p", LongType))
-              val prevBands = BucketState.readBuckets(spark, indexDir,
-                  m.buckets.view.filterKeys(touched).toMap, emptyIdx)
-                .filter(col("band") >= 0)
-              // candidate pairs: banded collisions against smaller SEEN
-              // ids, deduped BEFORE the signature fetch so a pair that
-              // collides on several bands moves its seen sig once
-              val cand = bands.as("b").join(prevBands.as("i"),
-                  col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
-                    col("i.doc_id") < col("b.doc_id"))
-                .select(col("b.doc_id").as("doc_id"), col("b.sig").as("sig"),
-                  col("i.doc_id").as("seen_id"))
-                .distinct().persist()
-              try {
-                // which buckets hold those candidates' sig rows — at most
-                // nBuckets longs collected, never doc ids
-                val sigBuckets = cand
-                  .select(sigBucketOf(col("seen_id"), nBuckets).as("p"))
-                  .distinct().collect().map(_.getLong(0)).toSet
-                val seenSigs = BucketState.readBuckets(spark, indexDir,
-                    m.buckets.view.filterKeys(sigBuckets).toMap, emptyIdx)
-                  .filter(col("band") === -1L)
-                  .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
-                // rejected: near-dup of a SMALLER seen doc ...
-                val vsSeen = cand.join(seenSigs, Seq("seen_id"))
-                  .filter(nearDup(col("sig"), col("seen_sig")))
-                  .select(col("doc_id"))
-                // ... or of a smaller doc in the SAME batch (regardless of that
-                // doc's own fate — the contract compares against seen, not
-                // against admitted)
-                val vsBatch = bands.as("x").join(bands.as("y"),
-                    col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-                      col("y.doc_id") < col("x.doc_id"))
-                  .filter(nearDup(col("x.sig"), col("y.sig")))
-                  .select(col("x.doc_id").as("doc_id"))
-                val admitted = bands.select(col("doc_id")).distinct()
-                  .join(vsSeen.unionByName(vsBatch).distinct(), Seq("doc_id"), "left_anti")
+              // one candidate-discovery + est-verify pass; both the
+              // admission answer and the captured edge feed derive from it
+              val (pairsSeen, pairsBatch) =
+                verifiedEdges(spark, indexDir, m, bands, touched, nBuckets)
+              if (captureEdges) edges = Some((pairsSeen, pairsBatch))
+              // rejected: near-dup of a SMALLER seen doc, or of a smaller
+              // doc in the SAME batch (regardless of that doc's own fate —
+              // the contract compares against seen, not against admitted)
+              val admitted = bands.select(col("doc_id")).distinct()
+                .join(pairsSeen.select(col("doc_id"))
+                    .unionByName(pairsBatch.select(col("doc_a").as("doc_id")))
+                    .distinct(),
+                  Seq("doc_id"), "left_anti")
 
-                // stage the admitted set FIRST (the batch's durable answer),
-                // then the segment (band keys sig-less, one sig row per
-                // doc), then the one-rename commit
-                admitted.write.mode("overwrite").parquet(admittedDir)
-                val bandKeys = bands.select(col("band"), col("bh"), col("doc_id"),
-                  lit(null).cast(ArrayType(LongType, containsNull = false)).as("sig"))
-                // every doc with a signature has exactly one band-0 row
-                // (posexplode over sequence(0,7)), so sig rows derive from
-                // a narrow filter on the persisted bands — no extra shuffle
-                val sigRows = bands.filter(col("band") === 0L)
-                  .select(lit(-1L).as("band"), col("doc_id").cast("string").as("bh"),
-                    col("doc_id"), col("sig"))
-                bandKeys.unionByName(sigRows).withColumn("p", bucketOf(nBuckets))
-                  .repartition(col("p"))
-                  .write.mode("overwrite").partitionBy("p")
-                  .parquet(s"$indexDir/v=$physicalVersion")
-              } finally cand.unpersist()
+              // stage the admitted set FIRST (the batch's durable answer),
+              // then the segment (band keys sig-less, one sig row per
+              // doc), then the one-rename commit
+              admitted.write.mode("overwrite").parquet(admittedDir)
+              val bandKeys = bands.select(col("band"), col("bh"), col("doc_id"),
+                lit(null).cast(ArrayType(LongType, containsNull = false)).as("sig"))
+              // every doc with a signature has exactly one band-0 row
+              // (posexplode over sequence(0,7)), so sig rows derive from
+              // a narrow filter on the persisted bands — no extra shuffle
+              val sigRows = bands.filter(col("band") === 0L)
+                .select(lit(-1L).as("band"), col("doc_id").cast("string").as("bh"),
+                  col("doc_id"), col("sig"))
+              bandKeys.unionByName(sigRows).withColumn("p", bucketOf(nBuckets))
+                .repartition(col("p"))
+                .write.mode("overwrite").partitionBy("p")
+                .parquet(s"$indexDir/v=$physicalVersion")
               val outBuckets =
                 BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
               BucketState.manifestLock(indexDir).synchronized {
@@ -243,8 +320,8 @@ object IncrementalNearDup {
       // under this batch's own lease would spare (and thus leak) every
       // dir a mid-ingest background fold superseded.
       BucketState.gcVersions(spark, indexDir)
-    } finally bands.unpersist()
-    spark.read.schema(admittedSchema).parquet(admittedDir)
+    } finally if (ownBands) bands.unpersist()
+    (spark.read.schema(admittedSchema).parquet(admittedDir), edges)
   }
 
   /** Streaming ingress for the near-dup index — same contract surface as

@@ -184,4 +184,70 @@ class IncrementalKeepBestSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq.sorted
     assert(snap === Seq((1L, 1L, 1L), (2L, 2L, 1L)))
   }
+
+  test("overlay over a near-dup index: real-corpus 3-chunk equals one-shot; member+fwd rows only at rest") {
+    val ndDir = freshDir(); val kbDir = freshDir()
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val chunks = Seq(
+      docs.filter(col("doc_id") <= cuts(0)),
+      docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      docs.filter(col("doc_id") > cuts(1)))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val (_, es, eb) = IncrementalNearDup.ingestWithEdges(
+        spark, ndDir, c, i.toLong, nBuckets = 16)
+      IncrementalKeepBest.ingest(spark, kbDir, c, i.toLong, nBuckets = 16,
+        edgesIn = Some((es, eb)))
+    }
+    val snap = IncrementalKeepBest.snapshot(spark, kbDir)
+    assert(rows(snap) === rows(oneShot(docs)))
+    // the overlay stores ONLY member + forwarding rows — the banded
+    // corpus lives once, in the near-dup index it is layered on
+    val kinds = spark.read.option("basePath", kbDir).parquet(s"$kbDir/v=*")
+      .select("band").distinct().collect().map(_.getLong(0)).toSet
+    assert(kinds.nonEmpty && kinds.subsetOf(Set(-2L, -3L)),
+      s"overlay store must hold member+fwd rows only, got kinds $kinds")
+  }
+
+  test("overlay replay: re-supplied edges no-op on a committed batch; a crash between the two commits replays cleanly") {
+    val ndDir = freshDir(); val kbDir = freshDir()
+    val a = Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val b = Seq(9L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda")
+    val (_, es0, eb0) = IncrementalNearDup.ingestWithEdges(
+      spark, ndDir, docsDf(a), 0, nBuckets = 4)
+    IncrementalKeepBest.ingest(spark, kbDir, docsDf(a), 0, nBuckets = 4,
+      edgesIn = Some((es0, eb0)))
+    // crash window: nd commits batch 1, kb does NOT — the replay calls
+    // ingestWithEdges again (AlreadyCommitted; edges recomputed against
+    // the post-commit state) and the overlay must land on the same answer
+    val (_, es1, eb1) = IncrementalNearDup.ingestWithEdges(
+      spark, ndDir, docsDf(b), 1, nBuckets = 4)
+    val (_, es1r, eb1r) = IncrementalNearDup.ingestWithEdges(
+      spark, ndDir, docsDf(b), 1, nBuckets = 4) // replay — index already has batch 1
+    IncrementalKeepBest.ingest(spark, kbDir, docsDf(b), 1, nBuckets = 4,
+      edgesIn = Some((es1r, eb1r)))
+    val snap = IncrementalKeepBest.snapshot(spark, kbDir)
+    assert(rows(snap) === rows(oneShot(docsDf(a ++ b))))
+    // and a full replay of the committed overlay batch is a no-op
+    IncrementalKeepBest.ingest(spark, kbDir, docsDf(b), 1, nBuckets = 4,
+      edgesIn = Some((es1, eb1)))
+    assert(rows(IncrementalKeepBest.snapshot(spark, kbDir)) === rows(snap))
+  }
+
+  test("overlay and full-mode stores are mutually unreadable (layout stamp)") {
+    val dir = freshDir()
+    val text = "one two three four five six seven eight nine ten"
+    IncrementalKeepBest.ingest(spark, dir, docsDf(Seq((1L, text))), 0,
+      nBuckets = 4)
+    val empty = spark.createDataFrame(Seq((2L, "x"))).toDF("doc_a", "doc_b")
+      .filter(col("doc_a") < 0)
+    val es = empty.select(col("doc_a").as("doc_id"), col("doc_b").as("seen_id"))
+    val e = intercept[IllegalArgumentException](
+      IncrementalKeepBest.ingest(spark, dir, docsDf(Seq((2L, text + " more"))),
+        1, nBuckets = 4, edgesIn = Some((es, empty))))
+    assert(e.getMessage.contains("layout"))
+  }
 }

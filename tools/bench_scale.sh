@@ -77,10 +77,12 @@ done)
 
 tmp=$(mktemp)
 trap 'rm -f "$tmp"; rm -rf "$LOCAL_DIR"' EXIT
+# EXTRA_JAVA_OPTS: caller-supplied -D flags (e.g. forcing
+# spark.graft.* regime knobs for an observation run)
 if SPARK_GRAFT_SF_DIR=$sf SPARK_GRAFT_CPUS=32 \
    SPARK_GRAFT_BENCH_ONLY="$SUBSET" SPARK_GRAFT_BENCH_RUNS=$runs \
    java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false \
-     -Dspark.local.dir="$LOCAL_DIR" \
+     -Dspark.local.dir="$LOCAL_DIR" ${EXTRA_JAVA_OPTS:-} \
      -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
      | grep '"metric"' > "$tmp"
 then

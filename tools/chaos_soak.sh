@@ -78,12 +78,12 @@ while :; do
       continue
     fi
     elapsed=$(( $(date +%s) - t0 ))
-    diffs=$(echo "$line" | python3 -c 'import sys,json; d=json.load(sys.stdin); print(d["pipeline_diff"], d["kb_diff"])')
-    pd=${diffs% *}; kd=${diffs#* }
-    printf '{"metric":"chaos_soak","docs":%s,"batches":%s,"kills":%s,"attempts":%s,"seed":%s,"kill_delays_s":[%s],"pipeline_diff":%s,"kb_diff":%s,"elapsed_s":%s,"final":%s}\n' \
+    diffs=$(echo "$line" | python3 -c 'import sys,json; d=json.load(sys.stdin); print(d["pipeline_diff"], d["kb_diff"], d.get("decon_diff", 0))')
+    read -r pd kd dd <<<"$diffs"
+    printf '{"metric":"chaos_soak","docs":%s,"batches":%s,"kills":%s,"attempts":%s,"seed":%s,"kill_delays_s":[%s],"pipeline_diff":%s,"kb_diff":%s,"decon_diff":%s,"elapsed_s":%s,"final":%s}\n' \
       "$DOCS" "$BATCHES" "$kills" "$attempt" "$SEED" \
-      "$(IFS=,; echo "${kill_pts[*]-}")" "$pd" "$kd" "$elapsed" "$line" | tee "$OUT"
-    [ "$pd" = "0" ] && [ "$kd" = "0" ] && exit 0
+      "$(IFS=,; echo "${kill_pts[*]-}")" "$pd" "$kd" "$dd" "$elapsed" "$line" | tee "$OUT"
+    [ "$pd" = "0" ] && [ "$kd" = "0" ] && [ "$dd" = "0" ] && exit 0
     echo "[chaos] NONZERO DIFF — state diverged after replay" >&2
     exit 1
   fi
