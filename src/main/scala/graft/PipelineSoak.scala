@@ -173,7 +173,7 @@ object PipelineSoak {
             val ndInput = deconned.join(
               exactSurvivors.select(col("doc_id")), Seq("doc_id")).persist()
             val bands = operators.IncrementalNearDup.bandRowsOf(ndInput)
-              .persist()
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
             try {
               val (_, tBands) = timed(bands.count())
               val ((admitted, edgesSeen, edgesBatch), tNd) = timed(
@@ -223,6 +223,18 @@ object PipelineSoak {
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
     val exactDocs = deconAll.join(exactOne.select("doc_id"), Seq("doc_id"))
     val bands = operators.IncrementalNearDup.bandRowsOf(exactDocs).persist()
+    // the one-shot expectations below replay the UNCAPPED pairwise filter;
+    // that equals the engine's prefix-capped contract only while no band
+    // bucket reaches the saturation cap — true at this corpus size
+    // (measured max ≈ 500 at 1M raw docs) and asserted loudly so a future
+    // corpus change cannot silently diverge from the capped semantics
+    val maxBucket = bands.groupBy(col("band"), col("bh"))
+      .count().agg(max("count")).first().getLong(0)
+    require(maxBucket <= operators.IncrementalNearDup.DefaultBucketCap,
+      s"soak expectation assumes an unsaturated corpus: max band bucket " +
+        s"$maxBucket exceeds the cap " +
+        s"${operators.IncrementalNearDup.DefaultBucketCap} — recompute the " +
+        "expected sets with the prefix-capped replay (IncrementalCapSpec)")
     val rejected = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("y.doc_id") < col("x.doc_id"))

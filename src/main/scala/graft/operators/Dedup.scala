@@ -660,8 +660,6 @@ object Dedup {
        |SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
-  private[operators] def dedupKeepBestMinhashOracle: String = dedupKeepBestMinhashSql
-
   private val dedupKeepBestMinhashSql: String = {
     val stop = TextAnalysis.stopwords.map(w => s"'$w'")
       .mkString("t -> t IN (", ", ", ")")

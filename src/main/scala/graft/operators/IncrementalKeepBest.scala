@@ -20,20 +20,26 @@ import graft.streaming.BucketState
   *
   * CONTRACT: after ingesting any ascending-doc_id partition of a corpus
   * in any number of batches, [[snapshot]] EQUALS the one-shot
-  * `keepBestOf(clustersOf(banded est≥0.5 pairs), scoreExpr)` over the
-  * union — per cluster (= min doc_id of the connected component of the
-  * banded near-dup graph) the row (cluster, best doc_id, best score,
-  * n_members), max score winning, min doc_id on ties. The edge
-  * predicate is IDENTICAL to the one-shot rung's: same shingle window,
-  * same 60-bit md5, same 32 permutations, same 8×4 banding
+  * `keepBestOf(clustersOf(prefix-capped verified pairs), scoreExpr)`
+  * over the union — per cluster (= min doc_id of the connected
+  * component of the verified near-dup graph) the row (cluster, best
+  * doc_id, best score, n_members), max score winning, min doc_id on
+  * ties. The edge predicate is the prefix-capped graph DECLARED at
+  * [[IncrementalNearDup.bucketCap]]: same shingle window, same 60-bit
+  * md5, same 32 permutations, same 8×4 banding
   * ([[IncrementalNearDup.bandRowsOf]] — one hash ladder, drift
-  * impossible), est-Jaccard ≥ 0.5 via [[IncrementalNearDup.nearDup]].
-  * Candidate generation is UNCAPPED banding; equivalence with the
-  * capped batch form ([[Dedup.LshBucketCap]] + rescue) holds wherever
-  * no bucket is over cap — every driver scale, certified all-zeros by
-  * `dedup_minhash_cap_report`. A corpus degenerate enough to need the
-  * cap needs it here too; that is a declared future knob, not a silent
-  * difference.
+  * impossible), est-Jaccard ≥ 0.5 via [[IncrementalNearDup.nearDup]],
+  * banded candidates bounded per bucket by the cap with saturated
+  * arrivals routed through the identical-signature rescue. The cap is
+  * the r12 contract's "declared future knob", landed: the uncapped
+  * form produced a measured 122M-edge batch subgraph at the 5M-doc
+  * sf100 rung and ran a 64 GB disk to death, exactly the degeneracy
+  * class the one-shot rung's [[Dedup.LshBucketCap]] bounds. Below the
+  * cap (every scale through sf10 — measured max bucket 857) the graph
+  * IS the uncapped graph, so all prior-round artifacts are unchanged;
+  * where the cap bites, the DuckDB oracle replays the identical
+  * prefix-capped semantics, so streamed ≡ batch replay still gates
+  * every scale.
   *
   * WHY CLUSTERS ARE HARD INCREMENTALLY (and what this does about it):
   * a new document can BRIDGE two existing clusters, so cluster
@@ -51,7 +57,7 @@ import graft.streaming.BucketState
   * length reads correctly.
   *
   * Index layout (one [[BucketState]] store, one manifest, one atomic
-  * commit per batch — layout stamp `keepbest-v1`): four row kinds under
+  * commit per batch — layout stamp `keepbest-v2`): five row kinds under
   * one schema `(band, bh, doc_id, sig, label, score)`, bucketed by
   * `xxhash64(band, bh)`:
   *  - band rows `(band ∈ [0,8), bh, doc_id)` — LSH keys, the batch's
@@ -66,7 +72,10 @@ import graft.streaming.BucketState
   *    the union-find forwarding relation, pinned to ONE constant bucket
   *    and read as one bounded frame per batch (merge-bounded, path-
   *    compressed — see [[fwdBucket]] for why it wants the opposite
-  *    layout from the corpus-proportional row kinds).
+  *    layout from the corpus-proportional row kinds);
+  *  - sig-key rows `(band = -4, bh = md5(sig), doc_id = batch min)` —
+  *    the identical-signature rescue's lookup relation (one narrow row
+  *    per distinct sig per batch; readers min over appended rows).
   * Every read side is O(batch ∪ touched index): the corpus is never
   * rescanned, and at 100 TB a drop moves only its own band keys, the
   * signatures/members of its collision candidates, and the (merge-
@@ -243,7 +252,8 @@ object IncrementalKeepBest {
     val ownBands = !overlay && bandsIn.isEmpty
     val bandsOpt: Option[DataFrame] =
       if (overlay) None
-      else Some(bandsIn.getOrElse(IncrementalNearDup.bandRowsOf(clean).persist()))
+      else Some(bandsIn.getOrElse(IncrementalNearDup.bandRowsOf(clean)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)))
     // narrow single-consumer map (the members projection) — no persist
     val scored = clean
       .select(col("doc_id"), TextAnalysis.scoreExpr(col("text")).as("score"))
@@ -259,7 +269,7 @@ object IncrementalKeepBest {
       val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
       try {
         BucketState.checkOrStampLayout(spark, indexDir, m,
-          if (overlay) "keepbest-overlay-v1" else "keepbest-v1")
+          if (overlay) "keepbest-overlay-v1" else "keepbest-v2")
         BucketState.checkBatch(m, batchId, batchFp) match {
           case BucketState.AlreadyCommitted => ()
           case BucketState.Proceed(proposed) =>
@@ -283,7 +293,7 @@ object IncrementalKeepBest {
               // full mode discovers them from this store's own band/sig
               // rows. Either way, downstream consumes (edgesSeen
               // (doc_id, seen_id), edgesBatch (doc_a, doc_b)).
-              var candToRelease: Option[DataFrame] = None
+              var scratchToRelease: List[DataFrame] = Nil
               var ownEdges = false
               val (edgesSeen, edgesBatch, memberBuckets) = edgesIn match {
                 case Some((es, eb)) =>
@@ -292,25 +302,89 @@ object IncrementalKeepBest {
                     .distinct().collect().map(_.getLong(0)).toSet)
                   (es, eb, mb)
                 case None =>
+                  val Ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
                   val bands = bandsOpt.get
                   val prevBands = BucketState.readBuckets(spark, indexDir,
                       m.buckets.view.filterKeys(touched).toMap, emptyIdx(spark))
                     .filter(col("band") >= 0)
-                  val cand = bands.as("b").join(prevBands.as("i"),
+                    .select(col("band"), col("bh"), col("doc_id"))
+                  // prefix-capped discovery + identical-signature rescue —
+                  // the exact declared semantics of
+                  // [[IncrementalNearDup.bucketCap]]; this path keeps its
+                  // own copy because the store layouts differ and it fuses
+                  // sig+member probes into ONE collect (job count is the
+                  // dominant per-drop cost at small drops)
+                  val cap = IncrementalNearDup.bucketCap(spark)
+                  val ranked = IncrementalNearDup.withPred(bands, prevBands)
+                    .persist(Ser)
+                  scratchToRelease ::= ranked
+                  val elig = ranked.filter(col("pred") <= cap)
+                  // NARROW candidate pairs — sigs re-joined only inside
+                  // the verify stage; see IncrementalNearDup.verifiedEdges
+                  // for the measured sf100 disk-death the wide form caused
+                  val cand = elig.as("b").join(prevBands.as("i"),
                       col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
                         col("i.doc_id") < col("b.doc_id"))
-                    .select(col("b.doc_id").as("doc_id"), col("b.sig").as("sig"),
+                    .select(col("b.doc_id").as("doc_id"),
                       col("i.doc_id").as("seen_id"))
-                    .distinct().persist()
-                  candToRelease = Some(cand)
+                    .distinct()
+                    .persist(Ser)
+                  scratchToRelease ::= cand
+                  val batchSigs = bands.filter(col("band") === 0L)
+                    .select(col("doc_id"), col("sig"))
+                  // rescue edges for saturated arrivals — one cheap probe
+                  // (materializes `ranked` as a side effect) when no bucket
+                  // is saturated, which is every driver scale
+                  val anySaturated = tr("saturation_probe")(
+                    !ranked.filter(col("pred") > cap).limit(1).isEmpty)
+                  val (rescueSeen, rescueBatch) =
+                    if (!anySaturated)
+                      (spark.range(0).select(col("id").as("doc_id"),
+                         col("id").as("seen_id")),
+                       spark.range(0).select(col("id").as("doc_a"),
+                         col("id").as("doc_b")))
+                    else {
+                      val sigKeys = batchSigs.select(col("doc_id"),
+                        IncrementalNearDup.sigKey(col("sig")).as("sk"))
+                      val resc = ranked.filter(col("pred") > cap)
+                        .select(col("doc_id")).distinct()
+                        .join(sigKeys, Seq("doc_id"))
+                        .persist(Ser)
+                      scratchToRelease ::= resc
+                      val skBuckets = tr("rescue_probe")(resc
+                        .select(kindBucketOf(-4L, col("sk"), nBuckets).as("p"))
+                        .distinct().collect().map(_.getLong(0)).toSet)
+                      val storedMin = readKind(skBuckets, -4L)
+                        .select(col("bh").as("sk"), col("doc_id").as("cand_id"))
+                      val seenMin = resc.join(storedMin, Seq("sk"))
+                        .filter(col("cand_id") < col("doc_id"))
+                        .groupBy(col("doc_id"))
+                        .agg(min(col("cand_id")).as("smin"))
+                      val batchMin = resc.join(
+                          sigKeys.select(col("sk"), col("doc_id").as("odoc")),
+                          Seq("sk"))
+                        .filter(col("odoc") < col("doc_id"))
+                        .groupBy(col("doc_id"))
+                        .agg(min(col("odoc")).as("bmin"))
+                      val both = seenMin
+                        .join(batchMin, Seq("doc_id"), "full_outer")
+                        .persist(Ser)
+                      scratchToRelease ::= both
+                      (both.filter(col("smin").isNotNull &&
+                           (col("bmin").isNull || col("smin") < col("bmin")))
+                         .select(col("doc_id"), col("smin").as("seen_id")),
+                       both.filter(col("bmin").isNotNull &&
+                           (col("smin").isNull || col("bmin") <= col("smin")))
+                         .select(col("doc_id").as("doc_a"),
+                           col("bmin").as("doc_b")))
+                    }
                   // ONE bounded collect yields the sig AND member probe
-                  // buckets (member buckets from cand's seen-ids — a
-                  // superset of the verified edges' ids, so at worst a few
-                  // extra buckets are opened; the member join still keys
-                  // on seen_id). The former two-collect form paid an extra
-                  // driver job barrier per drop, and job count is the
-                  // dominant per-drop cost at small drops.
-                  val probeBuckets = tr("cand_probe")(cand
+                  // buckets (member buckets from cand's seen-ids PLUS the
+                  // rescue partners — a rescue partner's label resolves
+                  // through the same member read, so missing its bucket
+                  // would silently split its component)
+                  val probeBuckets = tr("cand_probe")(cand.select(col("seen_id"))
+                    .unionByName(rescueSeen.select(col("seen_id")))
                     .select(explode(array(
                       kindBucketOf(-1L, col("seen_id"), nBuckets),
                       kindBucketOf(-2L, col("seen_id"), nBuckets))).as("p"))
@@ -318,15 +392,27 @@ object IncrementalKeepBest {
                   val seenSigs = readKind(probeBuckets, -1L)
                     .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
                   val es = cand.join(seenSigs, Seq("seen_id"))
+                    .join(batchSigs, Seq("doc_id"))
                     .filter(IncrementalNearDup.nearDup(col("sig"), col("seen_sig")))
                     .select(col("doc_id"), col("seen_id"))
-                    .persist()
+                    .unionByName(rescueSeen)
+                    .distinct()
+                    .persist(Ser)
                   ownEdges = true
-                  val eb = bands.as("x").join(bands.as("y"),
+                  val candB = elig.as("x").join(
+                      bands.select(col("band"), col("bh"), col("doc_id")).as("y"),
                       col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
                         col("y.doc_id") < col("x.doc_id"))
-                    .filter(IncrementalNearDup.nearDup(col("x.sig"), col("y.sig")))
                     .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+                    .distinct()
+                  val eb = candB
+                    .join(batchSigs.select(col("doc_id").as("doc_a"),
+                      col("sig").as("sig_a")), Seq("doc_a"))
+                    .join(batchSigs.select(col("doc_id").as("doc_b"),
+                      col("sig").as("sig_b")), Seq("doc_b"))
+                    .filter(IncrementalNearDup.nearDup(col("sig_a"), col("sig_b")))
+                    .select(col("doc_a"), col("doc_b"))
+                    .unionByName(rescueBatch)
                     .distinct()
                   (es, eb, probeBuckets)
               }
@@ -373,8 +459,19 @@ object IncrementalKeepBest {
                   .join(rootMap, seenLab("label") === rootMap("lbl"))
                   .select(col("doc_id").as("doc_a"), col("root").as("doc_b"))
                   .distinct()
-                val pairs = tr("subgraph_ck")(edgesBatch.unionByName(toRoot)
-                  .localCheckpoint(eager = true))
+                // MEMORY_AND_DISK_SER, not localCheckpoint: the sf100
+                // rung surfaced a 122M-edge batch subgraph (uncapped
+                // banding on a degenerate-at-scale corpus), and
+                // checkpoint blocks are java-serialized row objects —
+                // ~50 B+/edge spilled the disk to death where the
+                // Tungsten-serialized columnar form is ~16 B/edge. Same
+                // eager-materialization guarantee (count forces it), same
+                // per-round reuse in the CC loop.
+                val pairs = tr("subgraph_mat") {
+                  val p = edgesBatch.unionByName(toRoot)
+                    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+                  p.count(); p
+                }
                 val universe = clean.select(col("doc_id"))
                   .unionByName(pairs.select(col("doc_b").as("doc_id")))
                   .distinct()
@@ -391,7 +488,7 @@ object IncrementalKeepBest {
                 val ufMax = spark.conf
                   .getOption("spark.graft.keepbest.ufMaxEdges")
                   .map(_.toLong).getOrElse(2000000L)
-                val nEdges = pairs.count() // checkpointed — metadata-cheap
+                val nEdges = pairs.count() // cached — metadata-cheap
                 val useUf = nEdges <= ufMax
                 val lab = tr(if (useUf) s"cc_uf($nEdges)" else s"cc_dist($nEdges)")({
                   val l = (if (useUf)
@@ -447,8 +544,18 @@ object IncrementalKeepBest {
                       .select(lit(-1L).as("band"), col("doc_id").cast("string").as("bh"),
                         col("doc_id"), col("sig"), lit(null).cast("long").as("label"),
                         lit(null).cast("double").as("score"))
-                    bandKeys.unionByName(sigRows).unionByName(memberRows)
-                      .unionByName(fwdRows)
+                    // sig-key rows — the identical-signature rescue's
+                    // lookup relation (one narrow row per distinct sig per
+                    // batch, min doc_id; see the IncrementalNearDup layout)
+                    val skRows = bands.filter(col("band") === 0L)
+                      .select(IncrementalNearDup.sigKey(col("sig")).as("bh"),
+                        col("doc_id"))
+                      .groupBy(col("bh")).agg(min(col("doc_id")).as("doc_id"))
+                      .select(lit(-4L).as("band"), col("bh"), col("doc_id"),
+                        nullSig.as("sig"), lit(null).cast("long").as("label"),
+                        lit(null).cast("double").as("score"))
+                    bandKeys.unionByName(sigRows).unionByName(skRows)
+                      .unionByName(memberRows).unionByName(fwdRows)
                   case None => memberRows.unionByName(fwdRows)
                 }
                 tr("segment_write")(
@@ -470,7 +577,7 @@ object IncrementalKeepBest {
                     .foreach(_.unpersist(blocking = false)))
                 seenLab.unpersist()
                 if (ownEdges) edgesSeen.unpersist()
-              } finally candToRelease.foreach(_.unpersist())
+              } finally scratchToRelease.foreach(_.unpersist())
               val outBuckets =
                 BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
               BucketState.manifestLock(indexDir).synchronized {
@@ -538,9 +645,12 @@ object IncrementalKeepBest {
     * mid-split shape as `dedup_incremental`/`dedup_neardup_incremental`;
     * the 3-chunk form and the merge/upgrade interleavings live in
     * `IncrementalKeepBestSpec`); the snapshot must equal the ONE-SHOT
-    * [[Dedup.dedupKeepBestMinhash]] — same oracle SQL, verbatim. The
-    * equality IS the correctness statement: retention upgrades and
-    * cluster merges across drops land on exactly the batch answer.
+    * DuckDB replay of the prefix-capped contract
+    * ([[keepBestIncrementalSql]] — components of the capped verified
+    * graph + keep-best aggregation, which below the cap coincides with
+    * [[Dedup.dedupKeepBestMinhash]]'s answer). The equality IS the
+    * correctness statement: retention upgrades and cluster merges
+    * across drops land on exactly the batch answer.
     */
   def keepBestIncremental(s: SparkSession, dir: String): DataFrame =
     keepBestIncrementalAt(s, dir,
@@ -563,10 +673,47 @@ object IncrementalKeepBest {
     out
   }
 
+  /** Full DuckDB replay of the contract: connected components of the
+    * prefix-capped verified graph ([[IncrementalNearDup.cappedGraphCtes]]
+    * — the same CTE chain the admission oracle selects from) + the
+    * keep-best aggregation (max score, min doc_id on ties, component
+    * root = min member id). Below the cap this graph IS the uncapped
+    * banded est≥0.5 graph, so at driver scales the result coincides with
+    * the one-shot `dedup_keep_best_minhash` oracle this replaces — but
+    * the replay stays exact at EVERY scale, including corpora where the
+    * cap bites.
+    */
+  private val keepBestIncrementalSql: String = {
+    val stop = TextAnalysis.stopwords.map(w => s"'$w'")
+      .mkString("t -> t IN (", ", ", ")")
+    s"""WITH RECURSIVE ${IncrementalNearDup.cappedGraphCtes},
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM docs
+       |  UNION
+       |  SELECT und.dst, reach.lbl FROM reach JOIN und ON und.src = reach.id),
+       |clusters AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+       |q AS (
+       |  SELECT doc_id,
+       |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) *
+       |      (1.0 - CAST(len(list_filter(toks, $stop)) AS DOUBLE) / len(toks))
+       |      AS score
+       |  FROM docs),
+       |j AS (
+       |  SELECT c.cluster, c.doc_id, q.score,
+       |    COUNT(*) OVER (PARTITION BY c.cluster) AS n_members,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster
+       |                       ORDER BY q.score DESC, c.doc_id) AS rn
+       |  FROM clusters c JOIN q USING (doc_id))
+       |SELECT cluster, doc_id, score, n_members FROM j WHERE rn = 1
+       |ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_keep_best_incremental" -> (keepBestIncremental _))
 
   val oracles: Map[String, String] = Map(
-    // the one-shot oracle, verbatim: streamed ≡ batch is the contract
-    "dedup_keep_best_incremental" -> Dedup.dedupKeepBestMinhashOracle)
+    "dedup_keep_best_incremental" -> keepBestIncrementalSql)
 }

@@ -19,11 +19,14 @@ import graft.streaming.BucketState
   * rows), so the DuckDB oracle reuses the exact SQL hash pipeline and
   * the driver hash-gate applies bit-for-bit.
   *
-  * CONTRACT (first-wins, pairwise): a document is REJECTED iff some
-  * SMALLER doc_id — previously ingested or earlier in the same batch —
-  * shares a band AND their signature-estimated Jaccard is ≥ 0.5; the
-  * index registers EVERY seen document's band rows (admitted or not).
-  * Registering rejected docs too is what makes chunked ingest in
+  * CONTRACT (first-wins, pairwise, prefix-capped): a document is
+  * REJECTED iff some SMALLER doc_id — previously ingested or earlier in
+  * the same batch — is connected to it by a verified edge: a shared
+  * band bucket holding ≤ [[DefaultBucketCap]] smaller docs with
+  * signature-estimated Jaccard ≥ 0.5, or the identical-signature
+  * rescue for saturated arrivals (declared semantics at [[bucketCap]]);
+  * the index registers EVERY seen document's band rows (admitted or
+  * not). Registering rejected docs too is what makes chunked ingest in
   * ascending doc_id order provably equal to the one-shot pairwise
   * filter (a doc's fate depends only on smaller ids, all of which are
   * in the index by the time it arrives) — that equality IS the
@@ -33,7 +36,7 @@ import graft.streaming.BucketState
   * standard streaming near-dup contract, and the transitive variant
   * cannot be admitted incrementally without revisiting decisions.
   *
-  * Index layout (v2): [[BucketState]] segments holding TWO row kinds
+  * Index layout (v3): [[BucketState]] segments holding THREE row kinds
   * under one schema `(band, bh, doc_id, sig)`, bucketed by
   * `xxhash64(band, bh)`:
   *  - band rows `(band ∈ [0,8), bh, doc_id, sig = null)` — the LSH
@@ -41,7 +44,11 @@ import graft.streaming.BucketState
   *    its own band rows hash into (partition-pruned paths);
   *  - sig rows `(band = -1, bh = doc_id, doc_id, sig)` — each
   *    signature stored ONCE per doc (~0.26 KB) instead of riding every
-  *    band row (8× ≈ 2 KB/doc in the v1 layout this replaces).
+  *    band row (8× ≈ 2 KB/doc in the v1 layout this replaces);
+  *  - sig-key rows `(band = -4, bh = md5(sig), doc_id = batch min)` —
+  *    the identical-signature rescue's lookup relation (one narrow row
+  *    per distinct signature per batch; readers min over appended
+  *    rows, so append-only and kind-agnostic compaction stay correct).
   * The est-Jaccard verification joins candidates to sig rows read from
   * ONLY the sig buckets the candidates' seen ids hash into — the bucket
   * list is a bounded driver collect of ≤ nBuckets longs (bucket
@@ -51,7 +58,7 @@ import graft.streaming.BucketState
   * their signature. (v1 indexes on disk are not readable by this
   * code — the index carries no cross-layout durability promise;
   * rebuild from the corpus, which every caller in-repo does anyway.
-  * ENFORCED, not just documented: the store is stamped `neardup-v2`
+  * ENFORCED, not just documented: the store is stamped `neardup-v3`
   * at creation and a non-empty index without a matching stamp fails
   * loudly at ingest — [[BucketState.checkOrStampLayout]].)
   *
@@ -101,6 +108,75 @@ object IncrementalNearDup {
   private[graft] def nearDup(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x) >= K / 2
+
+  /** Saturation cap for banded candidate generation — the incremental
+    * analog of [[Dedup.LshBucketCap]], and the knob the keep-best
+    * contract declared for degenerate-at-scale corpora. Semantics
+    * (PREFIX form — arrival-order-free under the declared ascending-
+    * doc_id ingestion, so streamed ≡ one-shot replay still holds):
+    *
+    *  - a pair `a < b` colliding in band bucket k COUNTS iff b sees at
+    *    most `cap` predecessors in k — `|{d ∈ k : d < b}| ≤ cap`;
+    *  - a doc with MORE than `cap` predecessors in some bucket is
+    *    RESCUE-ELIGIBLE: it gains the edge `(a*, b)` to the SMALLEST
+    *    earlier doc with the identical full signature (md5 of the
+    *    comma-joined 32-slot sig — [[sigKey]]), if one exists.
+    *
+    * Rationale is the one-shot cap's verbatim: a bucket already holding
+    * thousands of docs carries no discriminative signal (its members
+    * are minhash-minima concentration, not similarity), while
+    * identical-signature mega-clusters — the only structure such
+    * buckets reliably encode — are preserved exactly by the rescue
+    * (identical sig ⇒ est = 1, and every member links to an earlier
+    * member, so components are intact). A true est≥0.5 pair is lost
+    * only if EVERY band it agrees on is saturated at the later doc's
+    * arrival. The prefix form differs from the one-shot FINAL-size cap
+    * only inside over-cap buckets (prefix freezes a bucket after its
+    * first `cap` arrivals; final-size drops it entirely), which is why
+    * each operator's oracle replays its own declared form. Measured
+    * need: the 5M-doc sf100 rung has ~0.17%-of-corpus band buckets —
+    * uncapped discovery produced 1.5e8 candidates and a 122M-edge
+    * batch subgraph per 2.5M-doc drop and ran a 64 GB disk to death;
+    * capped, per-bucket work is ≤ cap²/2 regardless of corpus.
+    * 2000 never bites at the driver scales (measured max bucket 857 at
+    * sf10), so every driver-scale artifact is bit-identical to the
+    * uncapped form.
+    */
+  val DefaultBucketCap = 2000L
+
+  private[operators] def bucketCap(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.neardup.bucketCap")
+      .map(_.toLong).getOrElse(DefaultBucketCap)
+
+  /** Identity key of a full 32-slot signature: md5 of the comma-joined
+    * decimal slots — the same string both engines can build exactly
+    * (DuckDB: `md5(CAST(m0 AS VARCHAR) || ',' || …)`), so the rescue's
+    * equality semantics replay bit-for-bit in the oracle.
+    */
+  private[operators] def sigKey(sig: Column): Column =
+    md5(concat_ws(",", transform(sig, v => v.cast("string"))))
+
+  /** Batch band rows ranked against the store: one narrow row per batch
+    * band row with `pred` = number of docs smaller than this one in the
+    * same bucket (stored + earlier in-batch) — the quantity the cap
+    * semantics are defined over. `prevBands` must already be restricted
+    * to the batch's touched buckets; under the ascending-doc_id
+    * ingestion contract every stored doc is smaller, so the stored
+    * count is the stored-predecessor count.
+    */
+  private[operators] def withPred(bands: DataFrame, prevBands: DataFrame)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+    val cnt = prevBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("scnt"))
+    bands.select(col("band"), col("bh"), col("doc_id"))
+      .withColumn("brk", row_number().over(w))
+      .join(cnt, Seq("band", "bh"), "left")
+      .na.fill(0L, Seq("scnt"))
+      .select(col("band"), col("bh"), col("doc_id"),
+        (col("scnt") + col("brk") - 1).as("pred"))
+  }
 
   /** Banded signature rows for an arbitrary (doc_id, text) frame — the
     * same shingle window formulation and hash ladder as the corpus-dir
@@ -159,8 +235,11 @@ object IncrementalNearDup {
 
   /** [[ingest]] that ALSO returns the batch's VERIFIED near-dup edges —
     * `(admitted, edgesSeen (doc_id, seen_id), edgesBatch (doc_a, doc_b))`,
-    * both edge frames eagerly checkpointed (safe to consume after this
-    * store folds or GCs). This is the feed an OVERLAY retention index
+    * both edge frames eagerly materialized as serialized persisted
+    * blocks (disk-backed, never dropped in-process — a multi-executor
+    * deployment that can lose block managers would swap this for a
+    * reliable checkpoint, since the lineage reads dirs a later fold may
+    * GC). This is the feed an OVERLAY retention index
     * ([[IncrementalKeepBest]] in overlay mode) consumes: at scale the
     * banded corpus is stored and probed ONCE, and every retention policy
     * layered on it reuses the one candidate-discovery + est-verify pass
@@ -200,38 +279,121 @@ object IncrementalNearDup {
     val prevBands = BucketState.readBuckets(spark, indexDir,
         m.buckets.view.filterKeys(touched).toMap, emptyIdx)
       .filter(col("band") >= 0)
-    // candidate pairs: banded collisions against smaller SEEN ids,
-    // deduped BEFORE the signature fetch so a pair that collides on
-    // several bands moves its seen sig once
-    val cand = bands.as("b").join(prevBands.as("i"),
-        col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
-          col("i.doc_id") < col("b.doc_id"))
-      .select(col("b.doc_id").as("doc_id"), col("b.sig").as("sig"),
-        col("i.doc_id").as("seen_id"))
-      .distinct().persist()
+      .select(col("band"), col("bh"), col("doc_id"))
+    // Tungsten-serialized persistence everywhere a pair-shaped frame
+    // materializes: the sf100-docs rung surfaced ~1e8-edge frames on a
+    // degenerate-at-scale corpus, and deserialized / java-serialized
+    // blocks (plain persist, localCheckpoint) spilled the disk to death
+    // at ~5-10x the bytes of the columnar serialized form.
+    val Ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    def mat(df: DataFrame): DataFrame = { val p = df.persist(Ser); p.count(); p }
+    val cap = bucketCap(spark)
+    // rank the batch against the store and split: eligible rows generate
+    // banded candidates (≤ cap predecessors each); saturated rows route
+    // through the identical-signature rescue — see the bucketCap doc for
+    // the declared semantics and the measured sf100 death they fix
+    val ranked = withPred(bands, prevBands).persist(Ser)
+    // one sig row per batch doc (band-0 filter on the persisted bands)
+    val batchSigs = bands.filter(col("band") === 0L)
+      .select(col("doc_id"), col("sig"))
     try {
-      // which buckets hold those candidates' sig rows — at most nBuckets
-      // longs collected, never doc ids
-      val sigBuckets = cand
-        .select(sigBucketOf(col("seen_id"), nBuckets).as("p"))
-        .distinct().collect().map(_.getLong(0)).toSet
-      val seenSigs = BucketState.readBuckets(spark, indexDir,
-          m.buckets.view.filterKeys(sigBuckets).toMap, emptyIdx)
-        .filter(col("band") === -1L)
-        .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
-      val pairsSeen = cand.join(seenSigs, Seq("seen_id"))
-        .filter(nearDup(col("sig"), col("seen_sig")))
-        .select(col("doc_id"), col("seen_id"))
-        .localCheckpoint(eager = true)
-      val pairsBatch = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("y.doc_id") < col("x.doc_id"))
-        .filter(nearDup(col("x.sig"), col("y.sig")))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-        .localCheckpoint(eager = true)
-      (pairsSeen, pairsBatch)
-    } finally cand.unpersist()
+      val elig = ranked.filter(col("pred") <= cap)
+      // NARROW candidate pairs: the batch sig must NOT ride the candidate
+      // rows through the dedup exchange and the persist — at the sf100-docs
+      // rung (a degenerate 31-word-vocab corpus, ~1.5e8 candidates per
+      // 2.5M-doc drop) the 256-byte signature turned a 2.4 GB pair set
+      // into a ~45 GB one and ran the disk out twice. Both sigs are
+      // re-joined only INSIDE the verify stage, where the wide rows stream
+      // through codegen without ever materializing.
+      val cand = elig.as("b").join(prevBands.as("i"),
+          col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
+            col("i.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("doc_id"), col("i.doc_id").as("seen_id"))
+        .distinct().persist(Ser)
+      try {
+        // ---- identical-signature rescue for saturated arrivals --------
+        // materializing ranked here (first consumer) keeps the rescue
+        // branch to ONE cheap extra job when no bucket is saturated —
+        // the common case at every driver scale
+        val anySaturated =
+          !ranked.filter(col("pred") > cap).limit(1).isEmpty
+        var rescToRelease: Option[DataFrame] = None
+        val (rescueSeen, rescueBatch) =
+          if (!anySaturated)
+            (spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+               lit(0L).as("seen_id")).limit(0),
+             spark.emptyDataFrame.select(lit(0L).as("doc_a"),
+               lit(0L).as("doc_b")).limit(0))
+          else {
+            val sigKeys = batchSigs
+              .select(col("doc_id"), sigKey(col("sig")).as("sk"))
+            val resc = ranked.filter(col("pred") > cap)
+              .select(col("doc_id")).distinct()
+              .join(sigKeys, Seq("doc_id"))
+              .persist(Ser)
+            rescToRelease = Some(resc)
+            val skBuckets = resc
+              .select(pmod(xxhash64(lit(-4L), col("sk")),
+                lit(nBuckets.toLong)).as("p"))
+              .distinct().collect().map(_.getLong(0)).toSet
+            val storedMin = BucketState.readBuckets(spark, indexDir,
+                m.buckets.view.filterKeys(skBuckets).toMap, emptyIdx)
+              .filter(col("band") === -4L)
+              .select(col("bh").as("sk"), col("doc_id").as("cand_id"))
+            val seenMin = resc.join(storedMin, Seq("sk"))
+              .filter(col("cand_id") < col("doc_id"))
+              .groupBy(col("doc_id")).agg(min(col("cand_id")).as("smin"))
+            val batchMin = resc.join(
+                sigKeys.select(col("sk"), col("doc_id").as("odoc")), Seq("sk"))
+              .filter(col("odoc") < col("doc_id"))
+              .groupBy(col("doc_id")).agg(min(col("odoc")).as("bmin"))
+            // overall smallest same-sig partner; route by whether it is a
+            // stored doc (edgesSeen) or an in-batch doc (edgesBatch)
+            val both = seenMin.join(batchMin, Seq("doc_id"), "full_outer")
+            (both.filter(col("smin").isNotNull &&
+                 (col("bmin").isNull || col("smin") < col("bmin")))
+               .select(col("doc_id"), col("smin").as("seen_id")),
+             both.filter(col("bmin").isNotNull &&
+                 (col("smin").isNull || col("bmin") <= col("smin")))
+               .select(col("doc_id").as("doc_a"), col("bmin").as("doc_b")))
+          }
+
+        // ---- est-verify --------------------------------------------
+        // which buckets hold the candidates' sig rows — at most nBuckets
+        // longs collected, never doc ids
+        val sigBuckets = cand
+          .select(sigBucketOf(col("seen_id"), nBuckets).as("p"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        val seenSigs = BucketState.readBuckets(spark, indexDir,
+            m.buckets.view.filterKeys(sigBuckets).toMap, emptyIdx)
+          .filter(col("band") === -1L)
+          .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
+        val pairsSeen = mat(cand
+          .join(seenSigs, Seq("seen_id"))
+          .join(batchSigs, Seq("doc_id"))
+          .filter(nearDup(col("sig"), col("seen_sig")))
+          .select(col("doc_id"), col("seen_id"))
+          .unionByName(rescueSeen)
+          .distinct())
+        val candB = elig.as("x").join(
+            bands.select(col("band"), col("bh"), col("doc_id")).as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("y.doc_id") < col("x.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val pairsBatch = mat(candB
+          .join(batchSigs.select(col("doc_id").as("doc_a"),
+            col("sig").as("sig_a")), Seq("doc_a"))
+          .join(batchSigs.select(col("doc_id").as("doc_b"),
+            col("sig").as("sig_b")), Seq("doc_b"))
+          .filter(nearDup(col("sig_a"), col("sig_b")))
+          .select(col("doc_a"), col("doc_b"))
+          .unionByName(rescueBatch)
+          .distinct())
+        rescToRelease.foreach(_.unpersist())
+        (pairsSeen, pairsBatch)
+      } finally cand.unpersist()
+    } finally ranked.unpersist()
   }
 
   private def ingestCapturing(spark: SparkSession, indexDir: String,
@@ -242,7 +404,8 @@ object IncrementalNearDup {
     val newVersion = batchId + 1
     val admittedDir = s"$indexDir/admitted/$newVersion"
     val ownBands = bandsIn.isEmpty
-    val bands = bandsIn.getOrElse(bandRowsOf(docs).persist())
+    val bands = bandsIn.getOrElse(bandRowsOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     var edges: Option[(DataFrame, DataFrame)] = None
     try {
       val (batchFp, touched) = BucketState.inputFingerprintAndBuckets(
@@ -255,12 +418,13 @@ object IncrementalNearDup {
       // scans, the locked merge preserves a mid-ingest swap).
       val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
       try {
-        // v2 layout guard: a persisted v1 index (band rows carrying sig,
-        // no sig rows) would read back with an EMPTY seen-signature set
-        // and silently admit every cross-batch duplicate — fail loudly
+        // layout guard: a persisted older-layout index (v1: band rows
+        // carrying sig, no sig rows; v2: no sig-key rows, so the rescue
+        // would silently find no identical-signature partners) would
+        // read back incomplete and silently mis-admit — fail loudly
         // instead (the docstring's no-cross-layout-durability promise,
-        // now enforced).
-        BucketState.checkOrStampLayout(spark, indexDir, m, "neardup-v2")
+        // enforced).
+        BucketState.checkOrStampLayout(spark, indexDir, m, "neardup-v3")
         BucketState.checkBatch(m, batchId, batchFp) match {
           case BucketState.AlreadyCommitted =>
             // a replayed batch still owes its consumer the edges (the
@@ -300,7 +464,20 @@ object IncrementalNearDup {
               val sigRows = bands.filter(col("band") === 0L)
                 .select(lit(-1L).as("band"), col("doc_id").cast("string").as("bh"),
                   col("doc_id"), col("sig"))
-              bandKeys.unionByName(sigRows).withColumn("p", bucketOf(nBuckets))
+              // sig-key rows (band = -4, bh = md5 of the full signature,
+              // doc_id = the batch's smallest doc with that signature) —
+              // the identical-signature rescue's lookup relation: one
+              // narrow row per distinct sig per batch; readers take the
+              // min over appended rows, so append-only stays correct and
+              // compaction needs no kind-specific merge
+              val skRows = bands.filter(col("band") === 0L)
+                .select(sigKey(col("sig")).as("bh"), col("doc_id"))
+                .groupBy(col("bh")).agg(min(col("doc_id")).as("doc_id"))
+                .select(lit(-4L).as("band"), col("bh"), col("doc_id"),
+                  lit(null).cast(ArrayType(LongType, containsNull = false))
+                    .as("sig"))
+              bandKeys.unionByName(sigRows).unionByName(skRows)
+                .withColumn("p", bucketOf(nBuckets))
                 .repartition(col("p"))
                 .write.mode("overwrite").partitionBy("p")
                 .parquet(s"$indexDir/v=$physicalVersion")
@@ -394,8 +571,19 @@ object IncrementalNearDup {
     out
   }
 
-  private val nearDupIncrementalSql: String = {
+  /** Shared DuckDB CTE chain ending in `mh_pairs(doc_a, doc_b)` — the
+    * prefix-capped verified edge set both incremental oracles replay
+    * (admission rejects every `doc_b`; the keep-best oracle builds its
+    * recursive component CTE on top). Declared semantics at
+    * [[bucketCap]]: banded pairs where the later doc sees ≤ cap
+    * predecessors in the bucket (ROW_NUMBER ≤ cap+1), verified at
+    * est ≥ 0.5; saturated arrivals gain an edge to the smallest earlier
+    * doc with the identical full signature. The cap constant baked in
+    * is the engine default — the driver runs both sides at defaults.
+    */
+  private[operators] def cappedGraphCtes: String = {
     val p = TextFns.minhashPrime
+    val cap = DefaultBucketCap
     val perms = (0 until K).map { i =>
       val a = ((2L * i + 1L) * 2654435761L) % p
       val b = (i * 1000003L + 12345L) % p
@@ -408,7 +596,9 @@ object IncrementalNearDup {
     }
     val eqSum = (0 until K)
       .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH docs AS (
+    val fullSig = (0 until K).map(i => s"CAST(m$i AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""docs AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
        |t AS (
        |  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS tok FROM docs),
@@ -420,16 +610,36 @@ object IncrementalNearDup {
        |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
        |sig AS (SELECT doc_id, ${perms.mkString(", ")} FROM hs GROUP BY doc_id),
        |banded AS (${bandRows.mkString(" UNION ALL ")}),
+       |rb AS (
+       |  SELECT doc_id, band, bh,
+       |    ROW_NUMBER() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+       |  FROM banded),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-       |rejected AS (
-       |  SELECT DISTINCT doc_b FROM cand
-       |  JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
-       |  WHERE $eqSum >= ${K / 2})
+       |  FROM rb x JOIN rb y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |   AND y.rn <= ${cap + 1}),
+       |sk AS (SELECT doc_id, md5($fullSig) AS k FROM sig),
+       |resc AS (SELECT DISTINCT doc_id FROM rb WHERE rn > ${cap + 1}),
+       |rescue AS (
+       |  SELECT MIN(o.doc_id) AS doc_a, r.doc_id AS doc_b
+       |  FROM resc r
+       |  JOIN sk s ON s.doc_id = r.doc_id
+       |  JOIN sk o ON o.k = s.k AND o.doc_id < r.doc_id
+       |  GROUP BY r.doc_id),
+       |mh_pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand.doc_b
+       |  WHERE $eqSum >= ${K / 2}
+       |  UNION
+       |  SELECT doc_a, doc_b FROM rescue)""".stripMargin
+  }
+
+  private val nearDupIncrementalSql: String =
+    s"""WITH $cappedGraphCtes
        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM sig
-       |WHERE doc_id NOT IN (SELECT doc_b FROM rejected)
+       |WHERE doc_id NOT IN (SELECT doc_b FROM mh_pairs)
        |ORDER BY doc_id""".stripMargin
     // admitted universe is SIG (docs that produce band rows), not DOCS:
     // a <3-token or null-text doc has no shingles, hence no signature and
@@ -437,7 +647,6 @@ object IncrementalNearDup {
     // rows) can never admit it — the oracle must start from the same
     // universe or it would spuriously include short docs the engine
     // structurally excludes (same invariant as IngestSoak's expected set)
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_neardup_incremental" -> (nearDupIncremental _))

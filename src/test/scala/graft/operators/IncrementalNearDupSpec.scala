@@ -112,7 +112,7 @@ class IncrementalNearDupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fingerprint"))
   }
 
-  test("layout guard: a non-empty index without the v2 stamp fails loudly") {
+  test("layout guard: a non-empty index without the v3 stamp fails loudly") {
     val dir = freshDir()
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     IncrementalNearDup.ingest(spark, dir, docsDf(Seq((1L, text))), 0, nBuckets = 4)
@@ -125,7 +125,7 @@ class IncrementalNearDupSpec extends AnyFunSuite {
       IncrementalNearDup.ingest(spark, dir, docsDf(Seq((2L, text))), 1, nBuckets = 4))
     assert(e.getMessage.contains("_LAYOUT"))
 
-    // and a MISMATCHED stamp (some future v3) must refuse symmetrically
+    // and a MISMATCHED stamp (some future v9) must refuse symmetrically
     val dir2 = freshDir()
     IncrementalNearDup.ingest(spark, dir2, docsDf(Seq((1L, text))), 0, nBuckets = 4)
       .count()
@@ -133,9 +133,9 @@ class IncrementalNearDupSpec extends AnyFunSuite {
     // trips Hadoop's ChecksumException before the guard even reads
     new java.io.File(s"$dir2/._LAYOUT.crc").delete()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir2/_LAYOUT"),
-      "neardup-v3".getBytes("UTF-8"))
+      "neardup-v9".getBytes("UTF-8"))
     val e2 = intercept[IllegalArgumentException](
       IncrementalNearDup.ingest(spark, dir2, docsDf(Seq((2L, text))), 1, nBuckets = 4))
-    assert(e2.getMessage.contains("neardup-v3"))
+    assert(e2.getMessage.contains("neardup-v9"))
   }
 }
