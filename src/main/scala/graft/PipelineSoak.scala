@@ -179,12 +179,21 @@ object PipelineSoak {
               val ((admitted, edgesSeen, edgesBatch), tNd) = timed(
                 operators.IncrementalNearDup.ingestWithEdges(s, ndDir, ndInput,
                   batchId, bandsIn = Some(bands)))
-              val (_, tKb) = timed(
-                operators.IncrementalKeepBest.ingest(s, kbDir, ndInput,
-                  batchId, edgesIn = Some((edgesSeen, edgesBatch))))
-              stats.add(DropStat(batchId, raw, gated.count(), deconned.count(),
-                exactSurvivors.count(), admitted.count(), tDecon, tExact,
-                tBands, tNd, tKb))
+              try {
+                val (_, tKb) = timed(
+                  operators.IncrementalKeepBest.ingest(s, kbDir, ndInput,
+                    batchId, edgesIn = Some((edgesSeen, edgesBatch))))
+                stats.add(DropStat(batchId, raw, gated.count(), deconned.count(),
+                  exactSurvivors.count(), admitted.count(), tDecon, tExact,
+                  tBands, tNd, tKb))
+              } finally {
+                // defensive release: the edge frames are eager local
+                // checkpoints (ContextCleaner reclaims them once
+                // unreferenced), but an explicit unpersist keeps the
+                // consumer correct if the producer ever returns cached
+                // frames instead
+                edgesSeen.unpersist(); edgesBatch.unpersist()
+              }
             } finally { bands.unpersist(); ndInput.unpersist() }
           } finally deconned.unpersist()
         } finally gated.unpersist()

@@ -304,10 +304,14 @@ object IncrementalKeepBest {
                 case None =>
                   val Ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
                   val bands = bandsOpt.get
+                  // persisted: consumed twice (withPred's count + the
+                  // candidate join); released with the batch scratch
                   val prevBands = BucketState.readBuckets(spark, indexDir,
                       m.buckets.view.filterKeys(touched).toMap, emptyIdx(spark))
                     .filter(col("band") >= 0)
                     .select(col("band"), col("bh"), col("doc_id"))
+                    .persist(Ser)
+                  scratchToRelease ::= prevBands
                   // prefix-capped discovery + identical-signature rescue —
                   // the exact declared semantics of
                   // [[IncrementalNearDup.bucketCap]]; this path keeps its
@@ -391,13 +395,16 @@ object IncrementalKeepBest {
                     .distinct().collect().map(_.getLong(0)).toSet)
                   val seenSigs = readKind(probeBuckets, -1L)
                     .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
+                  // local checkpoint, not persist: consumed across the
+                  // scratch releases below (same cascade immunity as the
+                  // subgraph — see that comment)
                   val es = cand.join(seenSigs, Seq("seen_id"))
                     .join(batchSigs, Seq("doc_id"))
                     .filter(IncrementalNearDup.nearDup(col("sig"), col("seen_sig")))
                     .select(col("doc_id"), col("seen_id"))
                     .unionByName(rescueSeen)
                     .distinct()
-                    .persist(Ser)
+                    .localCheckpoint(eager = true)
                   ownEdges = true
                   val candB = elig.as("x").join(
                       bands.select(col("band"), col("bh"), col("doc_id")).as("y"),
@@ -459,19 +466,17 @@ object IncrementalKeepBest {
                   .join(rootMap, seenLab("label") === rootMap("lbl"))
                   .select(col("doc_id").as("doc_a"), col("root").as("doc_b"))
                   .distinct()
-                // MEMORY_AND_DISK_SER, not localCheckpoint: the sf100
-                // rung surfaced a 122M-edge batch subgraph (uncapped
-                // banding on a degenerate-at-scale corpus), and
-                // checkpoint blocks are java-serialized row objects —
-                // ~50 B+/edge spilled the disk to death where the
-                // Tungsten-serialized columnar form is ~16 B/edge. Same
-                // eager-materialization guarantee (count forces it), same
-                // per-round reuse in the CC loop.
-                val pairs = tr("subgraph_mat") {
-                  val p = edgesBatch.unionByName(toRoot)
-                    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-                  p.count(); p
-                }
+                // eager local checkpoint, deliberately NOT persist+count:
+                // the CC loop re-reads this frame every round, and a
+                // cached plan that still references this batch's scratch
+                // frames gets its buffers cleared by the CacheManager
+                // recache cascade when they unpersist — the persist form
+                // re-ran the whole upstream once per action (measured
+                // 7 → 66 s kb drops in the 200k soak). Truncated lineage
+                // is immune, and the capped subgraph (≤ ~80M edges at the
+                // 5M-doc rung) fits checkpoint blocks comfortably.
+                val pairs = tr("subgraph_ck")(edgesBatch.unionByName(toRoot)
+                  .localCheckpoint(eager = true))
                 val universe = clean.select(col("doc_id"))
                   .unionByName(pairs.select(col("doc_b").as("doc_id")))
                   .distinct()

@@ -235,11 +235,13 @@ object IncrementalNearDup {
 
   /** [[ingest]] that ALSO returns the batch's VERIFIED near-dup edges —
     * `(admitted, edgesSeen (doc_id, seen_id), edgesBatch (doc_a, doc_b))`,
-    * both edge frames eagerly materialized as serialized persisted
-    * blocks (disk-backed, never dropped in-process — a multi-executor
-    * deployment that can lose block managers would swap this for a
-    * reliable checkpoint, since the lineage reads dirs a later fold may
-    * GC). This is the feed an OVERLAY retention index
+    * both edge frames eagerly LOCAL-CHECKPOINTED (truncated lineage:
+    * safe to consume after this store folds or GCs the dirs the
+    * discovery read, and immune to the CacheManager recache cascade
+    * that empties dependent cached plans when this scope releases its
+    * scratch frames — see the verifiedEdges comment for the measured
+    * cost of getting that wrong). This is the feed an OVERLAY retention
+    * index
     * ([[IncrementalKeepBest]] in overlay mode) consumes: at scale the
     * banded corpus is stored and probed ONCE, and every retention policy
     * layered on it reuses the one candidate-discovery + est-verify pass
@@ -276,17 +278,26 @@ object IncrementalNearDup {
     val emptyIdx = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       bandSchema.add("p", LongType))
+    // persisted: consumed twice per drop (the bucket-count aggregate in
+    // withPred and the candidate join), and the pruned read re-opens
+    // touched segment files otherwise; released before return — the edge
+    // results are checkpointed, so the release cannot cascade into them
     val prevBands = BucketState.readBuckets(spark, indexDir,
         m.buckets.view.filterKeys(touched).toMap, emptyIdx)
       .filter(col("band") >= 0)
       .select(col("band"), col("bh"), col("doc_id"))
-    // Tungsten-serialized persistence everywhere a pair-shaped frame
-    // materializes: the sf100-docs rung surfaced ~1e8-edge frames on a
-    // degenerate-at-scale corpus, and deserialized / java-serialized
-    // blocks (plain persist, localCheckpoint) spilled the disk to death
-    // at ~5-10x the bytes of the columnar serialized form.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Serialized persistence for SCRATCH frames (released in this scope);
+    // eager LOCAL CHECKPOINTS for the frames that outlive it (the edge
+    // results). The checkpoint is not optional: a cached frame whose plan
+    // contains a later-unpersisted cached frame gets its buffers CLEARED
+    // by CacheManager's recache cascade (uncacheQuery(cand) recaches
+    // dependents empty), so persist+count here left the edges silently
+    // re-running this whole discovery chain once per downstream action —
+    // measured as kb overlay drops going 7 → 66 s/drop in the 200k soak.
+    // Truncated lineage is immune by construction.
     val Ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    def mat(df: DataFrame): DataFrame = { val p = df.persist(Ser); p.count(); p }
+    def mat(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
     val cap = bucketCap(spark)
     // rank the batch against the store and split: eligible rows generate
     // banded candidates (≤ cap predecessors each); saturated rows route
@@ -393,7 +404,7 @@ object IncrementalNearDup {
         rescToRelease.foreach(_.unpersist())
         (pairsSeen, pairsBatch)
       } finally cand.unpersist()
-    } finally ranked.unpersist()
+    } finally { ranked.unpersist(); prevBands.unpersist() }
   }
 
   private def ingestCapturing(spark: SparkSession, indexDir: String,
