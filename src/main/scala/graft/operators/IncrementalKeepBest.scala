@@ -319,10 +319,26 @@ object IncrementalKeepBest {
                   // sig+member probes into ONE collect (job count is the
                   // dominant per-drop cost at small drops)
                   val cap = IncrementalNearDup.bucketCap(spark)
-                  val ranked = IncrementalNearDup.withPred(bands, prevBands)
-                    .persist(Ser)
-                  scratchToRelease ::= ranked
-                  val elig = ranked.filter(col("pred") <= cap)
+                  // saturation short-circuit — the verifiedEdges guard's
+                  // verbatim: no bucket's combined occupancy above the cap
+                  // ⇒ every row eligible, none rescue-bound, and the rank
+                  // window + count join + probe are skipped (capped ≡
+                  // uncapped below saturation is the spec'd identity)
+                  val maxOcc = tr("occupancy_guard")(prevBands
+                    .select(col("band"), col("bh"))
+                    .unionByName(bands.select(col("band"), col("bh")))
+                    .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("c"))
+                    .agg(max(col("c")).as("mx")).collect()(0))
+                  val canSaturate = !maxOcc.isNullAt(0) && maxOcc.getLong(0) > cap
+                  val rankedOpt =
+                    if (canSaturate) {
+                      val r = IncrementalNearDup.withPred(bands, prevBands)
+                        .persist(Ser)
+                      scratchToRelease ::= r
+                      Some(r)
+                    } else None
+                  val elig = rankedOpt.map(_.filter(col("pred") <= cap))
+                    .getOrElse(bands.select(col("band"), col("bh"), col("doc_id")))
                   // NARROW candidate pairs — sigs re-joined only inside
                   // the verify stage; see IncrementalNearDup.verifiedEdges
                   // for the measured sf100 disk-death the wide form caused
@@ -336,11 +352,11 @@ object IncrementalKeepBest {
                   scratchToRelease ::= cand
                   val batchSigs = bands.filter(col("band") === 0L)
                     .select(col("doc_id"), col("sig"))
-                  // rescue edges for saturated arrivals — one cheap probe
-                  // (materializes `ranked` as a side effect) when no bucket
-                  // is saturated, which is every driver scale
-                  val anySaturated = tr("saturation_probe")(
-                    !ranked.filter(col("pred") > cap).limit(1).isEmpty)
+                  // rescue edges for saturated arrivals — zero probe jobs
+                  // when the occupancy guard ruled saturation out (every
+                  // driver scale), one cheap probe otherwise
+                  val anySaturated = rankedOpt.exists(r => tr("saturation_probe")(
+                    !r.filter(col("pred") > cap).limit(1).isEmpty))
                   val (rescueSeen, rescueBatch) =
                     if (!anySaturated)
                       (spark.range(0).select(col("id").as("doc_id"),
@@ -350,7 +366,7 @@ object IncrementalKeepBest {
                     else {
                       val sigKeys = batchSigs.select(col("doc_id"),
                         IncrementalNearDup.sigKey(col("sig")).as("sk"))
-                      val resc = ranked.filter(col("pred") > cap)
+                      val resc = rankedOpt.get.filter(col("pred") > cap)
                         .select(col("doc_id")).distinct()
                         .join(sigKeys, Seq("doc_id"))
                         .persist(Ser)

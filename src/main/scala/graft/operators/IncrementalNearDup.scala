@@ -248,13 +248,15 @@ object IncrementalNearDup {
     * instead of duplicating band/sig state and compute per policy.
     *
     * Replay note: when the batch is already committed, the edges are
-    * recomputed against the CURRENT index state, which then includes the
-    * batch's own band rows — so `edgesSeen` may additionally carry
-    * in-batch pairs that the first run reported via `edgesBatch`. That is
-    * harmless to the overlay consumer: an in-batch seen id has no member
-    * row before the overlay's own commit (the pair contributes through
-    * `edgesBatch`, which is always complete), and after its commit the
-    * overlay's replay guard no-ops without reading edges.
+    * recomputed under the same lease with the batch's own committed rows
+    * excluded from every stored read (the `replayFloor` on
+    * [[verifiedEdges]]) — the recompute sees exactly the pre-commit view,
+    * so a replay's edge frames are BIT-IDENTICAL to the first run's.
+    * (The earlier form recomputed against the post-commit state; each doc
+    * then also counted its own stored band row, inflating the cap
+    * predicate by the batch's per-bucket count — near saturation that
+    * silently dropped verified edges from the crash-recovery feed.
+    * IncrementalCapSpec's replay case pins the fixed contract.)
     */
   def ingestWithEdges(spark: SparkSession, indexDir: String, docs: DataFrame,
                       batchId: Long, nBuckets: Int = 64,
@@ -270,21 +272,40 @@ object IncrementalNearDup {
     * returns eagerly-checkpointed `(pairsSeen (doc_id, seen_id),
     * pairsBatch (doc_a, doc_b))` — the one edge pass both the admission
     * answer and any overlay consumer derive from.
+    *
+    * `replayFloor`: set ONLY by the AlreadyCommitted replay recompute,
+    * whose manifest already holds the batch's own rows — stored rows with
+    * `doc_id >= floor` (the batch minimum) are excluded from BOTH the
+    * banded read and the rescue's sig-key read, restoring the exact
+    * pre-commit view. Without it the batch's own stored band rows inflate
+    * [[withPred]]'s bucket counts (every doc also counts its own stored
+    * row), which near the cap spuriously saturates buckets and silently
+    * drops verified edges from a crash-recovery replay — pinned by
+    * IncrementalCapSpec's replay case. Under the ascending-doc_id
+    * contract only the LATEST committed batch can replay (the manifest
+    * records one fingerprint), so ids at/above the batch minimum are
+    * exactly the batch's own rows.
     */
   private def verifiedEdges(spark: SparkSession, indexDir: String,
                             m: BucketState.Manifest, bands: DataFrame,
-                            touched: Set[Long], nBuckets: Int)
+                            touched: Set[Long], nBuckets: Int,
+                            replayFloor: Option[Long] = None)
       : (DataFrame, DataFrame) = {
     val emptyIdx = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       bandSchema.add("p", LongType))
-    // persisted: consumed twice per drop (the bucket-count aggregate in
-    // withPred and the candidate join), and the pruned read re-opens
-    // touched segment files otherwise; released before return — the edge
-    // results are checkpointed, so the release cannot cascade into them
-    val prevBands = BucketState.readBuckets(spark, indexDir,
-        m.buckets.view.filterKeys(touched).toMap, emptyIdx)
-      .filter(col("band") >= 0)
+    def ownRowsExcluded(df: DataFrame, idCol: Column): DataFrame =
+      replayFloor.map(f => df.filter(idCol < lit(f))).getOrElse(df)
+    // persisted: consumed twice per drop (the saturation guard and the
+    // candidate join; under a biting cap also withPred's bucket-count
+    // aggregate), and the pruned read re-opens touched segment files
+    // otherwise; released before return — the edge results are
+    // checkpointed, so the release cannot cascade into them
+    val prevBands = ownRowsExcluded(
+      BucketState.readBuckets(spark, indexDir,
+          m.buckets.view.filterKeys(touched).toMap, emptyIdx)
+        .filter(col("band") >= 0),
+      col("doc_id"))
       .select(col("band"), col("bh"), col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // Serialized persistence for SCRATCH frames (released in this scope);
@@ -299,16 +320,35 @@ object IncrementalNearDup {
     val Ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     def mat(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
     val cap = bucketCap(spark)
-    // rank the batch against the store and split: eligible rows generate
-    // banded candidates (≤ cap predecessors each); saturated rows route
-    // through the identical-signature rescue — see the bucketCap doc for
-    // the declared semantics and the measured sf100 death they fix
-    val ranked = withPred(bands, prevBands).persist(Ser)
+    // Saturation short-circuit: pred = stored-count + in-batch-rank − 1
+    // is bounded per bucket by its COMBINED (stored + batch) occupancy,
+    // so when no touched bucket's combined occupancy exceeds the cap,
+    // every row is eligible and none is rescue-bound — skip the rank
+    // window, the bucket-count join, and the saturation probe entirely.
+    // Below saturation capped ≡ uncapped is the spec'd identity
+    // (IncrementalCapSpec pins it), so the guard only picks the cheaper
+    // of two identical plans. This ONE aggregate over already-persisted
+    // frames replaces the per-drop rank machinery that measured 1.53×
+    // on dedup_neardup_incremental at sf0.1 — where the cap never bites
+    // (max bucket 857 at sf10; saturation starts at the sf100-docs rung).
+    val maxOcc = prevBands.select(col("band"), col("bh"))
+      .unionByName(bands.select(col("band"), col("bh")))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx")).collect()(0)
+    val canSaturate = !maxOcc.isNullAt(0) && maxOcc.getLong(0) > cap
+    // under a possibly-biting cap, rank the batch against the store and
+    // split: eligible rows generate banded candidates (≤ cap predecessors
+    // each); saturated rows route through the identical-signature rescue
+    // — see the bucketCap doc for the declared semantics and the measured
+    // sf100 death they fix
+    val rankedOpt =
+      if (canSaturate) Some(withPred(bands, prevBands).persist(Ser)) else None
     // one sig row per batch doc (band-0 filter on the persisted bands)
     val batchSigs = bands.filter(col("band") === 0L)
       .select(col("doc_id"), col("sig"))
     try {
-      val elig = ranked.filter(col("pred") <= cap)
+      val elig = rankedOpt.map(_.filter(col("pred") <= cap))
+        .getOrElse(bands.select(col("band"), col("bh"), col("doc_id")))
       // NARROW candidate pairs: the batch sig must NOT ride the candidate
       // rows through the dedup exchange and the persist — at the sf100-docs
       // rung (a degenerate 31-word-vocab corpus, ~1.5e8 candidates per
@@ -321,14 +361,14 @@ object IncrementalNearDup {
             col("i.doc_id") < col("b.doc_id"))
         .select(col("b.doc_id").as("doc_id"), col("i.doc_id").as("seen_id"))
         .distinct().persist(Ser)
+      var rescToRelease: Option[DataFrame] = None
       try {
         // ---- identical-signature rescue for saturated arrivals --------
         // materializing ranked here (first consumer) keeps the rescue
-        // branch to ONE cheap extra job when no bucket is saturated —
-        // the common case at every driver scale
-        val anySaturated =
-          !ranked.filter(col("pred") > cap).limit(1).isEmpty
-        var rescToRelease: Option[DataFrame] = None
+        // branch to ONE cheap extra job when the guard could not rule
+        // saturation out; when it could, no probe job runs at all
+        val anySaturated = rankedOpt.exists(r =>
+          !r.filter(col("pred") > cap).limit(1).isEmpty)
         val (rescueSeen, rescueBatch) =
           if (!anySaturated)
             (spark.emptyDataFrame.select(lit(0L).as("doc_id"),
@@ -336,6 +376,7 @@ object IncrementalNearDup {
              spark.emptyDataFrame.select(lit(0L).as("doc_a"),
                lit(0L).as("doc_b")).limit(0))
           else {
+            val ranked = rankedOpt.get
             val sigKeys = batchSigs
               .select(col("doc_id"), sigKey(col("sig")).as("sk"))
             val resc = ranked.filter(col("pred") > cap)
@@ -347,9 +388,15 @@ object IncrementalNearDup {
               .select(pmod(xxhash64(lit(-4L), col("sk")),
                 lit(nBuckets.toLong)).as("p"))
               .distinct().collect().map(_.getLong(0)).toSet
-            val storedMin = BucketState.readBuckets(spark, indexDir,
-                m.buckets.view.filterKeys(skBuckets).toMap, emptyIdx)
-              .filter(col("band") === -4L)
+            // replay recompute: the batch's own sig-key rows (doc_id =
+            // batch min per sig) are stored too — exclude them the same
+            // way as the band rows, or a replay routes an in-batch rescue
+            // edge through rescueSeen instead of rescueBatch
+            val storedMin = ownRowsExcluded(
+              BucketState.readBuckets(spark, indexDir,
+                  m.buckets.view.filterKeys(skBuckets).toMap, emptyIdx)
+                .filter(col("band") === -4L),
+              col("doc_id"))
               .select(col("bh").as("sk"), col("doc_id").as("cand_id"))
             val seenMin = resc.join(storedMin, Seq("sk"))
               .filter(col("cand_id") < col("doc_id"))
@@ -401,10 +448,9 @@ object IncrementalNearDup {
           .select(col("doc_a"), col("doc_b"))
           .unionByName(rescueBatch)
           .distinct())
-        rescToRelease.foreach(_.unpersist())
         (pairsSeen, pairsBatch)
-      } finally cand.unpersist()
-    } finally { ranked.unpersist(); prevBands.unpersist() }
+      } finally { rescToRelease.foreach(_.unpersist()); cand.unpersist() }
+    } finally { rankedOpt.foreach(_.unpersist()); prevBands.unpersist() }
   }
 
   private def ingestCapturing(spark: SparkSession, indexDir: String,
@@ -440,12 +486,16 @@ object IncrementalNearDup {
           case BucketState.AlreadyCommitted =>
             // a replayed batch still owes its consumer the edges (the
             // overlay index may NOT have committed yet) — recompute them
-            // against the current state under this lease; see the
-            // ingestWithEdges replay note for why the extra in-batch
-            // pairs this can surface are harmless
-            if (captureEdges)
+            // under this lease with the batch's own committed rows
+            // excluded (replayFloor), so the recomputed edges are
+            // bit-identical to the first run's; see verifiedEdges
+            if (captureEdges) {
+              val minRow = bands.agg(min(col("doc_id"))).collect()(0)
+              val floor =
+                if (minRow.isNullAt(0)) None else Some(minRow.getLong(0))
               edges = Some(verifiedEdges(spark, indexDir, m, bands, touched,
-                nBuckets))
+                nBuckets, replayFloor = floor))
+            }
           case BucketState.Proceed(proposed) =>
             val physicalVersion = BucketState.reserveVersion(indexDir, proposed)
             try {

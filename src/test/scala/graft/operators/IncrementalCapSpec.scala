@@ -146,6 +146,63 @@ class IncrementalCapSpec extends AnyFunSuite {
     }
   }
 
+  test("replayed edge recompute equals the first run bit-for-bit under a biting cap") {
+    withCap(1) {
+      val docs = docsDf(corpus)
+      val dir = freshDir("cap-nd-replay")
+      IncrementalNearDup.ingest(spark, dir,
+        docs.filter(col("doc_id") <= 5), 0, nBuckets = 4).count()
+      val batch2 = docs.filter(col("doc_id") > 5)
+      val (a1, es1, eb1) =
+        IncrementalNearDup.ingestWithEdges(spark, dir, batch2, 1, nBuckets = 4)
+      // same batchId + same input → AlreadyCommitted: the recompute feeds
+      // an overlay's crash recovery, so its edge frames must equal the
+      // first run's exactly. The pre-fix recompute ran against the
+      // post-commit manifest, counted the batch's own stored rows into
+      // the cap predicate (pred inflated by the per-bucket batch count),
+      // spuriously saturated the (8,9) bucket at cap=1, and dropped that
+      // verified pair from edgesBatch — splitting the overlay component.
+      val (a2, es2, eb2) =
+        IncrementalNearDup.ingestWithEdges(spark, dir, batch2, 1, nBuckets = 4)
+      def pairsOf(df: DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairsOf(es2) === pairsOf(es1))
+      assert(pairsOf(eb2) === pairsOf(eb1))
+      // the near-cap in-batch pair is present in the replayed feed
+      assert(pairsOf(eb2).exists(p => Set(p) === Set((9L, 8L)) || Set(p) === Set((8L, 9L))))
+      assert(a2.collect().map(_.getLong(0)).sorted.toSeq ===
+        a1.collect().map(_.getLong(0)).sorted.toSeq)
+      graft.Shared.deleteDirTree(dir)
+    }
+  }
+
+  test("occupancy-guard boundary: engage-without-saturation and skip both equal the declared replay") {
+    // cap=6: the densest bucket's combined occupancy (the 5-clique + the
+    // tail variant) is ≤ cap in every chunk, so the guard SKIPS the rank
+    // machinery outright; cap=5: the second chunk pushes combined
+    // occupancy past the cap, the guard ENGAGES, yet no arrival is
+    // actually saturated — both plans must admit exactly the declared
+    // capped replay's answer
+    val docs = docsDf(corpus)
+    Seq(5L, 6L).foreach { cap =>
+      withCap(cap) {
+        val expected = IncrementalNearDup.bandRowsOf(docs)
+          .select(col("doc_id")).distinct()
+          .join(cappedPairs(docs, cap).select(col("doc_b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val dir = freshDir(s"cap-nd-guard$cap")
+        val a = IncrementalNearDup.ingest(spark, dir,
+          docs.filter(col("doc_id") <= 5), 0, nBuckets = 4)
+        val b = IncrementalNearDup.ingest(spark, dir,
+          docs.filter(col("doc_id") > 5), 1, nBuckets = 4)
+        val got = (a.collect() ++ b.collect()).map(_.getLong(0)).sorted.toSeq
+        assert(got === expected, s"cap=$cap")
+        graft.Shared.deleteDirTree(dir)
+      }
+    }
+  }
+
   test("default cap admits bit-identically to the uncapped graph at spec scale") {
     // at the default 2000 no bucket here is ever saturated: the capped
     // replay and an uncapped pairwise replay must coincide, pinning that
