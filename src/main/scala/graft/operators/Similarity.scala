@@ -41,10 +41,34 @@ object Similarity {
     * overwritten per invocation) and the oracle replays the full search
     * semantics from it: probe selection, candidate pruning, ADC scoring,
     * exact re-rank, top-k order — the same declared-parameter discipline
-    * as `dedup_minhash_cap_report`. Single-writer: a verify/bench run
-    * owns the dir for its duration (the driver runs them sequentially).
+    * as `dedup_minhash_cap_report`.
+    *
+    * PER-PROCESS dir (not a fixed path): the oracle SQL below embeds
+    * this value at class-init, and `Verify` dumps that SQL for the
+    * driver's DuckDB run — so within one process the writer and the SQL
+    * always agree, while concurrent verify/bench JVMs on one box can no
+    * longer clobber each other's learned state (the fixed path assumed
+    * single-writer without enforcing it). The params must OUTLIVE the
+    * JVM (DuckDB replays them after `Verify` exits), so cleanup is not a
+    * shutdown hook: each new process sweeps sibling run dirs older than
+    * six hours — far past any driver's verify→oracle window — bounding
+    * /tmp accretion without racing a live replay. Overridable via
+    * -Dgraft.oracleParamsDir for callers that pin placement.
     */
-  private val OracleParamsDir = "/tmp/graft_oracle_params"
+  private[graft] lazy val OracleParamsDir: String =
+    sys.props.get("graft.oracleParamsDir").getOrElse {
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_oracle_params")
+      if (java.nio.file.Files.isDirectory(base)) {
+        val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+        val it = java.nio.file.Files.list(base)
+        try it.forEach { p =>
+          if (java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+            graft.Shared.deleteDirTree(p.toString)
+        } finally it.close()
+      }
+      s"$base/p${ProcessHandle.current().pid()}"
+    }
 
   /** Cosine via the native codegen expression (graft.functions.CosineFxExpr)
     * — bit-identical to VectorFns.cosineFx (parity-tested) but runs as one
