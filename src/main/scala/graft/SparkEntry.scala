@@ -26,7 +26,8 @@ object SparkEntry {
       operators.Skew.queries ++ operators.AsofJoin.queries ++
       operators.RangeJoin.queries ++ operators.IncrementalDedup.queries ++
       operators.IncrementalNearDup.queries ++
-      operators.IncrementalKeepBest.queries ++ operators.FuzzyJoin.queries
+      operators.IncrementalKeepBest.queries ++
+      operators.IncrementalVecIndex.queries ++ operators.FuzzyJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
@@ -39,5 +40,6 @@ object SparkEntry {
       operators.Skew.oracles ++ operators.AsofJoin.oracles ++
       operators.RangeJoin.oracles ++ operators.IncrementalDedup.oracles ++
       operators.IncrementalNearDup.oracles ++
-      operators.IncrementalKeepBest.oracles ++ operators.FuzzyJoin.oracles
+      operators.IncrementalKeepBest.oracles ++
+      operators.IncrementalVecIndex.oracles ++ operators.FuzzyJoin.oracles
 }

@@ -1,0 +1,341 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
+
+import graft.Tables
+import graft.streaming.BucketState
+
+/** Incremental IVF-PQ vector index — the streaming form of
+  * [[Similarity.writeIvfPqIndex]], and the pipeline stage the engine was
+  * missing: every other curation stage (gate, decontamination, exact
+  * dedup, near-dup admission, keep-best retention) ingests a crawl drop
+  * incrementally, but the ANN indexes were batch-only rebuilds — a drop
+  * that arrives embedded could not be made searchable without re-encoding
+  * the whole corpus. This is the reference's incremental-state-from-a-
+  * stream semantic (`/root/reference/kafka-consumer-service/main.py:34-52`
+  * — consume, transform, append to the serving store) applied to the
+  * vector side.
+  *
+  * CONTRACT (frozen declared params, append-only codes): the coarse
+  * quantizer (16 cell centroids) and the 16×16×4 PQ codebooks are trained
+  * ONCE, on a bounded order-pinned sample of the FIRST drop, committed as
+  * index data, and frozen for the index's lifetime — the exact
+  * declared-learned-state discipline `ann_ivf_topk`/`ann_pq_topk` already
+  * use, applied at ingest time instead of query time. Every later drop is
+  * one map-only pass (fused-codegen cell argmin + PQ encode — both
+  * [[graft.functions.PqEncodeExpr]]) appended cell-bucketed into a
+  * [[BucketState]] store. Because encoding is a PURE function of the
+  * frozen params, chunked ingest ≡ one-shot encode of the union holds
+  * bit-for-bit (given the same first drop), and a replayed batch is
+  * recomputed — not re-read — identically. Re-training on later drops
+  * would silently re-shape every already-served cell, which is exactly
+  * the cross-batch nondeterminism the frozen-params contract forbids;
+  * production systems that must adapt train a NEW index generation and
+  * cut over (the full↔overlay layout-stamp discipline would gate that).
+  *
+  * 100 TB shape: params are O(1) (16·64 + 16·16·4 doubles); a drop's
+  * ingest cost is one codegen pass over the drop plus a cell-partitioned
+  * append (16 B of codes per vector at rest — ~6 TB of codes for 400B
+  * vectors, served partition-pruned); a query reads nProbe/k of the CODE
+  * rows only (the probed cells' buckets), ADC-scores them map-only, and
+  * touches full-precision vectors for a constant `PqRerank` re-rank.
+  * Nothing ever rescans or re-encodes the corpus. Cells = buckets, so
+  * [[BucketState]]'s manifest/lease/compaction protocol gives atomic
+  * per-drop commits, kill-anywhere replay (fingerprint-guarded), and
+  * concurrent segment folding for free.
+  *
+  * Assignment metric note: cells are assigned by L2 argmin over raw
+  * doubles (the standard IVF coarse-quantizer form, one fused codegen
+  * loop); probe selection at query time ranks cells by exact fixed-point
+  * COSINE against the same stored centroids (the serving-path form every
+  * ANN query here uses). Both sides are declared: assignment rides the
+  * stored rows, probe selection replays from the stored centroids, so
+  * the DuckDB oracle reproduces the full search bit-for-bit.
+  */
+object IncrementalVecIndex {
+
+  /** Coarse cells; ALSO the bucket count — `p = cell`, so a probe of
+    * nProbe cells is a partition-pruned read of exactly nProbe buckets.
+    */
+  val Cells = 16
+  val NProbe = 4
+  private val TrainTarget = 4096L
+  private val Iters = 10
+
+  private val rowSchema = StructType(Seq(
+    StructField("cell", LongType), StructField("vec_id", LongType),
+    StructField("codes", ArrayType(IntegerType, containsNull = false))))
+
+  private def emptyIdx(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      rowSchema.add("p", LongType))
+
+  /** The frozen declared state: 16 cell centroids + [16][16][4] PQ
+    * codebooks, stored as parquet rows under `indexDir/params` in the
+    * same (cell, centroid) / (j, code, centroid) shapes the one-shot
+    * indexes persist — one loader serves both.
+    */
+  final case class Params(centroids: Array[Array[Double]],
+                          codebooks: Array[Array[Array[Double]]])
+
+  private def paramsDone(spark: SparkSession, indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/params/_DONE")
+
+  private def paramsExist(spark: SparkSession, indexDir: String): Boolean = {
+    val p = paramsDone(spark, indexDir)
+    BucketState.hadoopFs(spark, p.toString).exists(p)
+  }
+
+  def readParams(spark: SparkSession, indexDir: String): Params = {
+    val cents = spark.read.parquet(s"$indexDir/params/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    Params(cents, Similarity.loadCodebooks(spark, s"$indexDir/params"))
+  }
+
+  private def cleanOf(vecs: DataFrame): DataFrame =
+    vecs.filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+
+  /** Train the frozen params on a bounded order-pinned sample of the
+    * first drop: modulus stride to ~[[TrainTarget]] vectors, collected in
+    * vec_id order (lloydFit's seeded init is order-sensitive — a bare
+    * collect's order varies with partitioning). Deterministic, so a
+    * replay of the first batch retrains byte-identical params.
+    */
+  private def train(clean: DataFrame)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val n = clean.count()
+    val every = math.max(1L, n / TrainTarget)
+    val sample = clean.filter(pmod(col("vec_id"), lit(every)) === 0)
+      .orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val need = math.max(Cells, Similarity.PqK)
+    require(sample.length >= need,
+      s"first drop must sample at least $need vectors to train the frozen " +
+        s"quantizers; got ${sample.length} — seed the index with a larger drop")
+    val cents = Similarity.lloydFit(sample, Cells, seed = 4242L, iters = Iters)
+    val cbs = (0 until Similarity.PqM).map(j =>
+      Similarity.lloydFit(
+        sample.map(_.slice(j * Similarity.PqSub, (j + 1) * Similarity.PqSub)),
+        Similarity.PqK, seed = 42L + j, iters = Iters)).toArray
+    (cents, cbs)
+  }
+
+  private def writeParams(spark: SparkSession, indexDir: String,
+                          cents: Array[Array[Double]],
+                          cbs: Array[Array[Array[Double]]]): Unit = {
+    spark.createDataFrame(cents.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/params/centroids")
+    Similarity.writeCodebooks(spark, s"$indexDir/params", cbs)
+    // marker AFTER both writes: a crash between them replays the (pure,
+    // deterministic) training and overwrites both files identically
+    val p = paramsDone(spark, indexDir)
+    BucketState.hadoopFs(spark, p.toString).create(p, true).close()
+  }
+
+  /** One map-only pass: fused-codegen cell argmin (L2 over the 16
+    * centroids — a 1-subspace PQ encode) + the 16-code PQ encode, both
+    * against the frozen params. Pure in the params, so this IS the
+    * one-shot form, the per-drop form, and the replay form.
+    */
+  def encodeWithParams(s: SparkSession, params: Params,
+                       vecs: DataFrame): DataFrame = {
+    val cellFn = graft.functions.PqEncodeExpr.register(s, Array(params.centroids))
+    cleanOf(vecs).select(
+      element_at(call_function(cellFn, col("embedding")), 1).cast("long").as("cell"),
+      col("vec_id"),
+      Similarity.pqNative(s, params.codebooks, col("embedding")).as("codes"))
+  }
+
+  /** Ingest one drop of `(vec_id, embedding)` rows (vec_ids strictly above
+    * every previously ingested id — the ascending contract shared by every
+    * incremental index here): first drop trains + commits the frozen
+    * params, every drop appends its cell-bucketed code rows in one atomic
+    * manifest commit keyed by `batchId`. Returns this batch's code rows
+    * `(cell, vec_id, codes)`; replay (same batchId + same input) is an
+    * idempotent no-op returning the same rows, different input fails
+    * loudly — the [[BucketState.checkBatch]] contract.
+    */
+  def ingest(spark: SparkSession, indexDir: String, vecs: DataFrame,
+             batchId: Long): DataFrame = {
+    val clean = cleanOf(vecs)
+    val batchFp = BucketState.inputFingerprint(clean)
+    val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
+    try {
+      BucketState.checkOrStampLayout(spark, indexDir, m, "vecindex-v1")
+      BucketState.checkBatch(m, batchId, batchFp) match {
+        case BucketState.AlreadyCommitted => ()
+        case BucketState.Proceed(proposed) =>
+          val physicalVersion = BucketState.reserveVersion(indexDir, proposed)
+          try {
+            if (!paramsExist(spark, indexDir)) {
+              val (cents, cbs) = train(clean)
+              writeParams(spark, indexDir, cents, cbs)
+            }
+            val rows = encodeWithParams(spark, readParams(spark, indexDir), clean)
+            rows.withColumn("p", col("cell"))
+              .repartition(col("p"))
+              .write.mode("overwrite").partitionBy("p")
+              .parquet(s"$indexDir/v=$physicalVersion")
+            val outBuckets =
+              BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
+            BucketState.manifestLock(indexDir).synchronized {
+              val mNow = BucketState.readManifest(spark, indexDir)
+              val next = outBuckets.foldLeft(mNow.buckets)((acc, b) =>
+                acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + physicalVersion))
+              BucketState.commitManifest(spark, indexDir, next,
+                Some((batchId + 1) -> batchFp))
+            }
+          } finally BucketState.releaseVersion(indexDir, physicalVersion)
+      }
+    } finally BucketState.releaseReads(lease)
+    BucketState.gcVersions(spark, indexDir)
+    // the batch's answer is a pure function of the committed frozen
+    // params — recomputing it (first run AND replay) is cheaper than
+    // storing a per-batch copy, and bit-identical by construction
+    encodeWithParams(spark, readParams(spark, indexDir), clean)
+  }
+
+  /** Every committed code row `(cell, vec_id, codes)`. */
+  def snapshot(spark: SparkSession, indexDir: String): DataFrame = {
+    val m = BucketState.readManifest(spark, indexDir)
+    BucketState.readBuckets(spark, indexDir, m.buckets, emptyIdx(spark))
+      .select(col("cell"), col("vec_id"), col("codes"))
+  }
+
+  /** Serve a query vector from the live index: probe cells chosen on the
+    * driver against the 16 stored centroids (exact fixed-point cosine,
+    * cell tie-break), the probed cells' CODE rows are a bucket-pruned
+    * read ADC-scored map-only, and only the `PqRerank` survivors touch
+    * full-precision vectors (read from the `dir` corpus). This is
+    * [[Similarity.annIvfPqTopkFromIndexForVec]] over the incremental
+    * store instead of the one-shot layout.
+    */
+  def searchTopk(s: SparkSession, indexDir: String, dir: String,
+                 qvec: Array[Double], nProbe: Int = NProbe,
+                 excludeId: Option[Long] = None): DataFrame = {
+    val p = readParams(s, indexDir)
+    require(qvec.length == Similarity.PqM * Similarity.PqSub,
+      s"query vector must have ${Similarity.PqM * Similarity.PqSub} dims, " +
+        s"got ${qvec.length}")
+    val qFx = qvec.map(Similarity.fxLong)
+    def cosFx(c: Array[Double]): Double = {
+      val cf = c.map(Similarity.fxLong)
+      val dot = cf.zip(qFx).map { case (a, b) => a * b }.sum.toDouble
+      dot / math.sqrt(cf.map(x => x * x).sum.toDouble *
+        qFx.map(x => x * x).sum.toDouble)
+    }
+    val probed = p.centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, cosFx(c)) }
+      .sortBy { case (cell, sim) => (-sim, cell) }
+      .take(nProbe).map(_._1).toSet
+    val m = BucketState.readManifest(s, indexDir)
+    val idx = BucketState.readBuckets(s, indexDir,
+      m.buckets.view.filterKeys(probed).toMap, emptyIdx(s))
+    val base = excludeId.map(id => idx.filter(col("vec_id") =!= id)).getOrElse(idx)
+    val tables = Similarity.pqTablesFor(p.codebooks, qvec)
+    val candidates = base
+      .select(col("vec_id"), Similarity.adcDot(tables).as("adot"))
+      .orderBy(col("adot").desc, col("vec_id")).limit(Similarity.PqRerank)
+    broadcast(candidates).join(Similarity.corpus(s, dir), "vec_id")
+      .withColumn("qv", typedLit(qFx))
+      .withColumn("cosine", Similarity.cosNative(s, col("v"), col("qv")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+  }
+
+  // --------------------------------------------------- driver query
+  /** Driver-facing demonstration: the embeddings table ingested as two
+    * ascending-vec_id drops through a fresh incremental index, then the
+    * stored query vector served from it. The frozen learned state
+    * (centroids, codebooks) and the appended code rows are declared as
+    * data for the DuckDB oracle, which replays the COMPLETE search —
+    * probe-cell selection, cell pruning, ADC scoring, candidate cut,
+    * exact fixed-point re-rank, final order — bit-for-bit.
+    */
+  def annIvfPqIncremental(s: SparkSession, dir: String): DataFrame =
+    annIvfPqIncrementalAt(s, dir,
+      java.nio.file.Files.createTempDirectory("graft-vecinc").toString)
+
+  private[graft] def annIvfPqIncrementalAt(s: SparkSession, dir: String,
+                                           indexDir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val ids = vecs.agg(min("vec_id"), max("vec_id")).collect()(0)
+    val mid = (ids.getLong(0) + ids.getLong(1)) / 2
+    ingest(s, indexDir, vecs.filter(col("vec_id") <= mid), batchId = 0).count()
+    ingest(s, indexDir, vecs.filter(col("vec_id") > mid), batchId = 1).count()
+    // declare the frozen params + the appended codes for the oracle
+    val od = s"${Similarity.OracleParamsDir}/vecinc"
+    s.read.parquet(s"$indexDir/params/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$od/centroids")
+    s.read.parquet(s"$indexDir/params/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$od/codebooks")
+    snapshot(s, indexDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$od/codes")
+    val out = searchTopk(s, indexDir, dir,
+      Similarity.storedQueryVec(s, dir),
+      excludeId = Some(Similarity.QueryVec))
+      .localCheckpoint(eager = true)
+    graft.Shared.deleteDirTree(indexDir)
+    out
+  }
+
+  // Full oracle: probe selection from the declared centroids
+  // (annIvfTopkSql's arithmetic), ADC tables from the declared codebooks
+  // (annPqTopkSql's), candidate pruning restricted to the probed cells of
+  // the declared code rows, exact fixed-point re-rank — every stage the
+  // engine runs, replayed from the same data.
+  private val annIvfPqIncrementalSql: String = {
+    val od = s"${Similarity.OracleParamsDir}/vecinc"
+    s"""${Similarity.compCte},
+       |centc AS (
+       |  SELECT cell, generate_subscripts(centroid, 1) - 1 AS i0,
+       |         CAST(FLOOR(unnest(centroid) * 1048576) AS BIGINT) AS cx
+       |  FROM read_parquet('$od/centroids/*.parquet')),
+       |cnorm AS (SELECT cell, SUM(cx*cx) AS ncv FROM centc GROUP BY cell),
+       |cdotq AS (
+       |  SELECT centc.cell, SUM(centc.cx * q.qx) AS cdot
+       |  FROM centc JOIN q USING (i0) GROUP BY centc.cell),
+       |probes AS (
+       |  SELECT c.cell FROM cdotq c JOIN cnorm n USING (cell), nq
+       |  ORDER BY CAST(c.cdot AS DOUBLE) /
+       |           sqrt(CAST(n.ncv AS DOUBLE) * CAST(nq.nqv AS DOUBLE)) DESC,
+       |           c.cell
+       |  LIMIT $NProbe),
+       |cbc AS (
+       |  SELECT j, code, generate_subscripts(centroid, 1) - 1 AS sp,
+       |         CAST(FLOOR(unnest(centroid) * 1048576) AS BIGINT) AS cx
+       |  FROM read_parquet('$od/codebooks/*.parquet')),
+       |tbl AS (
+       |  SELECT cbc.j, cbc.code, CAST(SUM(cbc.cx * q.qx) AS BIGINT) AS t
+       |  FROM cbc JOIN q ON q.i0 = cbc.j * ${Similarity.PqSub} + cbc.sp
+       |  GROUP BY cbc.j, cbc.code),
+       |cds AS (
+       |  SELECT vec_id, cell, generate_subscripts(codes, 1) - 1 AS j,
+       |         unnest(codes) AS cval
+       |  FROM read_parquet('$od/codes/*.parquet')),
+       |adc AS (
+       |  SELECT c.vec_id, CAST(SUM(t.t) AS BIGINT) AS adot
+       |  FROM cds c JOIN tbl t ON t.j = c.j AND t.code = c.cval
+       |  WHERE c.vec_id <> 0 AND c.cell IN (SELECT cell FROM probes)
+       |  GROUP BY c.vec_id),
+       |cand AS (SELECT vec_id FROM adc
+       |         ORDER BY adot DESC, vec_id LIMIT ${Similarity.PqRerank})
+       |SELECT s.vec_id, s.cosine FROM cos s JOIN cand USING (vec_id)
+       |ORDER BY s.cosine DESC, s.vec_id LIMIT 10""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivfpq_incremental" -> (annIvfPqIncremental _))
+
+  val oracles: Map[String, String] = Map(
+    "ann_ivfpq_incremental" -> annIvfPqIncrementalSql)
+}

@@ -29,7 +29,7 @@ import graft.functions.VectorFns._
 object Similarity {
   private type Q = (SparkSession, String) => DataFrame
 
-  private val QueryVec = 0L
+  private[operators] val QueryVec = 0L
   private val LshBits = 8
 
   /** Where the learned-parameter queries publish their trained state for
@@ -74,14 +74,14 @@ object Similarity {
     * — bit-identical to VectorFns.cosineFx (parity-tested) but runs as one
     * fused loop inside whole-stage codegen instead of interpreted HOFs.
     */
-  private def cosNative(s: SparkSession,
+  private[operators] def cosNative(s: SparkSession,
                         a: org.apache.spark.sql.Column,
                         b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     graft.functions.CosineFxExpr.register(s)
     call_function("cosine_fx", a, b)
   }
 
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private[operators] def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), fixedPoint(col("embedding")).as("v"))
 
@@ -104,7 +104,7 @@ object Similarity {
 
   // DuckDB-side fixed-point componentization shared by the oracles.
   // generate_subscripts is 1-based; i0 aligns with Spark's 0-based lambdas.
-  private val compCte =
+  private[operators] val compCte =
     """WITH comp AS (
       |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i0,
       |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS x
@@ -459,9 +459,9 @@ object Similarity {
       |ORDER BY c.vec_id, c.i""".stripMargin
 
   // ------------------------------------------- product quantization
-  private val PqM = 16      // subspaces (64 dims → 4-dim subvectors)
-  private val PqK = 16      // codewords per subspace
-  private val PqRerank = 100 // ADC candidates kept for exact re-rank
+  private[operators] val PqM = 16      // subspaces (64 dims → 4-dim subvectors)
+  private[operators] val PqK = 16      // codewords per subspace
+  private[operators] val PqRerank = 100 // ADC candidates kept for exact re-rank
 
   /** Deterministic local Lloyd's k-means over the (bounded) training
     * sample: seeded-shuffle init, first-min assignment, empty clusters
@@ -471,7 +471,7 @@ object Similarity {
     * over a distributed frame, the exact pattern the IVF query had to
     * drop) with zero cluster jobs.
     */
-  private def lloydFit(points: Array[Array[Double]], k: Int, seed: Long,
+  private[operators] def lloydFit(points: Array[Array[Double]], k: Int, seed: Long,
                        iters: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     val dims = points(0).length
@@ -517,7 +517,7 @@ object Similarity {
     * the driver (k-means codebooks are engine-specific); recall vs
     * brute force pinned in PqSpec.
     */
-  private val PqSub = 64 / PqM
+  private[operators] val PqSub = 64 / PqM
 
   /** Per-subspace codebooks from [[lloydFit]] over the bounded
     * deterministic sample (ivfFit policy), collected to the driver
@@ -542,20 +542,20 @@ object Similarity {
   /** Driver-side scalar of the dyadic fixed-point lift (VectorFns.Scale)
     * — the one definition every serving path shares.
     */
-  private def fxLong(x: Double): Long =
+  private[operators] def fxLong(x: Double): Long =
     math.floor(x * graft.functions.VectorFns.Scale).toLong
 
   /** The [m][k][sub] codebooks back from `out/codebooks` — shared by
     * every from-index serving path.
     */
-  private def loadCodebooks(s: SparkSession, out: String): Array[Array[Array[Double]]] = {
+  private[operators] def loadCodebooks(s: SparkSession, out: String): Array[Array[Array[Double]]] = {
     val raw = s.read.parquet(s"$out/codebooks")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     Array.tabulate(PqM)(j => raw.filter(_._1 == j).sortBy(_._2).map(_._3))
   }
 
   /** Persist codebooks as (j, code, centroid) rows alongside an index. */
-  private def writeCodebooks(s: SparkSession, out: String,
+  private[operators] def writeCodebooks(s: SparkSession, out: String,
                              codebooks: Array[Array[Array[Double]]]): Unit = {
     val rows = for {
       (cb, j) <- codebooks.zipWithIndex.toSeq
@@ -578,7 +578,7 @@ object Similarity {
   /** ADC approximate dot over a stored `codes` column: the sum of one
     * table lookup per subspace — map-only, no explode, no join.
     */
-  private def adcDot(tables: Array[Array[Long]]): org.apache.spark.sql.Column =
+  private[operators] def adcDot(tables: Array[Array[Long]]): org.apache.spark.sql.Column =
     (0 until PqM).map(j =>
       element_at(typedLit(tables(j)), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
@@ -586,14 +586,14 @@ object Similarity {
   /** ADC tables: fixed-point dot of the query subvector with every
     * codeword — m×k longs, computed on the driver, shipped as literals.
     */
-  private def pqTablesFor(codebooks: Array[Array[Array[Double]]],
+  private[operators] def pqTablesFor(codebooks: Array[Array[Array[Double]]],
                           qvec: Array[Double]): Array[Array[Long]] =
     Array.tabulate(PqM) { j =>
       val q = qvec.slice(j * PqSub, (j + 1) * PqSub).map(fxLong)
       codebooks(j).map(c => c.map(fxLong).zip(q).map { case (a, b) => a * b }.sum)
     }
 
-  private def storedQueryVec(s: SparkSession, dir: String): Array[Double] =
+  private[operators] def storedQueryVec(s: SparkSession, dir: String): Array[Double] =
     Tables.embeddings(s, dir).filter(col("vec_id") === QueryVec)
       .select(col("embedding").cast("array<double>")).collect()(0)
       .getSeq[Double](0).toArray
