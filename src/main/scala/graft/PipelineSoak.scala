@@ -243,14 +243,26 @@ object PipelineSoak {
         } finally gated.unpersist()
         // adaptive async compaction on ALL indexes — the fold runs on a
         // background thread racing later drops (locked leased-read
-        // ingest protocol), never on this hot path
-        Seq(exactDir, ndDir, kbDir, vecDir).foreach { d =>
-          val m = streaming.BucketState.readManifest(s, d)
-          val maxSegs =
-            if (m.buckets.isEmpty) 0 else m.buckets.values.map(_.size).max
-          if (maxSegs >= compactWhenSegments)
-            streaming.BucketState.maybeCompactConcurrent(s, d, async = true)
-        }
+        // ingest protocol), never on this hot path. Thresholds are
+        // STAGGERED and the hot indexes fold at HALF cadence: every
+        // index gains one segment per drop, so a single shared
+        // threshold made all four folds fire on the same drop (aligned
+        // background storms = the r13 sawtooth peaks, re-observed as
+        // 24-29s outlier drops), and the nd/kb per-drop costs measurably
+        // track SEGMENT COUNT (nd_sec reset from 13 to 7.6 s right
+        // after its fold in the r14 1M trace). Measured 1M A/B/A:
+        // aligned-at-8 2,329 docs/s; staggered nd@4/kb@5 2,683; nd@3
+        // 2,478 (folding the growing index too often costs more than
+        // the read amortization saves) — nd@4/kb@5 kept.
+        Seq(exactDir -> compactWhenSegments, ndDir -> (compactWhenSegments / 2),
+            kbDir -> (compactWhenSegments / 2 + 1), vecDir -> (compactWhenSegments + 3))
+          .foreach { case (d, threshold) =>
+            val m = streaming.BucketState.readManifest(s, d)
+            val maxSegs =
+              if (m.buckets.isEmpty) 0 else m.buckets.values.map(_.size).max
+            if (maxSegs >= threshold)
+              streaming.BucketState.maybeCompactConcurrent(s, d, async = true)
+          }
         batchEnds.add(System.nanoTime())
         ()
       }

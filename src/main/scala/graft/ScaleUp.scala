@@ -46,7 +46,8 @@ object ScaleUp {
     val mode = args.lift(3) match {
       case Some("docs")  => "docs"
       case Some("facts") => "facts"
-      case Some(other)   => sys.error(s"unknown mode: '$other' (expected 'docs' or 'facts')")
+      case Some("vecs")  => "vecs"
+      case Some(other)   => sys.error(s"unknown mode: '$other' (expected 'docs', 'facts' or 'vecs')")
       case None          => "full"
     }
     val docsOnly = mode == "docs"
@@ -88,6 +89,20 @@ object ScaleUp {
         df.withColumn(c, (col(c).cast("long") + col("rep") * s).cast(base.schema(c).dataType))
       }
       shifted.drop("rep")
+    }
+
+    // `vecs` mode: embeddings only (+region for Bench's warm-up read) —
+    // the ANN-family decade rung scales the vector corpus without paying
+    // for a 60M-doc text regen it never reads. Embeddings must come with
+    // documents at driver sfs (joint verify), but the ANN serving paths
+    // touch only the vector table.
+    if (mode == "vecs") {
+      write(rq("region"), "region")
+      val nVecs = rq("embeddings").count() * factor
+      ScaleProbe.writeEmbeddings(spark, out, nVecs)
+      println(s"[scale-up] embeddings: $nVecs rows (vecs-only)")
+      spark.stop()
+      return
     }
 
     if (docsOnly) {

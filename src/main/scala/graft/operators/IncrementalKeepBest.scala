@@ -330,6 +330,10 @@ object IncrementalKeepBest {
                     .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("c"))
                     .agg(max(col("c")).as("mx")).collect()(0))
                   val canSaturate = !maxOcc.isNullAt(0) && maxOcc.getLong(0) > cap
+                  if (sys.env.contains("SPARK_GRAFT_ND_TRACE"))
+                    System.err.println(s"[nd-trace] kb maxOcc=" +
+                      s"${if (maxOcc.isNullAt(0)) 0L else maxOcc.getLong(0)} " +
+                      s"cap=$cap canSaturate=$canSaturate")
                   val rankedOpt =
                     if (canSaturate) {
                       val r = IncrementalNearDup.withPred(bands, prevBands)

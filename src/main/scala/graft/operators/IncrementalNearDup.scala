@@ -336,6 +336,12 @@ object IncrementalNearDup {
       .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("mx")).collect()(0)
     val canSaturate = !maxOcc.isNullAt(0) && maxOcc.getLong(0) > cap
+    // opt-in evidence line for the decade rungs: proves whether the
+    // guard ENGAGED (rank machinery ran) or SKIPPED on a given corpus
+    if (sys.env.contains("SPARK_GRAFT_ND_TRACE"))
+      System.err.println(s"[nd-trace] maxOcc=" +
+        s"${if (maxOcc.isNullAt(0)) 0L else maxOcc.getLong(0)} cap=$cap " +
+        s"canSaturate=$canSaturate")
     // under a possibly-biting cap, rank the batch against the store and
     // split: eligible rows generate banded candidates (≤ cap predecessors
     // each); saturated rows route through the identical-signature rescue

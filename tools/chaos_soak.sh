@@ -2,7 +2,8 @@
 # Chaos soak: kill -9 the PipelineSoak JVM at random points mid-stream,
 # relaunch into the same workDir (corpus/drops are generated once — see
 # the _CORPUS_READY marker), and require the final run to report
-# pipeline_diff=0 AND kb_diff=0. This turns the spec-pinned crash-replay
+# pipeline_diff=0 AND kb_diff=0 AND decon_diff=0 AND vec_diff=0. This
+# turns the spec-pinned crash-replay
 # contracts (checkpoint replay + index fingerprint guards + concurrent
 # compaction lease/GC) from "the interleavings we thought of" into "any
 # interleaving the scheduler produces under SIGKILL".
@@ -78,12 +79,12 @@ while :; do
       continue
     fi
     elapsed=$(( $(date +%s) - t0 ))
-    diffs=$(echo "$line" | python3 -c 'import sys,json; d=json.load(sys.stdin); print(d["pipeline_diff"], d["kb_diff"], d.get("decon_diff", 0))')
-    read -r pd kd dd <<<"$diffs"
-    printf '{"metric":"chaos_soak","docs":%s,"batches":%s,"kills":%s,"attempts":%s,"seed":%s,"kill_delays_s":[%s],"pipeline_diff":%s,"kb_diff":%s,"decon_diff":%s,"elapsed_s":%s,"final":%s}\n' \
+    diffs=$(echo "$line" | python3 -c 'import sys,json; d=json.load(sys.stdin); print(d["pipeline_diff"], d["kb_diff"], d.get("decon_diff", 0), d.get("vec_diff", 0))')
+    read -r pd kd dd vd <<<"$diffs"
+    printf '{"metric":"chaos_soak","docs":%s,"batches":%s,"kills":%s,"attempts":%s,"seed":%s,"kill_delays_s":[%s],"pipeline_diff":%s,"kb_diff":%s,"decon_diff":%s,"vec_diff":%s,"elapsed_s":%s,"final":%s}\n' \
       "$DOCS" "$BATCHES" "$kills" "$attempt" "$SEED" \
-      "$(IFS=,; echo "${kill_pts[*]-}")" "$pd" "$kd" "$dd" "$elapsed" "$line" | tee "$OUT"
-    [ "$pd" = "0" ] && [ "$kd" = "0" ] && [ "$dd" = "0" ] && exit 0
+      "$(IFS=,; echo "${kill_pts[*]-}")" "$pd" "$kd" "$dd" "$vd" "$elapsed" "$line" | tee "$OUT"
+    [ "$pd" = "0" ] && [ "$kd" = "0" ] && [ "$dd" = "0" ] && [ "$vd" = "0" ] && exit 0
     echo "[chaos] NONZERO DIFF — state diverged after replay" >&2
     exit 1
   fi
