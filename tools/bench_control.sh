@@ -31,6 +31,10 @@ LOCAL_DIR=/tmp/spark-bench-local-$$
 rm -rf "$LOCAL_DIR"; mkdir -p "$LOCAL_DIR"
 tmp=$(mktemp)
 trap 'rm -f "$tmp"; rm -rf "$LOCAL_DIR"' EXIT
+# SUBSET (optional): restrict the control to the same query subset as
+# the rung being attributed — a decade-rung control must run the decade
+# shape, not the full driver bench.
+if [ -n "${SUBSET:-}" ]; then export SPARK_GRAFT_BENCH_ONLY="$SUBSET"; fi
 if SPARK_GRAFT_SF_DIR=$sf SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=$runs \
    java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false \
      -Dspark.local.dir="$LOCAL_DIR" \
