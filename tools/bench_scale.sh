@@ -65,8 +65,9 @@ fi
 # prefix-filtered build (partition-count bound + codegen min-sum,
 # Dedup.overlapPairsPlan) completes the same rung in ~42 s with no disk
 # pressure, so the default is now the FULL corpus subset — the original
-# 20 plus the three r11 span-family queries.
-SUBSET="${SUBSET:-dedup_exact,dedup_incremental,dedup_minhash_lsh,dedup_simhash,dedup_embedding_cosine,dedup_ngram_jaccard,dedup_containment,dedup_clusters,dedup_keep_best_minhash,dedup_repeated_spans,dedup_clip_repeated,text_decontaminate,text_decontaminate_spans,text_clip_contaminated,text_decontaminate_bloom,text_winnow_fingerprint,ann_cosine_topk,ann_lsh_topk,ann_ivf_topk,ann_pq_topk,ann_range_search,cdc_snapshot,cdc_snapshot_multitable,cdc_audit_log,cdc_consistency_diff}"
+# 20 plus the three r11 span-family queries, plus (r14) the incremental
+# IVF-PQ query and the pixel-decode kernel so future rungs screen them.
+SUBSET="${SUBSET:-dedup_exact,dedup_incremental,dedup_minhash_lsh,dedup_simhash,dedup_embedding_cosine,dedup_ngram_jaccard,dedup_containment,dedup_clusters,dedup_keep_best_minhash,dedup_repeated_spans,dedup_clip_repeated,text_decontaminate,text_decontaminate_spans,text_clip_contaminated,text_decontaminate_bloom,text_winnow_fingerprint,ann_cosine_topk,ann_lsh_topk,ann_ivf_topk,ann_pq_topk,ann_ivfpq_incremental,ann_range_search,multimodal_pixel_stats,cdc_snapshot,cdc_snapshot_multitable,cdc_audit_log,cdc_consistency_diff}"
 
 ADD_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
     java.net java.nio java.util java.util.concurrent \
