@@ -294,6 +294,17 @@ object IncrementalNearDup {
     val emptyIdx = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       bandSchema.add("p", LongType))
+    // opt-in per-stage wall times (SPARK_GRAFT_ND_TRACE) — the kb-trace
+    // discipline: the per-drop cost must be attributable, not guessed
+    val trace = sys.env.contains("SPARK_GRAFT_ND_TRACE")
+    def tr[T](tag: String)(f: => T): T =
+      if (!trace) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[nd-trace] $tag ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        r
+      }
     def ownRowsExcluded(df: DataFrame, idCol: Column): DataFrame =
       replayFloor.map(f => df.filter(idCol < lit(f))).getOrElse(df)
     // persisted: consumed twice per drop (the saturation guard and the
@@ -331,10 +342,10 @@ object IncrementalNearDup {
     // frames replaces the per-drop rank machinery that measured 1.53×
     // on dedup_neardup_incremental at sf0.1 — where the cap never bites
     // (max bucket 857 at sf10; saturation starts at the sf100-docs rung).
-    val maxOcc = prevBands.select(col("band"), col("bh"))
+    val maxOcc = tr("occupancy_guard")(prevBands.select(col("band"), col("bh"))
       .unionByName(bands.select(col("band"), col("bh")))
       .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("c"))
-      .agg(max(col("c")).as("mx")).collect()(0)
+      .agg(max(col("c")).as("mx")).collect()(0))
     val canSaturate = !maxOcc.isNullAt(0) && maxOcc.getLong(0) > cap
     // opt-in evidence line for the decade rungs: proves whether the
     // guard ENGAGED (rank machinery ran) or SKIPPED on a given corpus
@@ -373,8 +384,8 @@ object IncrementalNearDup {
         // materializing ranked here (first consumer) keeps the rescue
         // branch to ONE cheap extra job when the guard could not rule
         // saturation out; when it could, no probe job runs at all
-        val anySaturated = rankedOpt.exists(r =>
-          !r.filter(col("pred") > cap).limit(1).isEmpty)
+        val anySaturated = rankedOpt.exists(r => tr("saturation_probe")(
+          !r.filter(col("pred") > cap).limit(1).isEmpty))
         val (rescueSeen, rescueBatch) =
           if (!anySaturated)
             (spark.emptyDataFrame.select(lit(0L).as("doc_id"),
@@ -425,27 +436,27 @@ object IncrementalNearDup {
         // ---- est-verify --------------------------------------------
         // which buckets hold the candidates' sig rows — at most nBuckets
         // longs collected, never doc ids
-        val sigBuckets = cand
+        val sigBuckets = tr("cand_probe")(cand
           .select(sigBucketOf(col("seen_id"), nBuckets).as("p"))
-          .distinct().collect().map(_.getLong(0)).toSet
+          .distinct().collect().map(_.getLong(0)).toSet)
         val seenSigs = BucketState.readBuckets(spark, indexDir,
             m.buckets.view.filterKeys(sigBuckets).toMap, emptyIdx)
           .filter(col("band") === -1L)
           .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
-        val pairsSeen = mat(cand
+        val pairsSeen = tr("pairs_seen_ck")(mat(cand
           .join(seenSigs, Seq("seen_id"))
           .join(batchSigs, Seq("doc_id"))
           .filter(nearDup(col("sig"), col("seen_sig")))
           .select(col("doc_id"), col("seen_id"))
           .unionByName(rescueSeen)
-          .distinct())
+          .distinct()))
         val candB = elig.as("x").join(
             bands.select(col("band"), col("bh"), col("doc_id")).as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
               col("y.doc_id") < col("x.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val pairsBatch = mat(candB
+        val pairsBatch = tr("pairs_batch_ck")(mat(candB
           .join(batchSigs.select(col("doc_id").as("doc_a"),
             col("sig").as("sig_a")), Seq("doc_a"))
           .join(batchSigs.select(col("doc_id").as("doc_b"),
@@ -453,7 +464,7 @@ object IncrementalNearDup {
           .filter(nearDup(col("sig_a"), col("sig_b")))
           .select(col("doc_a"), col("doc_b"))
           .unionByName(rescueBatch)
-          .distinct())
+          .distinct()))
         (pairsSeen, pairsBatch)
       } finally { rescToRelease.foreach(_.unpersist()); cand.unpersist() }
     } finally { rankedOpt.foreach(_.unpersist()); prevBands.unpersist() }
