@@ -85,11 +85,17 @@ object EvalSet {
     def readRec(): Option[Long] =
       if (!f.exists(rec)) None
       else {
+        // read to EOF, not a single read(): non-local Hadoop streams may
+        // short-read, and a truncated-but-parseable prefix ('1' of '12')
+        // would silently pin the wrong eval version instead of reading
+        // as torn — only a complete read is eligible for parsing
         val in = f.open(rec)
         val bytes = try {
-          val buf = new Array[Byte](32)
-          val n = in.read(buf)
-          if (n <= 0) "" else new String(buf, 0, n, "UTF-8")
+          val buf = new java.io.ByteArrayOutputStream(32)
+          val chunk = new Array[Byte](32)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toString("UTF-8")
         } finally in.close()
         bytes.trim.toLongOption
       }

@@ -89,6 +89,24 @@ object IncrementalVecIndex {
     BucketState.hadoopFs(spark, p.toString).exists(p)
   }
 
+  /** Fingerprint of the input the frozen params were trained on, read
+    * from the done marker's content (written by [[writeParams]]). None
+    * for a missing marker. The marker is the params' commit point, so a
+    * params dir whose marker exists always carries the fingerprint of
+    * the drop that produced it.
+    */
+  private def paramsTrainFp(spark: SparkSession, indexDir: String): Option[Long] = {
+    val p = paramsDone(spark, indexDir)
+    val f = BucketState.hadoopFs(spark, p.toString)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      s.toLongOption
+    }
+  }
+
   def readParams(spark: SparkSession, indexDir: String): Params = {
     val cents = spark.read.parquet(s"$indexDir/params/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
@@ -128,7 +146,8 @@ object IncrementalVecIndex {
 
   private def writeParams(spark: SparkSession, indexDir: String,
                           cents: Array[Array[Double]],
-                          cbs: Array[Array[Array[Double]]]): Unit = {
+                          cbs: Array[Array[Array[Double]]],
+                          trainFp: Long): Unit = {
     spark.createDataFrame(cents.zipWithIndex.toSeq
         .map { case (c, i) => (i, c.toSeq) })
       .toDF("cell", "centroid")
@@ -136,9 +155,15 @@ object IncrementalVecIndex {
       .parquet(s"$indexDir/params/centroids")
     Similarity.writeCodebooks(spark, s"$indexDir/params", cbs)
     // marker AFTER both writes: a crash between them replays the (pure,
-    // deterministic) training and overwrites both files identically
+    // deterministic) training and overwrites both files identically. The
+    // marker CONTENT is the training input's fingerprint — what lets a
+    // relaunch distinguish "params from this very drop" (reuse) from
+    // "params from an ABORTED batch-0 attempt on different data"
+    // (retrain), closing the crash window between writeParams and the
+    // batch-0 manifest commit where checkBatch has nothing to check yet.
     val p = paramsDone(spark, indexDir)
-    BucketState.hadoopFs(spark, p.toString).create(p, true).close()
+    val out = BucketState.hadoopFs(spark, p.toString).create(p, true)
+    try out.write(trainFp.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** One map-only pass: fused-codegen cell argmin (L2 over the 16
@@ -176,9 +201,23 @@ object IncrementalVecIndex {
         case BucketState.Proceed(proposed) =>
           val physicalVersion = BucketState.reserveVersion(indexDir, proposed)
           try {
-            if (!paramsExist(spark, indexDir)) {
+            // Frozen params are reusable only when they were trained on
+            // THIS input: once any batch has committed, the manifest
+            // fingerprint chain guarantees that (checkBatch fails loudly
+            // on divergence); before the first commit the params may be
+            // the residue of an aborted batch-0 attempt on DIFFERENT
+            // data — compare the marker's recorded training fingerprint
+            // and retrain/overwrite on mismatch (pure + deterministic,
+            // so a same-input replay rewrites byte-identical params).
+            val reusable = paramsExist(spark, indexDir) &&
+              (m.buckets.nonEmpty ||
+                paramsTrainFp(spark, indexDir).contains(batchFp))
+            if (!reusable) {
+              require(m.buckets.isEmpty,
+                s"index at $indexDir has committed segments but no readable " +
+                  "frozen params — the store is corrupt; rebuild the index")
               val (cents, cbs) = train(clean)
-              writeParams(spark, indexDir, cents, cbs)
+              writeParams(spark, indexDir, cents, cbs, batchFp)
             }
             val rows = encodeWithParams(spark, readParams(spark, indexDir), clean)
             rows.withColumn("p", col("cell"))

@@ -63,7 +63,16 @@ object Similarity {
         val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
         val it = java.nio.file.Files.list(base)
         try it.forEach { p =>
-          if (java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+          // liveness first, age second: a still-running sibling JVM whose
+          // last params write is >6h old (plausible for sf100-scale
+          // soak+bench sequences) must keep its declared state until its
+          // own DuckDB replay runs — the age check only reaps dirs whose
+          // embedded PID is dead or reused by a process we can't see
+          val ownerAlive = p.getFileName.toString.stripPrefix("p").toLongOption
+            .exists(pid => ProcessHandle.of(pid)
+              .map[Boolean](_.isAlive).orElse(false))
+          if (!ownerAlive &&
+              java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
             graft.Shared.deleteDirTree(p.toString)
         } finally it.close()
       }

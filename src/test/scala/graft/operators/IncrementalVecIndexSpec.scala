@@ -89,6 +89,42 @@ class IncrementalVecIndexSpec extends AnyFunSuite {
     graft.Shared.deleteDirTree(d)
   }
 
+  test("an aborted batch-0 params write is retrained when the relaunch brings different data") {
+    // crash window: writeParams landed, the batch-0 manifest commit did
+    // not. A relaunch with a DIFFERENT first drop passes checkBatch
+    // (nothing committed) — the recorded training fingerprint must force
+    // a retrain instead of silently encoding against the aborted input's
+    // quantizers ('different input fails loudly' for the one batch that
+    // defines the learned state; here the loud form is overwrite-retrain).
+    val d = freshDir("vecinc-abort0")
+    val a = vecs.filter(col("vec_id") <= 333)
+    val b = vecs.filter(col("vec_id") > 333)
+    IncrementalVecIndex.ingest(spark, d, a, 0).count()
+    val paramsFromA = rowsOfParams(d)
+    // roll the store back to the crash state: params present, no commits
+    val fs = new java.io.File(d)
+    fs.listFiles().foreach { f =>
+      if (f.getName.startsWith("v=") || f.getName == "_CURRENT")
+        graft.Shared.deleteDirTree(f.toString)
+    }
+    IncrementalVecIndex.ingest(spark, d, b, 0).count()
+    val paramsFromB = rowsOfParams(d)
+    assert(paramsFromB !== paramsFromA,
+      "relaunch with different first-drop data must retrain the quantizers")
+    // …and the retrained params are exactly what a fresh store trains on b
+    val dFresh = freshDir("vecinc-fresh-b")
+    IncrementalVecIndex.ingest(spark, dFresh, b, 0).count()
+    assert(paramsFromB === rowsOfParams(dFresh))
+    // same-input relaunch after the same crash reuses (params unchanged)
+    fs.listFiles().foreach { f =>
+      if (f.getName.startsWith("v=") || f.getName == "_CURRENT")
+        graft.Shared.deleteDirTree(f.toString)
+    }
+    IncrementalVecIndex.ingest(spark, d, b, 0).count()
+    assert(rowsOfParams(d) === paramsFromB)
+    graft.Shared.deleteDirTree(d); graft.Shared.deleteDirTree(dFresh)
+  }
+
   private def rowsOfParams(d: String): (Set[(Int, Seq[Double])], Set[(Int, Int, Seq[Double])]) = (
     spark.read.parquet(s"$d/params/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSet,
