@@ -38,6 +38,21 @@ object IncrementalDedup {
   private def bucketOf(fp: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(fp), lit(nBuckets.toLong))
 
+  private def emptyIdx(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      survivorSchema.add("p", LongType))
+
+  /** Stored tombstone ids `(doc_id)` — one pruned read of the reserved
+    * bucket (see [[Retraction]]).
+    */
+  private def storedTombs(spark: SparkSession, indexDir: String,
+                          m: BucketState.Manifest): DataFrame =
+    BucketState.readBuckets(spark, indexDir,
+      m.buckets.view.filterKeys(_ == Retraction.TombBucket).toMap,
+      emptyIdx(spark))
+      .select(col("doc_id"))
+
   /** Admit `docs` (columns `doc_id`, `text`) against the index at
     * `indexDir`: returns the survivors — one `(fp, doc_id)` row per
     * content fingerprint never seen before, min doc_id within the batch —
@@ -47,10 +62,19 @@ object IncrementalDedup {
     * committed batchId with identical input is an idempotent no-op that
     * returns the same survivors, with different input it fails loudly.
     */
+  /** `retractIds`: an optional takedown set committed WITH this batch —
+    * tombstones staged in the same version dir and the same manifest
+    * rename (see [[Retraction]] for the declared semantics). The
+    * retraction applies BEFORE this batch's admissions: a fingerprint
+    * whose stored winner is named here reads as never-seen, so this
+    * batch (and every later one) can readmit the content.
+    */
   def ingest(spark: SparkSession, indexDir: String, docs: DataFrame,
-             batchId: Long, nBuckets: Int = 64): DataFrame = {
+             batchId: Long, nBuckets: Int = 64,
+             retractIds: Option[DataFrame] = None): DataFrame = {
     val newVersion = batchId + 1
     val survivorsDir = s"$indexDir/survivors/$newVersion"
+    val retract = retractIds.map(Retraction.normIds(_).persist())
 
     // in-batch winners: min doc_id per fingerprint (window, not
     // groupBy+self-join — one pass over the batch). Null text/id rows are
@@ -69,8 +93,10 @@ object IncrementalDedup {
     try {
       // one action for fingerprint + touched buckets — the second full
       // pass over the batch was pure per-commit fixed overhead
-      val (batchFp, touched) = BucketState.inputFingerprintAndBuckets(
+      val (dataFp, touched) = BucketState.inputFingerprintAndBuckets(
         batchFps, bucketOf(col("fp"), nBuckets))
+      val batchFp = Retraction.mixFp(dataFp,
+        retract.map(BucketState.inputFingerprint))
 
       // Leased manifest read + locked fresh-read commit: the concurrent-
       // writer protocol (applyLsmBatch pattern) that makes a BACKGROUND
@@ -91,12 +117,17 @@ object IncrementalDedup {
             val physicalVersion = BucketState.reserveVersion(indexDir, proposed)
             try {
               val prev = BucketState.readBuckets(spark, indexDir,
-                m.buckets.view.filterKeys(touched).toMap,
-                spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  survivorSchema.add("p", LongType)))
+                m.buckets.view.filterKeys(touched).toMap, emptyIdx(spark))
+              // surviving view: stored tombstones ∪ this batch's own
+              // retraction set mask the fingerprint registry BEFORE the
+              // batch's admissions (on replay the batch's tombstones are
+              // already stored — same set, same view, bit-identical)
+              val tombs = retract.fold(storedTombs(spark, indexDir, m))(r =>
+                storedTombs(spark, indexDir, m).unionByName(r).distinct())
+              val prevLive = Retraction.mask(prev, tombs, "doc_id")
 
               val survivors = batchFps
-                .join(prev.select(col("fp")), Seq("fp"), "left_anti")
+                .join(prevLive.select(col("fp")), Seq("fp"), "left_anti")
                 .persist()
 
               // stage survivors FIRST (they are part of the batch's durable
@@ -114,8 +145,13 @@ object IncrementalDedup {
               // bucket; at K batches that is quadratic total writes — measured
               // by graft.IngestSoak before the fix.) Read amplification grows
               // one segment per batch until a compaction folds them.
-              survivors
+              val segRows = survivors
                 .withColumn("p", bucketOf(col("fp"), nBuckets))
+              // tombstone rows ride the same segment and the same
+              // commit: (fp = null, doc_id, p = TombBucket)
+              retract.fold(segRows)(r => segRows.unionByName(
+                  r.select(lit(null).cast(StringType).as("fp"),
+                    col("doc_id"), lit(Retraction.TombBucket).as("p"))))
                 .repartition(col("p"))
                 .write.mode("overwrite").partitionBy("p")
                 .parquet(s"$indexDir/v=$physicalVersion")
@@ -138,7 +174,7 @@ object IncrementalDedup {
       // fold superseded — and since no later GC is guaranteed to run,
       // the folded dirs would leak on disk past the last batch.
       BucketState.gcVersions(spark, indexDir)
-    } finally batchFps.unpersist()
+    } finally { batchFps.unpersist(); retract.foreach(_.unpersist()) }
     spark.read.schema(survivorSchema).parquet(survivorsDir)
   }
 
@@ -198,7 +234,8 @@ object IncrementalDedup {
           (compactEvery > 0 && (batchId + 1) % compactEvery == 0) ||
             (compactWhenSegments > 0 && maxSegs >= compactWhenSegments)
         if (due)
-          BucketState.maybeCompactConcurrent(spark, indexDir, asyncCompaction)
+          BucketState.maybeCompactConcurrent(spark, indexDir, asyncCompaction,
+            resolve = Retraction.foldTombstones(_, "doc_id"))
         ()
       }
       .start()
@@ -207,12 +244,16 @@ object IncrementalDedup {
   /** The full deduped corpus registry: every admitted (fp, doc_id),
     * resolved through the committed manifest.
     */
-  def snapshot(spark: SparkSession, indexDir: String): DataFrame =
-    BucketState.readBuckets(spark, indexDir,
-      BucketState.readManifest(spark, indexDir).buckets,
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        survivorSchema.add("p", LongType)))
+  def snapshot(spark: SparkSession, indexDir: String): DataFrame = {
+    val m = BucketState.readManifest(spark, indexDir)
+    val all = BucketState.readBuckets(spark, indexDir, m.buckets,
+      emptyIdx(spark))
+    // data rows (fp non-null — tombstones carry a null fp) minus every
+    // stored tombstone: the surviving registry
+    Retraction.mask(all.filter(col("fp").isNotNull),
+        storedTombs(spark, indexDir, m), "doc_id")
       .drop("p")
+  }
 
   // --------------------------------------------------- driver query
   /** Driver-facing demonstration: ingest the documents table in two
@@ -256,9 +297,67 @@ object IncrementalDedup {
       |       CAST(MIN(doc_id) AS BIGINT) AS doc_id
       |FROM docs GROUP BY 1 ORDER BY fp""".stripMargin
 
+  /** Driver-facing demonstration of DELETION: chunk 1 (ids ≤ mid)
+    * ingests, then chunk 2 arrives WITH a takedown of every chunk-1 id
+    * divisible by 5 — the tombstones commit with chunk 2's batch and
+    * apply before its admissions, so content whose stored winner was
+    * retracted is readmitted by its first chunk-2 carrier. The final
+    * surviving registry must equal the sequence replay the DuckDB
+    * oracle computes: phase-1 winners minus the takedown, plus phase-2
+    * winners over the not-surviving fingerprints. The NON-RETROACTIVE
+    * edge is load-bearing: a chunk-1 duplicate of a retracted winner is
+    * NOT resurrected (its row was never stored), which is exactly what
+    * the oracle's phase split encodes — a final-state filter would get
+    * this wrong.
+    */
+  def dedupIncrementalRetract(s: SparkSession, dir: String): DataFrame =
+    dedupIncrementalRetractAt(s, dir,
+      java.nio.file.Files.createTempDirectory("graft-increm-ret").toString)
+
+  private[graft] def dedupIncrementalRetractAt(s: SparkSession, dir: String,
+                                               indexDir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+    val mid = (ids.getLong(0) + ids.getLong(1)) / 2
+    ingest(s, indexDir, docs.filter(col("doc_id") <= mid), batchId = 0,
+      nBuckets = 16).count()
+    val takedown = docs.filter(col("doc_id") <= mid &&
+      pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id"))
+    ingest(s, indexDir, docs.filter(col("doc_id") > mid), batchId = 1,
+      nBuckets = 16, retractIds = Some(takedown)).count()
+    val out = snapshot(s, indexDir).orderBy(col("fp"))
+      .localCheckpoint(eager = true)
+    graft.Shared.deleteDirTree(indexDir)
+    out
+  }
+
+  // Sequence replay: mid and the takedown set are deterministic in the
+  // data, so the oracle recomputes both phases — surviving phase-1
+  // winners, then phase-2 winners over fingerprints with no surviving
+  // registry row.
+  private val dedupIncrementalRetractSql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(string_split_regex(trim(text), '\s+'), ' ')) AS fp
+      |  FROM documents),
+      |mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM docs),
+      |w1 AS (
+      |  SELECT fp, MIN(doc_id) AS doc_id FROM docs, mid
+      |  WHERE doc_id <= m GROUP BY fp),
+      |surv AS (SELECT fp, doc_id FROM w1 WHERE doc_id % 5 <> 0),
+      |w2 AS (
+      |  SELECT fp, MIN(doc_id) AS doc_id FROM docs, mid
+      |  WHERE doc_id > m AND fp NOT IN (SELECT fp FROM surv)
+      |  GROUP BY fp)
+      |SELECT fp, CAST(doc_id AS BIGINT) AS doc_id
+      |FROM (SELECT * FROM surv UNION ALL SELECT * FROM w2)
+      |ORDER BY fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_incremental" -> (dedupIncremental _))
+    "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_retract" -> (dedupIncrementalRetract _))
 
   val oracles: Map[String, String] = Map(
-    "dedup_incremental" -> dedupIncrementalSql)
+    "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_retract" -> dedupIncrementalRetractSql)
 }

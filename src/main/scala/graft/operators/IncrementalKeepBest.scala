@@ -124,6 +124,16 @@ object IncrementalKeepBest {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       rowSchema.add("p", LongType))
 
+  /** Stored tombstone ids `(doc_id)` — one pruned read of the reserved
+    * bucket (see [[Retraction]]).
+    */
+  private def storedTombs(spark: SparkSession, indexDir: String,
+                          m: BucketState.Manifest): DataFrame =
+    BucketState.readBuckets(spark, indexDir,
+      m.buckets.view.filterKeys(_ == Retraction.TombBucket).toMap,
+      emptyIdx(spark))
+      .select(col("doc_id"))
+
   /** Driver union-find over a collected edge list — min-id roots, path
     * compression; exactly [[Dedup.clustersOf]]'s answer ((doc_id,
     * cluster) over `universe`, cluster = min reachable id, singletons
@@ -222,10 +232,21 @@ object IncrementalKeepBest {
     * a replay of either side idempotent). A full-mode store and an
     * overlay store are mutually unreadable by stamp.
     */
+  /** `retractIds`: an optional takedown set committed WITH this batch —
+    * member, band, sig and sig-key rows of the named ids are masked from
+    * stored reads and the snapshot (the cluster's best becomes the best
+    * SURVIVING member; a fully-retracted cluster disappears until a new
+    * arrival re-populates it). Forwarding rows are EXEMPT: they are
+    * label-graph edges keyed by cluster labels, not member rows — a
+    * retracted doc whose id names a cluster label keeps naming it, the
+    * way a dropped min-id keeps naming a component in any union-find.
+    * See [[Retraction]] for the shared takedown design.
+    */
   def ingest(spark: SparkSession, indexDir: String, docs: DataFrame,
              batchId: Long, nBuckets: Int = 64,
              bandsIn: Option[DataFrame] = None,
-             edgesIn: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+             edgesIn: Option[(DataFrame, DataFrame)] = None,
+             retractIds: Option[DataFrame] = None): DataFrame = {
     require(nBuckets >= 2, "keep-best index needs >= 2 buckets (one is reserved for forwarding rows)")
     // opt-in phase timing (SPARK_GRAFT_KB_TRACE=1) — the per-drop cost
     // must be attributable per stage, not guessed (the pipeline soak
@@ -257,19 +278,25 @@ object IncrementalKeepBest {
     // narrow single-consumer map (the members projection) — no persist
     val scored = clean
       .select(col("doc_id"), TextAnalysis.scoreExpr(col("text")).as("score"))
+    val retract = retractIds.map(Retraction.normIds(_).persist())
     try {
       // fingerprint covers the FULL batch (short no-shingle docs are
       // members too, so they must perturb it); touched band buckets come
       // off the persisted band rows (full mode only — the overlay's
       // segment holds no band rows to probe)
       val (batchFp, touched) = tr("fp_touched")((
-        BucketState.inputFingerprint(clean),
+        Retraction.mixFp(BucketState.inputFingerprint(clean),
+          retract.map(BucketState.inputFingerprint)),
         bandsOpt.map(_.select(bucketOf(nBuckets).as("p")).distinct()
           .collect().map(_.getLong(0)).toSet).getOrElse(Set.empty[Long])))
       val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
       try {
         BucketState.checkOrStampLayout(spark, indexDir, m,
           if (overlay) "keepbest-overlay-v1" else "keepbest-v2")
+        // surviving-view mask — stored tombstones ∪ this batch's own set
+        // (identical on first run and replay; see IncrementalNearDup)
+        val tombs = retract.fold(storedTombs(spark, indexDir, m))(r =>
+          storedTombs(spark, indexDir, m).unionByName(r).distinct())
         BucketState.checkBatch(m, batchId, batchFp) match {
           case BucketState.AlreadyCommitted => ()
           case BucketState.Proceed(proposed) =>
@@ -305,11 +332,17 @@ object IncrementalKeepBest {
                   val Ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
                   val bands = bandsOpt.get
                   // persisted: consumed twice (withPred's count + the
-                  // candidate join); released with the batch scratch
-                  val prevBands = BucketState.readBuckets(spark, indexDir,
-                      m.buckets.view.filterKeys(touched).toMap, emptyIdx(spark))
-                    .filter(col("band") >= 0)
-                    .select(col("band"), col("bh"), col("doc_id"))
+                  // candidate join); released with the batch scratch.
+                  // Tombstone-masked: discovery runs against the
+                  // surviving index (sig/member reads need no mask of
+                  // their own — they only join on seen_ids drawn from
+                  // this masked frame)
+                  val prevBands = Retraction.mask(
+                      BucketState.readBuckets(spark, indexDir,
+                        m.buckets.view.filterKeys(touched).toMap, emptyIdx(spark))
+                      .filter(col("band") >= 0)
+                      .select(col("band"), col("bh"), col("doc_id")),
+                      tombs, "doc_id")
                     .persist(Ser)
                   scratchToRelease ::= prevBands
                   // prefix-capped discovery + identical-signature rescue —
@@ -323,12 +356,35 @@ object IncrementalKeepBest {
                   // verbatim: no bucket's combined occupancy above the cap
                   // ⇒ every row eligible, none rescue-bound, and the rank
                   // window + count join + probe are skipped (capped ≡
-                  // uncapped below saturation is the spec'd identity)
-                  val maxOcc = tr("occupancy_guard")(prevBands
-                    .select(col("band"), col("bh"))
-                    .unionByName(bands.select(col("band"), col("bh")))
-                    .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("c"))
-                    .agg(max(col("c")).as("mx")).collect()(0))
+                  // uncapped below saturation is the spec'd identity).
+                  // The SAME pass collects the sig+member probe buckets
+                  // (the r14 standalone cand_probe collect, folded — the
+                  // verifiedEdges argument verbatim): candidate seen_ids
+                  // are stored docs in batch-touched (band,bh) groups,
+                  // and a RESCUE partner shares every band group with its
+                  // saturated batch doc (identical full signature ⇒
+                  // identical band hashes), so its buckets are covered
+                  // too; probing a superset is sound — both downstream
+                  // reads re-join on seen_id.
+                  val guardRow = tr("occupancy_guard")(prevBands
+                    .select(col("band"), col("bh"),
+                      array(kindBucketOf(-1L, col("doc_id"), nBuckets),
+                        kindBucketOf(-2L, col("doc_id"), nBuckets)).as("pb"))
+                    .unionByName(bands.select(col("band"), col("bh"),
+                      lit(null).cast(org.apache.spark.sql.types.ArrayType(
+                        org.apache.spark.sql.types.LongType)).as("pb")))
+                    .groupBy(col("band"), col("bh"))
+                    .agg(count(lit(1)).as("c"), count(col("pb")).as("stored"),
+                      array_distinct(flatten(collect_list(col("pb")))).as("pbs"))
+                    .agg(max(col("c")).as("mx"),
+                      array_distinct(flatten(collect_list(
+                        when(col("c") > col("stored"), col("pbs")))))
+                        .as("probe_buckets"))
+                    .collect()(0))
+                  val maxOcc = guardRow
+                  val probeBuckets: Set[Long] =
+                    if (guardRow.isNullAt(1)) Set.empty
+                    else guardRow.getSeq[Long](1).toSet
                   val canSaturate = !maxOcc.isNullAt(0) && maxOcc.getLong(0) > cap
                   if (sys.env.contains("SPARK_GRAFT_ND_TRACE"))
                     System.err.println(s"[nd-trace] kb maxOcc=" +
@@ -346,14 +402,15 @@ object IncrementalKeepBest {
                   // NARROW candidate pairs — sigs re-joined only inside
                   // the verify stage; see IncrementalNearDup.verifiedEdges
                   // for the measured sf100 disk-death the wide form caused
+                  // not persisted: with the probe collect folded into the
+                  // guard aggregate, the es checkpoint is the frame's
+                  // only consumer
                   val cand = elig.as("b").join(prevBands.as("i"),
                       col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
                         col("i.doc_id") < col("b.doc_id"))
                     .select(col("b.doc_id").as("doc_id"),
                       col("i.doc_id").as("seen_id"))
                     .distinct()
-                    .persist(Ser)
-                  scratchToRelease ::= cand
                   val batchSigs = bands.filter(col("band") === 0L)
                     .select(col("doc_id"), col("sig"))
                   // rescue edges for saturated arrivals — zero probe jobs
@@ -378,7 +435,10 @@ object IncrementalKeepBest {
                       val skBuckets = tr("rescue_probe")(resc
                         .select(kindBucketOf(-4L, col("sk"), nBuckets).as("p"))
                         .distinct().collect().map(_.getLong(0)).toSet)
-                      val storedMin = readKind(skBuckets, -4L)
+                      // retracted recorded minima lose their anchor role
+                      // — the IncrementalNearDup takedown semantics
+                      val storedMin = Retraction.mask(
+                          readKind(skBuckets, -4L), tombs, "doc_id")
                         .select(col("bh").as("sk"), col("doc_id").as("cand_id"))
                       val seenMin = resc.join(storedMin, Seq("sk"))
                         .filter(col("cand_id") < col("doc_id"))
@@ -402,17 +462,10 @@ object IncrementalKeepBest {
                          .select(col("doc_id").as("doc_a"),
                            col("bmin").as("doc_b")))
                     }
-                  // ONE bounded collect yields the sig AND member probe
-                  // buckets (member buckets from cand's seen-ids PLUS the
-                  // rescue partners — a rescue partner's label resolves
-                  // through the same member read, so missing its bucket
-                  // would silently split its component)
-                  val probeBuckets = tr("cand_probe")(cand.select(col("seen_id"))
-                    .unionByName(rescueSeen.select(col("seen_id")))
-                    .select(explode(array(
-                      kindBucketOf(-1L, col("seen_id"), nBuckets),
-                      kindBucketOf(-2L, col("seen_id"), nBuckets))).as("p"))
-                    .distinct().collect().map(_.getLong(0)).toSet)
+                  // sig + member probe buckets: collected by the guard
+                  // aggregate above (rescue partners' buckets included —
+                  // see that comment for why identical signatures put
+                  // them in batch-touched groups)
                   val seenSigs = readKind(probeBuckets, -1L)
                     .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
                   // local checkpoint, not persist: consumed across the
@@ -583,9 +636,17 @@ object IncrementalKeepBest {
                       .unionByName(memberRows).unionByName(fwdRows)
                   case None => memberRows.unionByName(fwdRows)
                 }
+                // tombstone rows ride the same segment and commit:
+                // (band = -9, bh = "", doc_id, nulls, p = TombBucket)
+                val segAll = segRows.withColumn("p", bucketOf(nBuckets))
+                val segWithTombs = retract.fold(segAll)(r =>
+                  segAll.unionByName(r.select(
+                    lit(-9L).as("band"), lit("").as("bh"), col("doc_id"),
+                    nullSig.as("sig"), lit(null).cast("long").as("label"),
+                    lit(null).cast("double").as("score"),
+                    lit(Retraction.TombBucket).as("p"))))
                 tr("segment_write")(
-                  segRows
-                    .withColumn("p", bucketOf(nBuckets))
+                  segWithTombs
                     .repartition(col("p"))
                     .write.mode("overwrite").partitionBy("p")
                     .parquet(s"$indexDir/v=$physicalVersion"))
@@ -616,7 +677,10 @@ object IncrementalKeepBest {
         }
       } finally BucketState.releaseReads(lease)
       tr("gc")(BucketState.gcVersions(spark, indexDir))
-    } finally if (ownBands) bandsOpt.foreach(_.unpersist())
+    } finally {
+      if (ownBands) bandsOpt.foreach(_.unpersist())
+      retract.foreach(_.unpersist())
+    }
     spark.read.schema(memberSchema).parquet(membersDir)
   }
 
@@ -638,7 +702,11 @@ object IncrementalKeepBest {
     val m = BucketState.readManifest(spark, indexDir)
     val all = BucketState.readBuckets(spark, indexDir, m.buckets,
       emptyIdx(spark)).persist()
-    val members = all.filter(col("band") === -2L)
+    // members minus stored takedowns: per cluster the best SURVIVING
+    // member answers; forwarding rows stay (label graph, not members)
+    val members = Retraction.mask(
+        all.filter(col("band") === -2L),
+        storedTombs(spark, indexDir, m), "doc_id")
       .select(col("doc_id"), col("label"), col("score"))
     val fwdAll = all.filter(col("band") === -3L)
       .select(col("doc_id").as("from"), col("label").as("to"))

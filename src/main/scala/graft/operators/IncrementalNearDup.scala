@@ -88,6 +88,19 @@ object IncrementalNearDup {
 
   private val admittedSchema = StructType(Seq(StructField("doc_id", LongType)))
 
+  /** Stored tombstone ids `(doc_id)` — one pruned read of the reserved
+    * bucket (see [[Retraction]] for the takedown design).
+    */
+  private def storedTombs(spark: SparkSession, indexDir: String,
+                          m: BucketState.Manifest): DataFrame = {
+    val emptyIdx = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      bandSchema.add("p", LongType))
+    BucketState.readBuckets(spark, indexDir,
+      m.buckets.view.filterKeys(_ == Retraction.TombBucket).toMap, emptyIdx)
+      .select(col("doc_id"))
+  }
+
   private def md5Long60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
@@ -227,11 +240,18 @@ object IncrementalNearDup {
     * caller owns its lifecycle; fingerprints are over band VALUES, so
     * replay contracts are unchanged.
     */
+  /** `retractIds`: an optional takedown set committed WITH this batch —
+    * band, sig and sig-key rows of the named ids are masked from every
+    * stored read before this batch's admissions, and the ids leave the
+    * admitted snapshot ([[Retraction]]'s declared semantics; tombstones
+    * fold out at the next compaction).
+    */
   def ingest(spark: SparkSession, indexDir: String, docs: DataFrame,
              batchId: Long, nBuckets: Int = 64,
-             bandsIn: Option[DataFrame] = None): DataFrame =
+             bandsIn: Option[DataFrame] = None,
+             retractIds: Option[DataFrame] = None): DataFrame =
     ingestCapturing(spark, indexDir, docs, batchId, nBuckets, bandsIn,
-      captureEdges = false)._1
+      captureEdges = false, retractIds = retractIds)._1
 
   /** [[ingest]] that ALSO returns the batch's VERIFIED near-dup edges —
     * `(admitted, edgesSeen (doc_id, seen_id), edgesBatch (doc_a, doc_b))`,
@@ -260,10 +280,11 @@ object IncrementalNearDup {
     */
   def ingestWithEdges(spark: SparkSession, indexDir: String, docs: DataFrame,
                       batchId: Long, nBuckets: Int = 64,
-                      bandsIn: Option[DataFrame] = None)
+                      bandsIn: Option[DataFrame] = None,
+                      retractIds: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     val (admitted, edges) = ingestCapturing(spark, indexDir, docs, batchId,
-      nBuckets, bandsIn, captureEdges = true)
+      nBuckets, bandsIn, captureEdges = true, retractIds = retractIds)
     (admitted, edges.get._1, edges.get._2)
   }
 
@@ -286,9 +307,16 @@ object IncrementalNearDup {
     * records one fingerprint), so ids at/above the batch minimum are
     * exactly the batch's own rows.
     */
+  /** `tombs`: the surviving-view mask — stored tombstones unioned with
+    * the in-flight batch's own retraction set (identical on first run
+    * and replay; see [[Retraction]]). Every stored read here (band rows,
+    * sig rows, sig-key anchors) is anti-joined against it, so admission
+    * and edge discovery run against the surviving index.
+    */
   private def verifiedEdges(spark: SparkSession, indexDir: String,
                             m: BucketState.Manifest, bands: DataFrame,
                             touched: Set[Long], nBuckets: Int,
+                            tombs: DataFrame,
                             replayFloor: Option[Long] = None)
       : (DataFrame, DataFrame) = {
     val emptyIdx = spark.createDataFrame(
@@ -312,12 +340,14 @@ object IncrementalNearDup {
     // aggregate), and the pruned read re-opens touched segment files
     // otherwise; released before return — the edge results are
     // checkpointed, so the release cannot cascade into them
-    val prevBands = ownRowsExcluded(
-      BucketState.readBuckets(spark, indexDir,
-          m.buckets.view.filterKeys(touched).toMap, emptyIdx)
-        .filter(col("band") >= 0),
-      col("doc_id"))
-      .select(col("band"), col("bh"), col("doc_id"))
+    val prevBands = Retraction.mask(
+      ownRowsExcluded(
+        BucketState.readBuckets(spark, indexDir,
+            m.buckets.view.filterKeys(touched).toMap, emptyIdx)
+          .filter(col("band") >= 0),
+        col("doc_id"))
+        .select(col("band"), col("bh"), col("doc_id")),
+      tombs, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // Serialized persistence for SCRATCH frames (released in this scope);
     // eager LOCAL CHECKPOINTS for the frames that outlive it (the edge
@@ -342,10 +372,32 @@ object IncrementalNearDup {
     // frames replaces the per-drop rank machinery that measured 1.53×
     // on dedup_neardup_incremental at sf0.1 — where the cap never bites
     // (max bucket 857 at sf10; saturation starts at the sf100-docs rung).
-    val maxOcc = tr("occupancy_guard")(prevBands.select(col("band"), col("bh"))
-      .unionByName(bands.select(col("band"), col("bh")))
-      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("c"))
-      .agg(max(col("c")).as("mx")).collect()(0))
+    //
+    // The SAME aggregate pass also collects the est-verify's sig-bucket
+    // probe set (the r14 trace's 0.8 s/drop standalone collect, folded):
+    // the buckets holding candidate seen_ids' sig rows. A candidate
+    // seen_id is a stored doc sharing a (band,bh) group with some batch
+    // row, so the distinct sig buckets of stored docs in BATCH-TOUCHED
+    // groups is a tight superset of the exact probe set (it ignores only
+    // the doc_id< direction and cap eligibility) — reading a superset of
+    // sig buckets is sound because seenSigs is still joined on seen_id.
+    // Per-group state is bounded: collect_set holds ≤ nBuckets longs.
+    val guardRow = tr("occupancy_guard")(
+      prevBands.select(col("band"), col("bh"),
+          sigBucketOf(col("doc_id"), nBuckets).as("sb"))
+        .unionByName(bands.select(col("band"), col("bh"),
+          lit(null).cast(LongType).as("sb")))
+        .groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("c"), count(col("sb")).as("stored"),
+          collect_set(col("sb")).as("sbs"))
+        .agg(max(col("c")).as("mx"),
+          array_distinct(flatten(collect_list(
+            when(col("c") > col("stored"), col("sbs"))))).as("sig_buckets"))
+        .collect()(0))
+    val maxOcc = guardRow
+    val sigBuckets: Set[Long] =
+      if (guardRow.isNullAt(1)) Set.empty
+      else guardRow.getSeq[Long](1).toSet
     val canSaturate = !maxOcc.isNullAt(0) && maxOcc.getLong(0) > cap
     // opt-in evidence line for the decade rungs: proves whether the
     // guard ENGAGED (rank machinery ran) or SKIPPED on a given corpus
@@ -367,17 +419,19 @@ object IncrementalNearDup {
       val elig = rankedOpt.map(_.filter(col("pred") <= cap))
         .getOrElse(bands.select(col("band"), col("bh"), col("doc_id")))
       // NARROW candidate pairs: the batch sig must NOT ride the candidate
-      // rows through the dedup exchange and the persist — at the sf100-docs
-      // rung (a degenerate 31-word-vocab corpus, ~1.5e8 candidates per
-      // 2.5M-doc drop) the 256-byte signature turned a 2.4 GB pair set
-      // into a ~45 GB one and ran the disk out twice. Both sigs are
-      // re-joined only INSIDE the verify stage, where the wide rows stream
-      // through codegen without ever materializing.
+      // rows through the dedup exchange — at the sf100-docs rung (a
+      // degenerate 31-word-vocab corpus, ~1.5e8 candidates per 2.5M-doc
+      // drop) the 256-byte signature turned a 2.4 GB pair set into a
+      // ~45 GB one and ran the disk out twice. Both sigs are re-joined
+      // only INSIDE the verify stage, where the wide rows stream through
+      // codegen without ever materializing. Not persisted: with the probe
+      // collect folded into the guard aggregate, the fused edge
+      // checkpoint is this frame's ONLY consumer.
       val cand = elig.as("b").join(prevBands.as("i"),
           col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
             col("i.doc_id") < col("b.doc_id"))
         .select(col("b.doc_id").as("doc_id"), col("i.doc_id").as("seen_id"))
-        .distinct().persist(Ser)
+        .distinct()
       var rescToRelease: Option[DataFrame] = None
       try {
         // ---- identical-signature rescue for saturated arrivals --------
@@ -409,11 +463,18 @@ object IncrementalNearDup {
             // batch min per sig) are stored too — exclude them the same
             // way as the band rows, or a replay routes an in-batch rescue
             // edge through rescueSeen instead of rescueBatch
-            val storedMin = ownRowsExcluded(
-              BucketState.readBuckets(spark, indexDir,
-                  m.buckets.view.filterKeys(skBuckets).toMap, emptyIdx)
-                .filter(col("band") === -4L),
-              col("doc_id"))
+            // a retracted RECORDED MINIMUM removes that batch's rescue
+            // anchor for its signature (the anchor relation stores one
+            // doc per sig per batch; surviving non-minimum same-sig docs
+            // are not anchors) — the declared takedown semantics the
+            // oracle replays
+            val storedMin = Retraction.mask(
+              ownRowsExcluded(
+                BucketState.readBuckets(spark, indexDir,
+                    m.buckets.view.filterKeys(skBuckets).toMap, emptyIdx)
+                  .filter(col("band") === -4L),
+                col("doc_id")),
+              tombs, "doc_id")
               .select(col("bh").as("sk"), col("doc_id").as("cand_id"))
             val seenMin = resc.join(storedMin, Seq("sk"))
               .filter(col("cand_id") < col("doc_id"))
@@ -434,57 +495,75 @@ object IncrementalNearDup {
           }
 
         // ---- est-verify --------------------------------------------
-        // which buckets hold the candidates' sig rows — at most nBuckets
-        // longs collected, never doc ids
-        val sigBuckets = tr("cand_probe")(cand
-          .select(sigBucketOf(col("seen_id"), nBuckets).as("p"))
-          .distinct().collect().map(_.getLong(0)).toSet)
+        // sig-bucket probe set: collected by the guard aggregate above
+        // (one job fewer per drop than the r14 standalone cand collect)
+        // no tombstone mask needed here: seenSigs only ever joins on
+        // seen_ids from cand, whose stored side (prevBands) is already
+        // masked — a retracted doc's sig row can never surface
         val seenSigs = BucketState.readBuckets(spark, indexDir,
             m.buckets.view.filterKeys(sigBuckets).toMap, emptyIdx)
           .filter(col("band") === -1L)
           .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
-        val pairsSeen = tr("pairs_seen_ck")(mat(cand
-          .join(seenSigs, Seq("seen_id"))
-          .join(batchSigs, Seq("doc_id"))
-          .filter(nearDup(col("sig"), col("seen_sig")))
-          .select(col("doc_id"), col("seen_id"))
-          .unionByName(rescueSeen)
-          .distinct()))
         val candB = elig.as("x").join(
             bands.select(col("band"), col("bh"), col("doc_id")).as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
               col("y.doc_id") < col("x.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val pairsBatch = tr("pairs_batch_ck")(mat(candB
+        // ONE tagged frame, ONE checkpoint action (r14 ran two — the
+        // traced 0.9 + 0.8 s/drop pair): both edge kinds verify in the
+        // same job and land in the same truncated-lineage blocks; the
+        // returned frames are narrow filters over the checkpoint, so
+        // every consumer guarantee (safe after scratch unpersist, safe
+        // after fold/GC) carries over unchanged. distinct() over
+        // (kind, a, b) ≡ the per-kind distincts — kind disambiguates.
+        val seenTagged = cand
+          .join(seenSigs, Seq("seen_id"))
+          .join(batchSigs, Seq("doc_id"))
+          .filter(nearDup(col("sig"), col("seen_sig")))
+          .select(col("doc_id").as("a"), col("seen_id").as("b"))
+          .unionByName(rescueSeen.select(col("doc_id").as("a"),
+            col("seen_id").as("b")))
+          .select(lit(0).as("kind"), col("a"), col("b"))
+        val batchTagged = candB
           .join(batchSigs.select(col("doc_id").as("doc_a"),
             col("sig").as("sig_a")), Seq("doc_a"))
           .join(batchSigs.select(col("doc_id").as("doc_b"),
             col("sig").as("sig_b")), Seq("doc_b"))
           .filter(nearDup(col("sig_a"), col("sig_b")))
-          .select(col("doc_a"), col("doc_b"))
-          .unionByName(rescueBatch)
-          .distinct()))
-        (pairsSeen, pairsBatch)
-      } finally { rescToRelease.foreach(_.unpersist()); cand.unpersist() }
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .unionByName(rescueBatch.select(col("doc_a").as("a"),
+            col("doc_b").as("b")))
+          .select(lit(1).as("kind"), col("a"), col("b"))
+        val fused = tr("edges_ck")(mat(
+          seenTagged.unionByName(batchTagged).distinct()))
+        (fused.filter(col("kind") === 0)
+           .select(col("a").as("doc_id"), col("b").as("seen_id")),
+         fused.filter(col("kind") === 1)
+           .select(col("a").as("doc_a"), col("b").as("doc_b")))
+      } finally rescToRelease.foreach(_.unpersist())
     } finally { rankedOpt.foreach(_.unpersist()); prevBands.unpersist() }
   }
 
   private def ingestCapturing(spark: SparkSession, indexDir: String,
                               docs: DataFrame, batchId: Long, nBuckets: Int,
                               bandsIn: Option[DataFrame],
-                              captureEdges: Boolean)
+                              captureEdges: Boolean,
+                              retractIds: Option[DataFrame] = None)
       : (DataFrame, Option[(DataFrame, DataFrame)]) = {
     val newVersion = batchId + 1
     val admittedDir = s"$indexDir/admitted/$newVersion"
     val ownBands = bandsIn.isEmpty
     val bands = bandsIn.getOrElse(bandRowsOf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val retract = retractIds.map(Retraction.normIds(_).persist())
     var edges: Option[(DataFrame, DataFrame)] = None
     try {
-      val (batchFp, touched) = BucketState.inputFingerprintAndBuckets(
+      val (dataFp, touched) = BucketState.inputFingerprintAndBuckets(
         bands.select(col("band"), col("bh"), col("doc_id")),
         bucketOf(nBuckets))
+      val batchFp = Retraction.mixFp(dataFp,
+        retract.map(BucketState.inputFingerprint))
       // Leased read + locked fresh-read commit: the concurrent-writer
       // protocol that lets a background compactConcurrent fold this
       // index while drops keep ingesting (see IncrementalDedup.ingest —
@@ -499,6 +578,11 @@ object IncrementalNearDup {
         // instead (the docstring's no-cross-layout-durability promise,
         // enforced).
         BucketState.checkOrStampLayout(spark, indexDir, m, "neardup-v3")
+        // surviving-view mask: stored tombstones ∪ this batch's own
+        // retraction set — identical on first run (input supplies the
+        // not-yet-committed set) and replay (the set is stored)
+        val tombs = retract.fold(storedTombs(spark, indexDir, m))(r =>
+          storedTombs(spark, indexDir, m).unionByName(r).distinct())
         BucketState.checkBatch(m, batchId, batchFp) match {
           case BucketState.AlreadyCommitted =>
             // a replayed batch still owes its consumer the edges (the
@@ -511,7 +595,7 @@ object IncrementalNearDup {
               val floor =
                 if (minRow.isNullAt(0)) None else Some(minRow.getLong(0))
               edges = Some(verifiedEdges(spark, indexDir, m, bands, touched,
-                nBuckets, replayFloor = floor))
+                nBuckets, tombs, replayFloor = floor))
             }
           case BucketState.Proceed(proposed) =>
             val physicalVersion = BucketState.reserveVersion(indexDir, proposed)
@@ -519,7 +603,8 @@ object IncrementalNearDup {
               // one candidate-discovery + est-verify pass; both the
               // admission answer and the captured edge feed derive from it
               val (pairsSeen, pairsBatch) =
-                verifiedEdges(spark, indexDir, m, bands, touched, nBuckets)
+                verifiedEdges(spark, indexDir, m, bands, touched, nBuckets,
+                  tombs)
               if (captureEdges) edges = Some((pairsSeen, pairsBatch))
               // rejected: near-dup of a SMALLER seen doc, or of a smaller
               // doc in the SAME batch (regardless of that doc's own fate —
@@ -554,8 +639,16 @@ object IncrementalNearDup {
                 .select(lit(-4L).as("band"), col("bh"), col("doc_id"),
                   lit(null).cast(ArrayType(LongType, containsNull = false))
                     .as("sig"))
-              bandKeys.unionByName(sigRows).unionByName(skRows)
+              // tombstone rows ride the same segment and the same commit:
+              // (band = -9, bh = "", doc_id, sig = null, p = TombBucket)
+              val dataRows = bandKeys.unionByName(sigRows).unionByName(skRows)
                 .withColumn("p", bucketOf(nBuckets))
+              retract.fold(dataRows)(r => dataRows.unionByName(
+                  r.select(lit(-9L).as("band"), lit("").as("bh"),
+                    col("doc_id"),
+                    lit(null).cast(ArrayType(LongType, containsNull = false))
+                      .as("sig"),
+                    lit(Retraction.TombBucket).as("p"))))
                 .repartition(col("p"))
                 .write.mode("overwrite").partitionBy("p")
                 .parquet(s"$indexDir/v=$physicalVersion")
@@ -575,7 +668,10 @@ object IncrementalNearDup {
       // under this batch's own lease would spare (and thus leak) every
       // dir a mid-ingest background fold superseded.
       BucketState.gcVersions(spark, indexDir)
-    } finally if (ownBands) bands.unpersist()
+    } finally {
+      if (ownBands) bands.unpersist()
+      retract.foreach(_.unpersist())
+    }
     (spark.read.schema(admittedSchema).parquet(admittedDir), edges)
   }
 
@@ -609,15 +705,23 @@ object IncrementalNearDup {
           (compactEvery > 0 && (batchId + 1) % compactEvery == 0) ||
             (compactWhenSegments > 0 && maxSegs >= compactWhenSegments)
         if (due)
-          BucketState.maybeCompactConcurrent(spark, indexDir, asyncCompaction)
+          BucketState.maybeCompactConcurrent(spark, indexDir, asyncCompaction,
+            resolve = Retraction.foldTombstones(_, "doc_id",
+              keepTombstones = true))
         ()
       }
       .start()
   }
 
-  /** Every admitted doc_id across all committed ingest batches. */
-  def admittedSnapshot(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.schema(admittedSchema).parquet(s"$indexDir/admitted/*")
+  /** Every admitted doc_id across all committed ingest batches, minus
+    * every stored takedown — the surviving curated corpus.
+    */
+  def admittedSnapshot(spark: SparkSession, indexDir: String): DataFrame = {
+    val m = BucketState.readManifest(spark, indexDir)
+    Retraction.mask(
+      spark.read.schema(admittedSchema).parquet(s"$indexDir/admitted/*"),
+      storedTombs(spark, indexDir, m), "doc_id")
+  }
 
   // --------------------------------------------------- driver query
   /** Driver-facing demonstration: the documents table ingested as two
@@ -726,9 +830,154 @@ object IncrementalNearDup {
     // universe or it would spuriously include short docs the engine
     // structurally excludes (same invariant as IngestSoak's expected set)
 
+  /** Driver-facing demonstration of DELETION: chunk 1 ingests, then
+    * chunk 2 arrives WITH a takedown of every chunk-1 id divisible
+    * by 5 — band/sig/sig-key rows of the named ids are masked before
+    * chunk 2's admissions and the ids leave the admitted snapshot. The
+    * result must equal the SEQUENCE replay (phase 1 uncut, phase 2
+    * against the surviving index) — the DuckDB oracle replays both
+    * phases of the prefix-capped contract, including the declared
+    * anchor semantics (a retracted recorded minimum removes its batch's
+    * rescue anchor; surviving non-minimum same-sig docs do not become
+    * anchors).
+    */
+  def nearDupRetract(s: SparkSession, dir: String): DataFrame =
+    nearDupRetractAt(s, dir,
+      java.nio.file.Files.createTempDirectory("graft-neardup-ret").toString)
+
+  private[graft] def nearDupRetractAt(s: SparkSession, dir: String,
+                                      indexDir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+    val mid = (ids.getLong(0) + ids.getLong(1)) / 2
+    ingest(s, indexDir, docs.filter(col("doc_id") <= mid),
+      batchId = 0, nBuckets = 16).count()
+    val takedown = docs.filter(col("doc_id") <= mid &&
+      pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id"))
+    ingest(s, indexDir, docs.filter(col("doc_id") > mid),
+      batchId = 1, nBuckets = 16, retractIds = Some(takedown)).count()
+    val out = admittedSnapshot(s, indexDir).orderBy(col("doc_id"))
+      .localCheckpoint(eager = true)
+    graft.Shared.deleteDirTree(indexDir)
+    out
+  }
+
+  /** Two-phase sequence replay of the takedown semantics: phase 1 is the
+    * one-batch capped graph over chunk 1; phase 2 ranks chunk 2 against
+    * the SURVIVING universe (chunk 1 minus the takedown), with rescue
+    * partners drawn from surviving batch-1 anchors and in-batch minima.
+    * Final = (phase-1 admitted minus takedown) ∪ phase-2 admitted.
+    */
+  private val nearDupRetractSql: String = {
+    val p = TextFns.minhashPrime
+    val cap = DefaultBucketCap
+    val perms = (0 until K).map { i =>
+      val a = ((2L * i + 1L) * 2654435761L) % p
+      val b = (i * 1000003L + 12345L) % p
+      s"MIN(((h & 2147483647) * $a + $b) % $p) AS m$i"
+    }
+    val bandRows = (0 until Bands).map { bnd =>
+      val cols = (0 until Rows).map(r => s"CAST(m${bnd * Rows + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $bnd AS band, $cols AS bh FROM sig"
+    }
+    val eqSum = (0 until K)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    val fullSig = (0 until K).map(i => s"CAST(m$i AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |t AS (
+       |  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS tok FROM docs),
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+       |  FROM t a
+       |  JOIN t b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       |  JOIN t c ON a.doc_id = c.doc_id AND c.p = a.p + 2),
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+       |sig AS (SELECT doc_id, ${perms.mkString(", ")} FROM hs GROUP BY doc_id),
+       |banded AS (${bandRows.mkString(" UNION ALL ")}),
+       |sk AS (SELECT doc_id, md5($fullSig) AS k FROM sig),
+       |mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+       |ret AS (SELECT doc_id FROM sig, mid WHERE doc_id <= m AND doc_id % 5 = 0),
+       |rb1 AS (
+       |  SELECT b.doc_id, b.band, b.bh,
+       |    ROW_NUMBER() OVER (PARTITION BY b.band, b.bh ORDER BY b.doc_id) AS rn
+       |  FROM banded b, mid WHERE b.doc_id <= m),
+       |cand1 AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM rb1 x JOIN rb1 y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |   AND y.rn <= ${cap + 1}),
+       |resc1 AS (SELECT DISTINCT doc_id FROM rb1 WHERE rn > ${cap + 1}),
+       |rescue1 AS (
+       |  SELECT MIN(o.doc_id) AS doc_a, r.doc_id AS doc_b
+       |  FROM resc1 r
+       |  JOIN sk s ON s.doc_id = r.doc_id
+       |  JOIN sk o ON o.k = s.k AND o.doc_id < r.doc_id
+       |  JOIN mid ON o.doc_id <= mid.m
+       |  GROUP BY r.doc_id),
+       |mh1 AS (
+       |  SELECT doc_a, doc_b FROM cand1
+       |  JOIN sig sa ON sa.doc_id = cand1.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand1.doc_b
+       |  WHERE $eqSum >= ${K / 2}
+       |  UNION SELECT doc_a, doc_b FROM rescue1),
+       |adm1 AS (
+       |  SELECT doc_id FROM sig, mid WHERE doc_id <= m
+       |  AND doc_id NOT IN (SELECT doc_b FROM mh1)),
+       |u2 AS (
+       |  SELECT doc_id FROM sig, mid WHERE doc_id <= m
+       |    AND doc_id NOT IN (SELECT doc_id FROM ret)
+       |  UNION ALL SELECT doc_id FROM sig, mid WHERE doc_id > m),
+       |rb2 AS (
+       |  SELECT b.doc_id, b.band, b.bh,
+       |    ROW_NUMBER() OVER (PARTITION BY b.band, b.bh ORDER BY b.doc_id) AS rn
+       |  FROM banded b JOIN u2 USING (doc_id)),
+       |cand2 AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM rb2 x JOIN rb2 y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |   AND y.rn <= ${cap + 1}
+       |  CROSS JOIN mid WHERE y.doc_id > mid.m),
+       |anch AS (
+       |  SELECT s.k, MIN(s.doc_id) AS a FROM sk s, mid
+       |  WHERE s.doc_id <= mid.m GROUP BY s.k),
+       |resc2 AS (
+       |  SELECT DISTINCT r.doc_id FROM rb2 r, mid
+       |  WHERE r.rn > ${cap + 1} AND r.doc_id > mid.m),
+       |partner2 AS (
+       |  SELECT MIN(p2.pid) AS doc_a, r.doc_id AS doc_b
+       |  FROM resc2 r
+       |  JOIN sk s ON s.doc_id = r.doc_id
+       |  JOIN (
+       |    SELECT a.k, a.a AS pid FROM anch a
+       |    WHERE a.a NOT IN (SELECT doc_id FROM ret)
+       |    UNION ALL
+       |    SELECT o.k, o.doc_id AS pid FROM sk o, mid WHERE o.doc_id > mid.m
+       |  ) p2 ON p2.k = s.k AND p2.pid < r.doc_id
+       |  GROUP BY r.doc_id),
+       |mh2 AS (
+       |  SELECT doc_a, doc_b FROM cand2
+       |  JOIN sig sa ON sa.doc_id = cand2.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand2.doc_b
+       |  WHERE $eqSum >= ${K / 2}
+       |  UNION SELECT doc_a, doc_b FROM partner2),
+       |adm2 AS (
+       |  SELECT doc_id FROM sig, mid WHERE doc_id > m
+       |  AND doc_id NOT IN (SELECT doc_b FROM mh2))
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
+       |  SELECT doc_id FROM adm1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ret)
+       |  UNION ALL SELECT doc_id FROM adm2)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_neardup_incremental" -> (nearDupIncremental _))
+    "dedup_neardup_incremental" -> (nearDupIncremental _),
+    "dedup_neardup_retract" -> (nearDupRetract _))
 
   val oracles: Map[String, String] = Map(
-    "dedup_neardup_incremental" -> nearDupIncrementalSql)
+    "dedup_neardup_incremental" -> nearDupIncrementalSql,
+    "dedup_neardup_retract" -> nearDupRetractSql)
 }

@@ -189,10 +189,20 @@ object IncrementalVecIndex {
     * idempotent no-op returning the same rows, different input fails
     * loudly — the [[BucketState.checkBatch]] contract.
     */
+  /** `retractIds`: an optional takedown set committed WITH this batch —
+    * code rows of the named vec_ids are masked from the snapshot and the
+    * serving path, and fold out at the next compaction
+    * ([[Retraction]]'s shared design). Encoding is unaffected (pure in
+    * the frozen params); only the at-rest code rows and their serving
+    * visibility change.
+    */
   def ingest(spark: SparkSession, indexDir: String, vecs: DataFrame,
-             batchId: Long): DataFrame = {
+             batchId: Long, retractIds: Option[DataFrame] = None): DataFrame = {
     val clean = cleanOf(vecs)
-    val batchFp = BucketState.inputFingerprint(clean)
+    val retract = retractIds.map(r =>
+      Retraction.normIds(r).withColumnRenamed("doc_id", "vec_id"))
+    val batchFp = Retraction.mixFp(BucketState.inputFingerprint(clean),
+      retract.map(BucketState.inputFingerprint))
     val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
     try {
       BucketState.checkOrStampLayout(spark, indexDir, m, "vecindex-v1")
@@ -220,7 +230,14 @@ object IncrementalVecIndex {
               writeParams(spark, indexDir, cents, cbs, batchFp)
             }
             val rows = encodeWithParams(spark, readParams(spark, indexDir), clean)
-            rows.withColumn("p", col("cell"))
+            // tombstone rows ride the same segment and the same commit:
+            // (cell = -1, vec_id, codes = null, p = TombBucket)
+            val dataRows = rows.withColumn("p", col("cell"))
+            retract.fold(dataRows)(r => dataRows.unionByName(
+                r.select(lit(-1L).as("cell"), col("vec_id"),
+                  lit(null).cast(ArrayType(IntegerType, containsNull = false))
+                    .as("codes"),
+                  lit(Retraction.TombBucket).as("p"))))
               .repartition(col("p"))
               .write.mode("overwrite").partitionBy("p")
               .parquet(s"$indexDir/v=$physicalVersion")
@@ -243,10 +260,25 @@ object IncrementalVecIndex {
     encodeWithParams(spark, readParams(spark, indexDir), clean)
   }
 
-  /** Every committed code row `(cell, vec_id, codes)`. */
+  /** Stored tombstone ids `(vec_id)` — one pruned read of the reserved
+    * bucket (see [[Retraction]]).
+    */
+  private def storedTombs(spark: SparkSession, indexDir: String,
+                          m: BucketState.Manifest): DataFrame =
+    BucketState.readBuckets(spark, indexDir,
+      m.buckets.view.filterKeys(_ == Retraction.TombBucket).toMap,
+      emptyIdx(spark))
+      .select(col("vec_id"))
+
+  /** Every committed code row `(cell, vec_id, codes)`, minus every
+    * stored takedown — the surviving searchable set.
+    */
   def snapshot(spark: SparkSession, indexDir: String): DataFrame = {
     val m = BucketState.readManifest(spark, indexDir)
-    BucketState.readBuckets(spark, indexDir, m.buckets, emptyIdx(spark))
+    Retraction.mask(
+        BucketState.readBuckets(spark, indexDir, m.buckets, emptyIdx(spark))
+          .filter(col("cell") >= 0),
+        storedTombs(spark, indexDir, m), "vec_id")
       .select(col("cell"), col("vec_id"), col("codes"))
   }
 
@@ -277,8 +309,12 @@ object IncrementalVecIndex {
       .sortBy { case (cell, sim) => (-sim, cell) }
       .take(nProbe).map(_._1).toSet
     val m = BucketState.readManifest(s, indexDir)
-    val idx = BucketState.readBuckets(s, indexDir,
-      m.buckets.view.filterKeys(probed).toMap, emptyIdx(s))
+    // probed cells are bucket-pruned as before; retracted vec_ids are
+    // masked out of the candidate set (tiny broadcast anti-join)
+    val idx = Retraction.mask(
+      BucketState.readBuckets(s, indexDir,
+        m.buckets.view.filterKeys(probed).toMap, emptyIdx(s)),
+      storedTombs(s, indexDir, m), "vec_id")
     val base = excludeId.map(id => idx.filter(col("vec_id") =!= id)).getOrElse(idx)
     val tables = Similarity.pqTablesFor(p.codebooks, qvec)
     val candidates = base

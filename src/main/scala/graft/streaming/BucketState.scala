@@ -359,13 +359,28 @@ private[graft] object BucketState {
     * would stage against superseded dirs and clobber the compaction at
     * its own commit.
     */
-  def compact(spark: SparkSession, stateDir: String): Unit = {
+  /** `resolve` (both compaction forms): a store-supplied fold applied to
+    * the unioned rows before the rewrite — identity by default (plain
+    * union stores), a tombstone fold for stores with retraction
+    * ([[graft.operators.Retraction]]): masked data rows AND the
+    * tombstones masking them drop together, which is sound because a
+    * tombstone can never mask a FUTURE row (ingestion is ascending and
+    * tombstones name already-ingested ids), so once the fold has
+    * applied a tombstone to every stored row, nothing it could ever
+    * mask remains — including under compactConcurrent's mid-fold late
+    * segments (late data ids are above the tombstone's; a late
+    * RETRACTION segment survives the swap verbatim and folds next
+    * time). `resolve` must preserve the `p` column and must not move
+    * rows across buckets.
+    */
+  def compact(spark: SparkSession, stateDir: String,
+              resolve: DataFrame => DataFrame = identity): Unit = {
     val m = readManifest(spark, stateDir)
     if (m.buckets.isEmpty) return
     val newVersion = m.buckets.values.flatten.max + 1
-    val all = readBuckets(spark, stateDir, m.buckets,
+    val all = resolve(readBuckets(spark, stateDir, m.buckets,
       // non-empty manifest ⇒ the empty fallback is never consulted
-      sys.error("unreachable"))
+      sys.error("unreachable")))
     all.repartition(org.apache.spark.sql.functions.col("p"))
       .write.mode("overwrite").partitionBy("p")
       .parquet(s"$stateDir/v=$newVersion")
@@ -399,14 +414,15 @@ private[graft] object BucketState {
     * an unleased read would race the post-swap GC.
     */
   def compactConcurrent(spark: SparkSession, stateDir: String,
-                        beforeSwap: () => Unit = () => ()): Unit = {
+                        beforeSwap: () => Unit = () => (),
+                        resolve: DataFrame => DataFrame = identity): Unit = {
     import org.apache.spark.sql.functions.col
     val m = readManifest(spark, stateDir)
     if (m.buckets.isEmpty) return
     val newVersion = reserveVersion(stateDir, m.buckets.values.flatten.max + 1)
     try {
-      readBuckets(spark, stateDir, m.buckets,
-          sys.error("unreachable — manifest non-empty"))
+      resolve(readBuckets(spark, stateDir, m.buckets,
+          sys.error("unreachable — manifest non-empty")))
         .repartition(col("p"))
         .write.mode("overwrite").partitionBy("p")
         .parquet(s"$stateDir/v=$newVersion")
@@ -443,14 +459,15 @@ private[graft] object BucketState {
     * replica's `maybeCompact`.
     */
   def maybeCompactConcurrent(spark: SparkSession, stateDir: String,
-                             async: Boolean): Unit =
-    if (!async) compactConcurrent(spark, stateDir)
+                             async: Boolean,
+                             resolve: DataFrame => DataFrame = identity): Unit =
+    if (!async) compactConcurrent(spark, stateDir, resolve = resolve)
     else {
       val flag = compactingFlags.getOrElseUpdate(
         stateDir, new java.util.concurrent.atomic.AtomicBoolean(false))
       if (flag.compareAndSet(false, true)) {
         val t = new Thread(() => {
-          try compactConcurrent(spark, stateDir)
+          try compactConcurrent(spark, stateDir, resolve = resolve)
           catch {
             case e: Throwable =>
               System.err.println(s"[index] background compaction failed: ${e.getMessage}")
