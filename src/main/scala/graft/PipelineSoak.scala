@@ -99,8 +99,15 @@ object PipelineSoak {
     // mismatched reuse fails loudly instead of soaking the wrong corpus.
     // held-out eval slice: never streamed, decon gates against it
     val EvalMod = 7
+    // mid-stream TAKEDOWN: at this drop a deterministic retraction set
+    // (~1% of the already-streamed train ids) commits WITH the drop's
+    // batch into all four stores — tombstones mask the stores' reads
+    // from that drop on, and the expected sets below replay the same
+    // two-phase sequence (retraction changes LATER admissions only)
+    val RetractDrop = (3 * nBatches) / 4
+    val RetractMod = 97L
     val marker = java.nio.file.Paths.get(s"$base/_CORPUS_READY")
-    val params = s"$nDocs/$nBatches/decon$EvalMod-evalv2-vec"
+    val params = s"$nDocs/$nBatches/decon$EvalMod-evalv2-vec-retract$RetractDrop"
     if (java.nio.file.Files.exists(marker)) {
       val found = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
       require(found == params,
@@ -195,10 +202,21 @@ object PipelineSoak {
               .write.mode("overwrite").parquet(f"$base/decon/d$batchId%03d")
             d
           }
+          // the takedown drop's retraction set — deterministic in the
+          // corpus and the batchId, so chaos relaunches and replays
+          // commit the identical tombstones (fingerprint-guarded)
+          val perDocs = (nDocs + nBatches - 1) / nBatches
+          val retractIds: Option[DataFrame] =
+            if (batchId == RetractDrop)
+              Some(train.filter(col("doc_id") < RetractDrop * perDocs &&
+                  pmod(col("doc_id"), lit(RetractMod)) === 13)
+                .select(col("doc_id")))
+            else None
           try {
             // stage 3: exact admission (32-byte fingerprint index)
             val (exactSurvivors, tExact) = timed(
-              operators.IncrementalDedup.ingest(s, exactDir, deconned, batchId))
+              operators.IncrementalDedup.ingest(s, exactDir, deconned, batchId,
+                retractIds = retractIds))
             // stage 4: near-dup admission + keep-best retention over ONE
             // banded index — the minhash ladder runs once (shared bands),
             // candidate discovery + est-verify run once (the admission
@@ -213,11 +231,12 @@ object PipelineSoak {
               val (_, tBands) = timed(bands.count())
               val ((admitted, edgesSeen, edgesBatch), tNd) = timed(
                 operators.IncrementalNearDup.ingestWithEdges(s, ndDir, ndInput,
-                  batchId, bandsIn = Some(bands)))
+                  batchId, bandsIn = Some(bands), retractIds = retractIds))
               try {
                 val (_, tKb) = timed(
                   operators.IncrementalKeepBest.ingest(s, kbDir, ndInput,
-                    batchId, edgesIn = Some((edgesSeen, edgesBatch))))
+                    batchId, edgesIn = Some((edgesSeen, edgesBatch)),
+                    retractIds = retractIds))
                 // stage 5: the drop's admitted docs become SEARCHABLE —
                 // deterministic embeddings encoded against the frozen
                 // first-drop quantizers, appended cell-bucketed; replay
@@ -226,7 +245,7 @@ object PipelineSoak {
                   operators.IncrementalVecIndex.ingest(s, vecDir,
                     admitted.select(col("doc_id").as("vec_id"),
                       pseudoEmbedding(col("doc_id")).as("embedding")),
-                    batchId))
+                    batchId, retractIds = retractIds))
                 stats.add(DropStat(batchId, raw, gated.count(), deconned.count(),
                   exactSurvivors.count(), admitted.count(), tDecon, tExact,
                   tBands, tNd, tKb, tVec))
@@ -254,15 +273,28 @@ object PipelineSoak {
         // aligned-at-8 2,329 docs/s; staggered nd@4/kb@5 2,683; nd@3
         // 2,478 (folding the growing index too often costs more than
         // the read amortization saves) — nd@4/kb@5 kept.
-        Seq(exactDir -> compactWhenSegments, ndDir -> (compactWhenSegments / 2),
-            kbDir -> (compactWhenSegments / 2 + 1), vecDir -> (compactWhenSegments + 3))
-          .foreach { case (d, threshold) =>
-            val m = streaming.BucketState.readManifest(s, d)
-            val maxSegs =
-              if (m.buckets.isEmpty) 0 else m.buckets.values.map(_.size).max
-            if (maxSegs >= threshold)
-              streaming.BucketState.maybeCompactConcurrent(s, d, async = true)
-          }
+        // per-store tombstone folds (the takedown's masked rows reclaim
+        // at the fold; nd keeps its tombstone relation as the admitted
+        // registry's standing mask — see Retraction.foldTombstones)
+        val folds: Seq[(String, Int, DataFrame => DataFrame)] = Seq(
+          (exactDir, compactWhenSegments,
+            operators.Retraction.foldTombstones(_, "doc_id")),
+          (ndDir, compactWhenSegments / 2,
+            operators.Retraction.foldTombstones(_, "doc_id",
+              keepTombstones = true)),
+          (kbDir, compactWhenSegments / 2 + 1,
+            operators.Retraction.foldTombstones(_, "doc_id",
+              exempt = Some(col("band") === -3L))),
+          (vecDir, compactWhenSegments + 3,
+            operators.Retraction.foldTombstones(_, "vec_id")))
+        folds.foreach { case (d, threshold, resolve) =>
+          val m = streaming.BucketState.readManifest(s, d)
+          val maxSegs =
+            if (m.buckets.isEmpty) 0 else m.buckets.values.map(_.size).max
+          if (maxSegs >= threshold)
+            streaming.BucketState.maybeCompactConcurrent(s, d, async = true,
+              resolve = resolve)
+        }
         batchEnds.add(System.nanoTime())
         ()
       }
@@ -293,10 +325,28 @@ object PipelineSoak {
     val deconIds = deconAll.select(col("doc_id"))
     val deconDiff = streamedDecon.exceptAll(deconIds).count() +
       deconIds.exceptAll(streamedDecon).count()
-    val exactOne = deconAll
+    // ---- phase-aware exact expectation (takedown at RetractDrop) -----
+    // phase 1 (drops < RetractDrop): winners = min doc_id per fp.
+    // The takedown then masks its ids' registry rows, so phase 2 winners
+    // are min per fp among later docs whose fp has NO SURVIVING phase-1
+    // row. Both phases' winners reach the downstream indexes (phase-1
+    // winners streamed before their retraction), so the banded universe
+    // is their union; the FINAL surviving sets subtract the takedown.
+    val rStart = RetractDrop * per
+    val retractSet = train
+      .filter(col("doc_id") < rStart &&
+        pmod(col("doc_id"), lit(RetractMod)) === 13)
+      .select(col("doc_id")).persist()
+    val fpOf = deconAll
       .select(functions.TextFns.fingerprint(col("text")).as("fp"), col("doc_id"))
+    val w1 = fpOf.filter(col("doc_id") < rStart)
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
-    val exactDocs = deconAll.join(exactOne.select("doc_id"), Seq("doc_id"))
+    val surv1Fps = w1.join(retractSet, Seq("doc_id"), "left_anti").select("fp")
+    val w2 = fpOf.filter(col("doc_id") >= rStart)
+      .join(surv1Fps, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val exactDocs = deconAll.join(
+      w1.select("doc_id").unionByName(w2.select("doc_id")), Seq("doc_id"))
     val bands = operators.IncrementalNearDup.bandRowsOf(exactDocs).persist()
     // the one-shot expectations below replay the UNCAPPED pairwise filter;
     // that equals the engine's prefix-capped contract only while no band
@@ -310,30 +360,60 @@ object PipelineSoak {
         s"$maxBucket exceeds the cap " +
         s"${operators.IncrementalNearDup.DefaultBucketCap} — recompute the " +
         "expected sets with the prefix-capped replay (IncrementalCapSpec)")
-    val rejected = bands.as("x").join(bands.as("y"),
+    // ---- phase-aware near-dup expectation ----------------------------
+    // a pre-takedown arrival is judged against all smaller pre docs; a
+    // post-takedown arrival is judged against SURVIVING pre docs and
+    // smaller post docs (retraction changes later admissions only); the
+    // final admitted snapshot subtracts the takedown
+    val partnersSurv = bands.join(retractSet, Seq("doc_id"), "left_anti")
+    val rej1 = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("y.doc_id") < col("x.doc_id"))
+      .filter(col("x.doc_id") < rStart)
       .filter(operators.IncrementalNearDup.nearDup(col("x.sig"), col("y.sig")))
       .select(col("x.doc_id").as("doc_id")).distinct()
-    val expected = bands.select(col("doc_id")).distinct()
-      .join(rejected, Seq("doc_id"), "left_anti")
+    val rej2 = bands.as("x").join(partnersSurv.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .filter(col("x.doc_id") >= rStart)
+      .filter(operators.IncrementalNearDup.nearDup(col("x.sig"), col("y.sig")))
+      .select(col("x.doc_id").as("doc_id")).distinct()
+    val adm1 = bands.select(col("doc_id")).distinct()
+      .filter(col("doc_id") < rStart)
+      .join(rej1, Seq("doc_id"), "left_anti")
+    val adm2 = bands.select(col("doc_id")).distinct()
+      .filter(col("doc_id") >= rStart)
+      .join(rej2, Seq("doc_id"), "left_anti")
+    val expected = adm1.join(retractSet, Seq("doc_id"), "left_anti")
+      .unionByName(adm2)
     val admittedIds =
       operators.IncrementalNearDup.admittedSnapshot(spark, ndDir)
     val diff = admittedIds.exceptAll(expected).count() +
       expected.exceptAll(admittedIds).count()
 
     // keep-best: streamed retention must equal the one-shot keepBestOf
-    // over the same exact survivors (uncapped banded est>=0.5 graph)
-    val kbPairs = bands.as("x").join(bands.as("y"),
+    // over the phase-aware edge graph. Edges discovered BEFORE the
+    // takedown persist (cluster merges are never unwound — forwarding
+    // rows are label-graph state); edges after it avoid retracted
+    // partners; the per-cluster best is over SURVIVING members only.
+    val pairs1 = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(col("y.doc_id") < rStart)
       .filter(operators.IncrementalNearDup.nearDup(col("x.sig"), col("y.sig")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val pairs2 = partnersSurv.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(col("y.doc_id") >= rStart)
+      .filter(operators.IncrementalNearDup.nearDup(col("x.sig"), col("y.sig")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val kbPairs = pairs1.unionByName(pairs2).distinct()
     val kbExpected = operators.Dedup.keepBestOf(
       operators.Dedup.clustersOf(spark, kbPairs, exactDocs.select(col("doc_id"))),
-      exactDocs.select(col("doc_id"),
-        operators.TextAnalysis.scoreExpr(col("text")).as("score")))
+      exactDocs.join(retractSet, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          operators.TextAnalysis.scoreExpr(col("text")).as("score")))
     val kbGot = operators.IncrementalKeepBest.snapshot(spark, kbDir)
     val kbDiff = kbGot.exceptAll(kbExpected).count() +
       kbExpected.exceptAll(kbGot).count()
@@ -391,11 +471,14 @@ object PipelineSoak {
       s"degenerate gate at tau=$tau: $gatedN of $raw passed")
     require(ds.size < nBatches || (deconN > 0 && deconN < gatedN),
       s"degenerate decontamination: $deconN of $gatedN gated docs survived")
+    val retractN = retractSet.count()
+    retractSet.unpersist()
     println(s"""{"metric":"pipeline_soak","docs":$nDocs,"batches":$nBatches,""" +
       s""""tau":$tau,"raw":$raw,"gated":$gatedN,"decon_admitted":$deconN,""" +
       s""""exact_admitted":$exactN,""" +
       s""""nd_admitted":$admittedN,"pipeline_diff":$diff,"kb_diff":$kbDiff,""" +
       s""""decon_diff":$deconDiff,"vec_diff":$vecDiff,""" +
+      s""""retract_drop":$RetractDrop,"retract_n":$retractN,""" +
       s""""eval_versions":${(0 until nBatches).map(b =>
         operators.EvalSet.versionForBatch(spark, evalDir, evalVerDir, b.toLong))
         .mkString("[", ",", "]")},""" +

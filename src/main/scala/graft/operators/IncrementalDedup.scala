@@ -242,17 +242,28 @@ object IncrementalDedup {
   }
 
   /** The full deduped corpus registry: every admitted (fp, doc_id),
-    * resolved through the committed manifest.
+    * resolved through the committed manifest, minus stored takedowns.
+    *
+    * MATERIALIZED under a read lease: the lazy form resolved its file
+    * paths at plan time and read them at the caller's first action —
+    * an async compaction's GC could delete exactly those dirs in
+    * between (the ingest path has been lease-protected since the
+    * concurrent-fold work; the serving path was the remaining gap).
+    * The registry is corpus-shaped by definition, so the eager
+    * checkpoint is the same full pass any consumer was about to run.
     */
   def snapshot(spark: SparkSession, indexDir: String): DataFrame = {
-    val m = BucketState.readManifest(spark, indexDir)
-    val all = BucketState.readBuckets(spark, indexDir, m.buckets,
-      emptyIdx(spark))
-    // data rows (fp non-null — tombstones carry a null fp) minus every
-    // stored tombstone: the surviving registry
-    Retraction.mask(all.filter(col("fp").isNotNull),
-        storedTombs(spark, indexDir, m), "doc_id")
-      .drop("p")
+    val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
+    try {
+      val all = BucketState.readBuckets(spark, indexDir, m.buckets,
+        emptyIdx(spark))
+      // data rows (fp non-null — tombstones carry a null fp) minus every
+      // stored tombstone: the surviving registry
+      Retraction.mask(all.filter(col("fp").isNotNull),
+          storedTombs(spark, indexDir, m), "doc_id")
+        .select(col("fp"), col("doc_id"))
+        .localCheckpoint(eager = true)
+    } finally BucketState.releaseReads(lease)
   }
 
   // --------------------------------------------------- driver query

@@ -699,7 +699,11 @@ object IncrementalKeepBest {
     // (the ingest pattern; same single-writer exposure, documented there)
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
-    val m = BucketState.readManifest(spark, indexDir)
+    // leased read: the whole snapshot pass (member scan, label fixpoint,
+    // aggregation, the eager checkpoint below) runs with every
+    // referenced version dir pinned against a concurrent fold's GC
+    val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
+    try {
     val all = BucketState.readBuckets(spark, indexDir, m.buckets,
       emptyIdx(spark)).persist()
     // members minus stored takedowns: per cluster the best SURVIVING
@@ -730,6 +734,7 @@ object IncrementalKeepBest {
     pinned.foreach(id => sc.getPersistentRDDs.get(id)
       .foreach(_.unpersist(blocking = false)))
     rows
+    } finally BucketState.releaseReads(lease)
   }
 
   // --------------------------------------------------- driver query

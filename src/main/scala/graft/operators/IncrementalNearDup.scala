@@ -714,13 +714,18 @@ object IncrementalNearDup {
   }
 
   /** Every admitted doc_id across all committed ingest batches, minus
-    * every stored takedown — the surviving curated corpus.
+    * every stored takedown — the surviving curated corpus. Materialized
+    * under a read lease (the admitted files are never GC'd, but the
+    * tombstone mask reads the bucket store, which a concurrent fold's
+    * GC could sweep mid-read — the IncrementalDedup.snapshot argument).
     */
   def admittedSnapshot(spark: SparkSession, indexDir: String): DataFrame = {
-    val m = BucketState.readManifest(spark, indexDir)
-    Retraction.mask(
-      spark.read.schema(admittedSchema).parquet(s"$indexDir/admitted/*"),
-      storedTombs(spark, indexDir, m), "doc_id")
+    val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
+    try Retraction.mask(
+        spark.read.schema(admittedSchema).parquet(s"$indexDir/admitted/*"),
+        storedTombs(spark, indexDir, m), "doc_id")
+      .localCheckpoint(eager = true)
+    finally BucketState.releaseReads(lease)
   }
 
   // --------------------------------------------------- driver query

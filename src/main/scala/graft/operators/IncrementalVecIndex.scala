@@ -271,15 +271,20 @@ object IncrementalVecIndex {
       .select(col("vec_id"))
 
   /** Every committed code row `(cell, vec_id, codes)`, minus every
-    * stored takedown — the surviving searchable set.
+    * stored takedown — the surviving searchable set. Materialized under
+    * a read lease so a concurrent fold's GC cannot sweep the version
+    * dirs out from under the caller's action (the serving-path gap the
+    * ingest protocol never had).
     */
   def snapshot(spark: SparkSession, indexDir: String): DataFrame = {
-    val m = BucketState.readManifest(spark, indexDir)
-    Retraction.mask(
+    val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
+    try Retraction.mask(
         BucketState.readBuckets(spark, indexDir, m.buckets, emptyIdx(spark))
           .filter(col("cell") >= 0),
         storedTombs(spark, indexDir, m), "vec_id")
       .select(col("cell"), col("vec_id"), col("codes"))
+      .localCheckpoint(eager = true)
+    finally BucketState.releaseReads(lease)
   }
 
   /** Serve a query vector from the live index: probe cells chosen on the
@@ -308,23 +313,30 @@ object IncrementalVecIndex {
       .map { case (c, i) => (i.toLong, cosFx(c)) }
       .sortBy { case (cell, sim) => (-sim, cell) }
       .take(nProbe).map(_._1).toSet
-    val m = BucketState.readManifest(s, indexDir)
-    // probed cells are bucket-pruned as before; retracted vec_ids are
-    // masked out of the candidate set (tiny broadcast anti-join)
-    val idx = Retraction.mask(
-      BucketState.readBuckets(s, indexDir,
-        m.buckets.view.filterKeys(probed).toMap, emptyIdx(s)),
-      storedTombs(s, indexDir, m), "vec_id")
-    val base = excludeId.map(id => idx.filter(col("vec_id") =!= id)).getOrElse(idx)
-    val tables = Similarity.pqTablesFor(p.codebooks, qvec)
-    val candidates = base
-      .select(col("vec_id"), Similarity.adcDot(tables).as("adot"))
-      .orderBy(col("adot").desc, col("vec_id")).limit(Similarity.PqRerank)
-    broadcast(candidates).join(Similarity.corpus(s, dir), "vec_id")
-      .withColumn("qv", typedLit(qFx))
-      .withColumn("cosine", Similarity.cosNative(s, col("v"), col("qv")))
-      .select(col("vec_id"), col("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+    // leased serve: probe-cell read + ADC + re-rank all execute under
+    // the lease (the final 10-row frame is checkpointed eagerly — no
+    // measurable cost at any k), so a concurrent fold's GC can never
+    // sweep a probed cell dir mid-query
+    val (m, lease) = BucketState.readManifestLeased(s, indexDir)
+    try {
+      // probed cells are bucket-pruned as before; retracted vec_ids are
+      // masked out of the candidate set (tiny broadcast anti-join)
+      val idx = Retraction.mask(
+        BucketState.readBuckets(s, indexDir,
+          m.buckets.view.filterKeys(probed).toMap, emptyIdx(s)),
+        storedTombs(s, indexDir, m), "vec_id")
+      val base = excludeId.map(id => idx.filter(col("vec_id") =!= id)).getOrElse(idx)
+      val tables = Similarity.pqTablesFor(p.codebooks, qvec)
+      val candidates = base
+        .select(col("vec_id"), Similarity.adcDot(tables).as("adot"))
+        .orderBy(col("adot").desc, col("vec_id")).limit(Similarity.PqRerank)
+      broadcast(candidates).join(Similarity.corpus(s, dir), "vec_id")
+        .withColumn("qv", typedLit(qFx))
+        .withColumn("cosine", Similarity.cosNative(s, col("v"), col("qv")))
+        .select(col("vec_id"), col("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+        .localCheckpoint(eager = true)
+    } finally BucketState.releaseReads(lease)
   }
 
   // --------------------------------------------------- driver query

@@ -142,4 +142,67 @@ class IndexConcurrentCompactionSpec extends AnyFunSuite {
     val m = BucketState.readManifest(spark, dir)
     assert(diskVersions(dir) === m.buckets.values.flatten.toSet)
   }
+
+  test("a snapshot taken mid-fold answers after the fold GCs the dirs it read") {
+    // the serve-path lease: pre-lease, snapshot() built a LAZY plan over
+    // the pre-fold version dirs and the fold's GC deleted exactly those
+    // files before the caller's action ran (FileNotFound on collect).
+    // Leased + eagerly materialized, the mid-fold snapshot must answer
+    // bit-identically after the fold completes and sweeps.
+    val dir = s"${Files.createTempDirectory("graft-icc-serve").toString}/index"
+    IncrementalDedup.ingest(spark, dir,
+      docs(1L -> "alpha beta", 2L -> "gamma delta"), batchId = 0, nBuckets = 4)
+    IncrementalDedup.ingest(spark, dir,
+      docs(3L -> "epsilon zeta", 4L -> "eta theta"), batchId = 1, nBuckets = 4)
+    val before = snap(dir)
+    var mid: DataFrame = null
+    BucketState.compactConcurrent(spark, dir, beforeSwap = () =>
+      mid = IncrementalDedup.snapshot(spark, dir))
+    // the fold swapped and GC'd every dir the mid-fold snapshot read
+    assert(mid.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === before)
+    assert(snap(dir) === before)
+  }
+
+  test("stress: vec-index serves racing ingests and real background folds") {
+    val base = Files.createTempDirectory("graft-icc-vecserve").toString
+    val dir = s"$base/index"
+    val sfDir = "/root/testdata/sf0.001"
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val ids = vecs.agg(
+        org.apache.spark.sql.functions.min("vec_id"),
+        org.apache.spark.sql.functions.max("vec_id")).collect()(0)
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val step = (hi - lo) / 4 + 1
+    val q = Array.tabulate(64)(i => math.sin(i * 0.173))
+    IncrementalVecIndex.ingest(spark, dir,
+      vecs.filter(org.apache.spark.sql.functions.col("vec_id") < lo + step), 0)
+      .count()
+    // serve between every later drop while a real background fold runs:
+    // each answer must be 10 rows in strict (cosine desc, id) order, and
+    // no read may trip over a swept version dir
+    for (b <- 1 until 4) {
+      val ccol = org.apache.spark.sql.functions.col("vec_id")
+      IncrementalVecIndex.ingest(spark, dir,
+        vecs.filter(ccol >= lo + b * step && ccol < lo + (b + 1) * step),
+        b).count()
+      BucketState.maybeCompactConcurrent(spark, dir, async = true)
+      val rows = IncrementalVecIndex.searchTopk(spark, dir, sfDir, q).collect()
+      assert(rows.length === 10)
+      val order = rows.map(r => (-r.getDouble(1), r.getLong(0))).toSeq
+      assert(order === order.sorted)
+    }
+    val deadline = System.currentTimeMillis() + 60000
+    while (BucketState.compactionInFlight(dir) &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    // quiesced: the final serve equals a serve over the folded store
+    val a = IncrementalVecIndex.searchTopk(spark, dir, sfDir, q).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    BucketState.compactConcurrent(spark, dir)
+    val b = IncrementalVecIndex.searchTopk(spark, dir, sfDir, q).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b)
+  }
 }
