@@ -81,6 +81,40 @@ object IncrementalVecIndex {
   final case class Params(centroids: Array[Array[Double]],
                           codebooks: Array[Array[Array[Double]]])
 
+  // ---- generations -----------------------------------------------------
+  // The documented production answer to first-drop drift (the frozen-
+  // params contract forbids in-place retraining): train generation N+1
+  // on the accumulated corpus, build its codes ALONGSIDE the serving
+  // store, and cut over with one atomic pointer rename. A `_GEN` file at
+  // the index root names the live generation subdir (`gen=N`); absent ⇒
+  // the root store itself is live (every pre-cutover store, unchanged on
+  // disk). Readers resolve the pointer per call, so they see the old
+  // generation entirely before the rename and the new entirely after —
+  // there is no partially-cut-over view to observe.
+
+  private def genPtr(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/_GEN")
+
+  /** The live generation number, if a cutover has ever completed. */
+  def liveGen(spark: SparkSession, indexDir: String): Option[Long] = {
+    val p = genPtr(indexDir)
+    val f = BucketState.hadoopFs(spark, p.toString)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      s.toLongOption
+    }
+  }
+
+  /** The directory of the live generation's store (the root for a store
+    * that never cut over — a resolved gen dir has no pointer of its own,
+    * so resolution is idempotent).
+    */
+  private[graft] def liveDir(spark: SparkSession, indexDir: String): String =
+    liveGen(spark, indexDir).map(g => s"$indexDir/gen=$g").getOrElse(indexDir)
+
   private def paramsDone(spark: SparkSession, indexDir: String) =
     new org.apache.hadoop.fs.Path(s"$indexDir/params/_DONE")
 
@@ -108,10 +142,11 @@ object IncrementalVecIndex {
   }
 
   def readParams(spark: SparkSession, indexDir: String): Params = {
-    val cents = spark.read.parquet(s"$indexDir/params/centroids")
+    val d = liveDir(spark, indexDir)
+    val cents = spark.read.parquet(s"$d/params/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
-    Params(cents, Similarity.loadCodebooks(spark, s"$indexDir/params"))
+    Params(cents, Similarity.loadCodebooks(spark, s"$d/params"))
   }
 
   private def cleanOf(vecs: DataFrame): DataFrame =
@@ -196,8 +231,9 @@ object IncrementalVecIndex {
     * the frozen params); only the at-rest code rows and their serving
     * visibility change.
     */
-  def ingest(spark: SparkSession, indexDir: String, vecs: DataFrame,
+  def ingest(spark: SparkSession, indexDirIn: String, vecs: DataFrame,
              batchId: Long, retractIds: Option[DataFrame] = None): DataFrame = {
+    val indexDir = liveDir(spark, indexDirIn)
     val clean = cleanOf(vecs)
     val retract = retractIds.map(r =>
       Retraction.normIds(r).withColumnRenamed("doc_id", "vec_id"))
@@ -276,7 +312,8 @@ object IncrementalVecIndex {
     * dirs out from under the caller's action (the serving-path gap the
     * ingest protocol never had).
     */
-  def snapshot(spark: SparkSession, indexDir: String): DataFrame = {
+  def snapshot(spark: SparkSession, indexDirIn: String): DataFrame = {
+    val indexDir = liveDir(spark, indexDirIn)
     val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
     try Retraction.mask(
         BucketState.readBuckets(spark, indexDir, m.buckets, emptyIdx(spark))
@@ -295,9 +332,10 @@ object IncrementalVecIndex {
     * [[Similarity.annIvfPqTopkFromIndexForVec]] over the incremental
     * store instead of the one-shot layout.
     */
-  def searchTopk(s: SparkSession, indexDir: String, dir: String,
+  def searchTopk(s: SparkSession, indexDirIn: String, dir: String,
                  qvec: Array[Double], nProbe: Int = NProbe,
                  excludeId: Option[Long] = None): DataFrame = {
+    val indexDir = liveDir(s, indexDirIn)
     val p = readParams(s, indexDir)
     require(qvec.length == Similarity.PqM * Similarity.PqSub,
       s"query vector must have ${Similarity.PqM * Similarity.PqSub} dims, " +
@@ -338,6 +376,85 @@ object IncrementalVecIndex {
         .localCheckpoint(eager = true)
     } finally BucketState.releaseReads(lease)
   }
+
+  /** Build generation N+1 from the accumulated corpus and atomically cut
+    * the serving pointer over to it. The old generation serves every
+    * read until the ONE rename of `_GEN`; the new generation's manifest
+    * carries the old one's replay record verbatim (the compaction
+    * discipline), so the owning stream's batchId chain continues
+    * seamlessly — the next drop appends to the new generation, and a
+    * crash-replay of the last pre-cutover drop still recognizes itself
+    * (its recompute re-encodes under the LIVE params: deterministic in
+    * the new declared state, which is the generation contract — each
+    * generation is its own declared-state replay).
+    *
+    * Crash anywhere before the rename leaves the staged generation
+    * invisible (pointer still names the old one); a retried cutover
+    * deletes and deterministically rebuilds it. The old generation's
+    * dirs are NOT deleted here — an in-flight leased serve may still be
+    * reading them; [[gcGenerations]] reclaims them from a maintenance
+    * window, the same single-writer stance as the store's other GC.
+    *
+    * `corpus`: the SURVIVING accumulated vectors (e.g. the admitted
+    * snapshot joined back to embeddings) — takedowns must not re-enter
+    * through a rebuild. `beforeSwap` is a test seam (crash-point
+    * injection), same as [[BucketState.compactConcurrent]]'s.
+    */
+  def cutover(spark: SparkSession, indexDir: String, corpus: DataFrame,
+              beforeSwap: () => Unit = () => ()): Long = {
+    val cur = liveDir(spark, indexDir)
+    val curGen = liveGen(spark, indexDir).getOrElse(0L)
+    val m = BucketState.readManifest(spark, cur)
+    require(m.fp.isDefined,
+      s"nothing committed at $cur — cutover needs a live generation to succeed")
+    val (v, h) = m.fp.get
+    val nextGen = curGen + 1
+    val nextDir = s"$indexDir/gen=$nextGen"
+    // a crashed prior attempt at this generation number is invisible
+    // residue — rebuild it from scratch (training is deterministic)
+    graft.Shared.deleteDirTree(nextDir)
+    val clean = cleanOf(corpus)
+    val (cents, cbs) = train(clean)
+    writeParams(spark, nextDir, cents, cbs, BucketState.inputFingerprint(clean))
+    BucketState.checkOrStampLayout(spark, nextDir,
+      BucketState.readManifest(spark, nextDir), "vecindex-v1")
+    encodeWithParams(spark, readParams(spark, nextDir), clean)
+      .withColumn("p", col("cell"))
+      .repartition(col("p"))
+      .write.mode("overwrite").partitionBy("p")
+      .parquet(s"$nextDir/v=$v")
+    val buckets = BucketState.listBuckets(spark, s"$nextDir/v=$v")
+      .map(_ -> Set(v)).toMap
+    // replay record carried over verbatim — the batch chain continues
+    BucketState.commitManifest(spark, nextDir, buckets, Some(v -> h))
+    beforeSwap()
+    // THE cutover: one atomic pointer rename
+    val fs = BucketState.hadoopFs(spark, indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/_GEN.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(nextGen.toString.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(genPtr(indexDir).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, genPtr(indexDir), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    nextGen
+  }
+
+  /** Delete every generation dir but the live one (and the root store's
+    * dead state if a cutover has happened). Maintenance-window only: a
+    * serve that resolved the pointer before a concurrent cutover may
+    * still be reading the previous generation.
+    */
+  def gcGenerations(spark: SparkSession, indexDir: String): Unit =
+    liveGen(spark, indexDir).foreach { live =>
+      val root = new java.io.File(indexDir)
+      Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val n = f.getName
+        val deadGen = n.startsWith("gen=") &&
+          n.stripPrefix("gen=").toLongOption.exists(_ != live)
+        val deadRoot = n.startsWith("v=") || n == "params"
+        if (deadGen || deadRoot) graft.Shared.deleteDirTree(f.toString)
+      }
+    }
 
   // --------------------------------------------------- driver query
   /** Driver-facing demonstration: the embeddings table ingested as two
