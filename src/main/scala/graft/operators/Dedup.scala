@@ -1685,6 +1685,57 @@ object Dedup {
       docs.filter(col("doc_id") % 7 === 0))
   }
 
+  /** EVAL-VERSION BACK-SCREENING as a first-class batch operator: a new
+    * eval version screens later drops in the stream ([[EvalSet]]), but
+    * the ALREADY-ADMITTED corpus must be re-screened by a separate batch
+    * pass — this is that pass, driven end-to-end through the versioned
+    * store. v1 (half the held-out slice, `doc_id % 14 = 0`) admits the
+    * train corpus; v2 (the full slice, `% 7 = 0`) is published; the
+    * back-screen flags exactly the v1-admitted docs contaminated under
+    * v2 — the takedown feed a production pipeline would hand to
+    * [[Retraction]]. Cost shape: one pruned read of the v2 hash
+    * relation (broadcast) + one pass over the admitted corpus — the
+    * same O(corpus) map + broadcast-semi-join as the per-drop gate,
+    * never corpus × eval.
+    */
+  def textDeconBackscreen(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalDir = java.nio.file.Files
+      .createTempDirectory("graft-backscreen").toString
+    EvalSet.publish(s, evalDir, docs.filter(col("doc_id") % 14 === 0))
+    EvalSet.publish(s, evalDir, docs.filter(col("doc_id") % 7 === 0))
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val admittedV1 = decontaminateAdmit(train, EvalSet.hashesAt(s, evalDir, 1))
+    val survivorsV2 =
+      decontaminateAdmit(admittedV1, EvalSet.hashesAt(s, evalDir, 2))
+    val out = admittedV1.select(col("doc_id"))
+      .join(survivorsV2.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+      .localCheckpoint(eager = true)
+    graft.Shared.deleteDirTree(evalDir)
+    out
+  }
+
+  private val textDeconBackscreenSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |idx AS (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks) - 7)) AS i
+      |        FROM docs),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS sh
+      |       FROM idx),
+      |ev1 AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 14 = 0),
+      |ev2 AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 7 = 0),
+      |contam1 AS (SELECT DISTINCT t.doc_id FROM sh t JOIN ev1 ON t.sh = ev1.sh
+      |            WHERE t.doc_id % 7 != 0),
+      |contam2 AS (SELECT DISTINCT t.doc_id FROM sh t JOIN ev2 ON t.sh = ev2.sh
+      |            WHERE t.doc_id % 7 != 0)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM docs
+      |WHERE doc_id % 7 != 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM contam1)
+      |  AND doc_id IN (SELECT doc_id FROM contam2)
+      |ORDER BY doc_id""".stripMargin
+
   private val textDecontaminateSql =
     """WITH docs AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -1701,6 +1752,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "text_decontaminate" -> (textDecontaminate _),
+    "text_decon_backscreen" -> (textDeconBackscreen _),
     "text_decontaminate_spans" -> (textDecontaminateSpans _),
     "text_clip_contaminated" -> (textClipContaminated _),
     "text_decontaminate_bloom" -> (textDecontaminateBloom _),
@@ -1720,6 +1772,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate" -> textDecontaminateSql,
+    "text_decon_backscreen" -> textDeconBackscreenSql,
     "text_decontaminate_spans" -> textDecontaminateSpansSql,
     "text_clip_contaminated" -> textClipContaminatedSql,
     // no false negatives + identical exact join downstream => the bloom

@@ -81,4 +81,31 @@ class EvalSetSpec extends AnyFunSuite {
     assert(EvalSet.currentVersion(spark, evalDir) === 2L)
     graft.Shared.deleteDirTree(evalDir)
   }
+
+  test("back-screening flags exactly the v1-admitted docs contaminated under v2") {
+    // the batch back-screen pass (text_decon_backscreen's engine form):
+    // doc 1 is v1-contaminated (never admitted — must NOT be flagged),
+    // doc 2 is clean under v1 but contaminated under the v2 addition
+    // (the flag set), doc 3 is clean under both (never flagged)
+    val evalDir = freshDir("evalset-backscreen")
+    EvalSet.publish(spark, evalDir, docsDf(evalV1))
+    EvalSet.publish(spark, evalDir, docsDf(evalV1 ++ evalExtra))
+    val train = docsDf(b0)
+    val admittedV1 = Dedup.decontaminateAdmit(train,
+      EvalSet.hashesAt(spark, evalDir, 1))
+    val survivorsV2 = Dedup.decontaminateAdmit(admittedV1,
+      EvalSet.hashesAt(spark, evalDir, 2))
+    val flagged = admittedV1.select(col("doc_id"))
+      .join(survivorsV2.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(2L))
+    // cross-check against the independent pairwise decontamination form:
+    // flagged = admitted-under-v1 docs with any shared 8-gram vs the v2
+    // benchmark corpus
+    val independent = Dedup.textDecontaminateAgainst(
+        admittedV1, docsDf(evalV1 ++ evalExtra))
+      .select(col("train_doc")).distinct().collect().map(_.getLong(0)).toSet
+    assert(flagged === independent)
+    graft.Shared.deleteDirTree(evalDir)
+  }
 }
