@@ -1388,6 +1388,51 @@ object Dedup {
     train.join(hit, Seq("doc_id"), "left_anti")
   }
 
+  /** Bloom summary (serialized bytes) of a pre-hashed eval relation —
+    * built ONCE per eval version with Spark's own `BloomFilterAggregate`
+    * and reused across every drop of a stream (null for an empty
+    * relation). Capacity is the measured hash count: a fixed guess
+    * erodes the FPP the moment the suite outgrows it.
+    */
+  def evalBloomOf(s: SparkSession, evalHashes: DataFrame): Array[Byte] = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1)),
+      "built-in")
+    val n = math.max(evalHashes.count(), 1L)
+    evalHashes
+      .agg(call_function("graft_bloom_agg", col("shh"), lit(n)).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** [[decontaminateAdmit]] for the STREAMING gate when the eval hash
+    * relation is large and static per version: the r14 form rebuilt and
+    * re-broadcast the multi-million-hash relation on EVERY drop (the
+    * measured per-drop dominant once the v2 suite landed — ~4 s/drop at
+    * the 1M soak). Here the per-version Bloom summary (megabytes,
+    * broadcast ONCE, carried across drops as a handle) prunes the
+    * batch's shingle hashes map-side, and the exact verify join runs
+    * with the tiny SURVIVOR side broadcast against the persisted hash
+    * relation — no false negatives plus exact verification, so the
+    * admitted set is IDENTICAL to [[decontaminateAdmit]]'s (spec-pinned;
+    * the one-shot expectation paths keep using the exact form for that
+    * reason). Per-drop cost: one codegen bloom probe over the batch's
+    * shingles + one scan of the cached hash relation.
+    */
+  def decontaminateAdmitBloom(s: SparkSession, train: DataFrame,
+                              evalHashes: DataFrame,
+                              bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      : DataFrame = {
+    val fn = graft.functions.BloomBcastExpr.register(s, bloom)
+    val survivors = positioned8(train)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      .filter(call_function(fn, col("shh")))
+    val hit = evalHashes.join(broadcast(survivors), Seq("shh"))
+      .select(col("doc_id")).distinct()
+    train.join(hit, Seq("doc_id"), "left_anti")
+  }
+
   def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     textDecontaminateAgainst(

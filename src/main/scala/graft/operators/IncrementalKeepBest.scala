@@ -365,26 +365,38 @@ object IncrementalKeepBest {
                   // saturated batch doc (identical full signature ⇒
                   // identical band hashes), so its buckets are covered
                   // too; probing a superset is sound — both downstream
-                  // reads re-join on seen_id.
-                  val guardRow = tr("occupancy_guard")(prevBands
-                    .select(col("band"), col("bh"),
-                      array(kindBucketOf(-1L, col("doc_id"), nBuckets),
-                        kindBucketOf(-2L, col("doc_id"), nBuckets)).as("pb"))
+                  // reads re-join on seen_id. The probe set rides as a
+                  // BITMASK (bit_or at both levels — O(1) aggregate
+                  // state; see the IncrementalNearDup guard for why
+                  // per-group collection dies at the decade), capping
+                  // this fused form at 64 buckets — wider stores keep
+                  // the standalone collect.
+                  val fusedProbe = nBuckets <= 64
+                  val storedRows = prevBands.select(col("band"), col("bh"),
+                    (call_function("shiftleft", lit(1L),
+                       kindBucketOf(-1L, col("doc_id"), nBuckets).cast("int"))
+                      .bitwiseOR(call_function("shiftleft", lit(1L),
+                        kindBucketOf(-2L, col("doc_id"), nBuckets).cast("int"))))
+                      .as("m"))
+                  val guardRow = tr("occupancy_guard")(storedRows
                     .unionByName(bands.select(col("band"), col("bh"),
-                      lit(null).cast(org.apache.spark.sql.types.ArrayType(
-                        org.apache.spark.sql.types.LongType)).as("pb")))
+                      lit(null).cast("long").as("m")))
                     .groupBy(col("band"), col("bh"))
-                    .agg(count(lit(1)).as("c"), count(col("pb")).as("stored"),
-                      array_distinct(flatten(collect_list(col("pb")))).as("pbs"))
+                    .agg(count(lit(1)).as("c"), count(col("m")).as("stored"),
+                      bit_or(col("m")).as("mm"))
                     .agg(max(col("c")).as("mx"),
-                      array_distinct(flatten(collect_list(
-                        when(col("c") > col("stored"), col("pbs")))))
-                        .as("probe_buckets"))
+                      bit_or(when(col("c") > col("stored"), col("mm")))
+                        .as("mask"))
                     .collect()(0))
                   val maxOcc = guardRow
-                  val probeBuckets: Set[Long] =
+                  lazy val maskBuckets: Set[Long] =
                     if (guardRow.isNullAt(1)) Set.empty
-                    else guardRow.getSeq[Long](1).toSet
+                    else {
+                      val mask = guardRow.getLong(1)
+                      (0 until 64).collect {
+                        case b if (mask & (1L << b)) != 0 => b.toLong
+                      }.toSet
+                    }
                   val canSaturate = !maxOcc.isNullAt(0) && maxOcc.getLong(0) > cap
                   if (sys.env.contains("SPARK_GRAFT_ND_TRACE"))
                     System.err.println(s"[nd-trace] kb maxOcc=" +
@@ -402,15 +414,18 @@ object IncrementalKeepBest {
                   // NARROW candidate pairs — sigs re-joined only inside
                   // the verify stage; see IncrementalNearDup.verifiedEdges
                   // for the measured sf100 disk-death the wide form caused
-                  // not persisted: with the probe collect folded into the
-                  // guard aggregate, the es checkpoint is the frame's
-                  // only consumer
-                  val cand = elig.as("b").join(prevBands.as("i"),
+                  // fused path: the es checkpoint is the frame's only
+                  // consumer, no persist; the >64-bucket fallback probes
+                  // it too, so it persists with the batch scratch
+                  val cand0 = elig.as("b").join(prevBands.as("i"),
                       col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
                         col("i.doc_id") < col("b.doc_id"))
                     .select(col("b.doc_id").as("doc_id"),
                       col("i.doc_id").as("seen_id"))
                     .distinct()
+                  val cand =
+                    if (fusedProbe) cand0
+                    else { val c = cand0.persist(Ser); scratchToRelease ::= c; c }
                   val batchSigs = bands.filter(col("band") === 0L)
                     .select(col("doc_id"), col("sig"))
                   // rescue edges for saturated arrivals — zero probe jobs
@@ -462,10 +477,19 @@ object IncrementalKeepBest {
                          .select(col("doc_id").as("doc_a"),
                            col("bmin").as("doc_b")))
                     }
-                  // sig + member probe buckets: collected by the guard
-                  // aggregate above (rescue partners' buckets included —
-                  // see that comment for why identical signatures put
-                  // them in batch-touched groups)
+                  // sig + member probe buckets: the guard aggregate's
+                  // bitmask (rescue partners' buckets included — see
+                  // that comment for why identical signatures put them
+                  // in batch-touched groups), or the r14 standalone
+                  // collect for >64-bucket stores
+                  val probeBuckets: Set[Long] =
+                    if (fusedProbe) maskBuckets
+                    else tr("cand_probe")(cand.select(col("seen_id"))
+                      .unionByName(rescueSeen.select(col("seen_id")))
+                      .select(explode(array(
+                        kindBucketOf(-1L, col("seen_id"), nBuckets),
+                        kindBucketOf(-2L, col("seen_id"), nBuckets))).as("p"))
+                      .distinct().collect().map(_.getLong(0)).toSet)
                   val seenSigs = readKind(probeBuckets, -1L)
                     .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
                   // local checkpoint, not persist: consumed across the

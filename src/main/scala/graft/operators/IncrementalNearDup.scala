@@ -381,23 +381,38 @@ object IncrementalNearDup {
     // groups is a tight superset of the exact probe set (it ignores only
     // the doc_id< direction and cap eligibility) — reading a superset of
     // sig buckets is sound because seenSigs is still joined on seen_id.
-    // Per-group state is bounded: collect_set holds ≤ nBuckets longs.
+    //
+    // The probe set rides the aggregate as a BITMASK (one long, bit_or
+    // at both levels — O(1) aggregate state like the r14 max-only
+    // guard), never as collected per-group sets: at the 5M-doc decade a
+    // drop touches tens of millions of (band,bh) groups, and any
+    // per-group collection funnels O(groups) state through the final
+    // reducer. The mask form caps the store at 64 buckets; wider stores
+    // (a production sharding at petabyte state) take `fusedProbe =
+    // false` and keep the r14 standalone probe collect — one extra
+    // bounded job per drop, amortized at the drop sizes such stores see.
+    val fusedProbe = nBuckets <= 64
+    val storedRows = prevBands.select(col("band"), col("bh"),
+      call_function("shiftleft", lit(1L),
+        sigBucketOf(col("doc_id"), nBuckets).cast("int")).as("m"))
     val guardRow = tr("occupancy_guard")(
-      prevBands.select(col("band"), col("bh"),
-          sigBucketOf(col("doc_id"), nBuckets).as("sb"))
+      storedRows
         .unionByName(bands.select(col("band"), col("bh"),
-          lit(null).cast(LongType).as("sb")))
+          lit(null).cast(LongType).as("m")))
         .groupBy(col("band"), col("bh"))
-        .agg(count(lit(1)).as("c"), count(col("sb")).as("stored"),
-          collect_set(col("sb")).as("sbs"))
+        .agg(count(lit(1)).as("c"), count(col("m")).as("stored"),
+          bit_or(col("m")).as("mm"))
         .agg(max(col("c")).as("mx"),
-          array_distinct(flatten(collect_list(
-            when(col("c") > col("stored"), col("sbs"))))).as("sig_buckets"))
+          bit_or(when(col("c") > col("stored"), col("mm"))).as("mask"))
         .collect()(0))
     val maxOcc = guardRow
-    val sigBuckets: Set[Long] =
+    lazy val maskBuckets: Set[Long] =
       if (guardRow.isNullAt(1)) Set.empty
-      else guardRow.getSeq[Long](1).toSet
+      else {
+        val mask = guardRow.getLong(1)
+        (0 until 64).collect { case b if (mask & (1L << b)) != 0 => b.toLong }
+          .toSet
+      }
     val canSaturate = !maxOcc.isNullAt(0) && maxOcc.getLong(0) > cap
     // opt-in evidence line for the decade rungs: proves whether the
     // guard ENGAGED (rank machinery ran) or SKIPPED on a given corpus
@@ -427,11 +442,14 @@ object IncrementalNearDup {
       // codegen without ever materializing. Not persisted: with the probe
       // collect folded into the guard aggregate, the fused edge
       // checkpoint is this frame's ONLY consumer.
-      val cand = elig.as("b").join(prevBands.as("i"),
+      val cand0 = elig.as("b").join(prevBands.as("i"),
           col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
             col("i.doc_id") < col("b.doc_id"))
         .select(col("b.doc_id").as("doc_id"), col("i.doc_id").as("seen_id"))
         .distinct()
+      // the >64-bucket fallback consumes cand twice (probe + verify) —
+      // persist it there; the fused path's single consumer needs none
+      val cand = if (fusedProbe) cand0 else cand0.persist(Ser)
       var rescToRelease: Option[DataFrame] = None
       try {
         // ---- identical-signature rescue for saturated arrivals --------
@@ -495,11 +513,17 @@ object IncrementalNearDup {
           }
 
         // ---- est-verify --------------------------------------------
-        // sig-bucket probe set: collected by the guard aggregate above
-        // (one job fewer per drop than the r14 standalone cand collect)
-        // no tombstone mask needed here: seenSigs only ever joins on
+        // sig-bucket probe set: from the guard aggregate's bitmask (one
+        // job fewer per drop than the r14 standalone cand collect), or
+        // that standalone collect for >64-bucket stores.
+        // No tombstone mask needed here: seenSigs only ever joins on
         // seen_ids from cand, whose stored side (prevBands) is already
         // masked — a retracted doc's sig row can never surface
+        val sigBuckets: Set[Long] =
+          if (fusedProbe) maskBuckets
+          else tr("cand_probe")(cand
+            .select(sigBucketOf(col("seen_id"), nBuckets).as("p"))
+            .distinct().collect().map(_.getLong(0)).toSet)
         val seenSigs = BucketState.readBuckets(spark, indexDir,
             m.buckets.view.filterKeys(sigBuckets).toMap, emptyIdx)
           .filter(col("band") === -1L)
@@ -541,7 +565,10 @@ object IncrementalNearDup {
            .select(col("a").as("doc_id"), col("b").as("seen_id")),
          fused.filter(col("kind") === 1)
            .select(col("a").as("doc_a"), col("b").as("doc_b")))
-      } finally rescToRelease.foreach(_.unpersist())
+      } finally {
+        rescToRelease.foreach(_.unpersist())
+        if (!fusedProbe) cand.unpersist()
+      }
     } finally { rankedOpt.foreach(_.unpersist()); prevBands.unpersist() }
   }
 

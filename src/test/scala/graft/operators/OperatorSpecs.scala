@@ -1003,6 +1003,26 @@ class TextCensusSpec extends AnyFunSuite {
     assert(bloom === exact)
   }
 
+  test("streaming-gate bloom admission == exact decontaminateAdmit") {
+    // the per-version-bloom form the pipeline soak runs: bloom prune +
+    // exact verify must admit the identical set (no false negatives,
+    // verified positives), across versions of different sizes
+    val docs = graft.Tables.documents(spark, sf)
+    val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 =!= 0)
+    for (mod <- Seq(14L, 7L)) {
+      val ev = Dedup.evalShingleHashes(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % mod === 0))
+        .persist()
+      val exactIds = Dedup.decontaminateAdmit(train, ev)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bloom = spark.sparkContext.broadcast(Dedup.evalBloomOf(spark, ev))
+      val bloomIds = Dedup.decontaminateAdmitBloom(spark, train, ev, bloom)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloomIds === exactIds)
+      ev.unpersist()
+    }
+  }
+
   test("decontaminate: train/eval partition respected, overlaps positive") {
     val rows = Dedup.textDecontaminate(spark, sf).collect()
     assert(rows.nonEmpty)
