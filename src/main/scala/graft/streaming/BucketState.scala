@@ -162,12 +162,29 @@ private[graft] object BucketState {
                          m: Manifest, layoutId: String): Unit = {
     val fs = hadoopFs(spark, stateDir)
     val p = new org.apache.hadoop.fs.Path(s"$stateDir/_LAYOUT")
+    // stamp via tmp + atomic rename (the manifest pattern): the earlier
+    // direct create-then-write left an EMPTY stamp when a SIGKILL landed
+    // between the create and the write, and every relaunch then refused
+    // the store as a layout mismatch — caught by the r15 chaos soak
+    // (kill 15 of 20 landed exactly in that window on the kb overlay)
+    def stamp(): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_LAYOUT.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(layoutId.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+          spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     if (fs.exists(p)) {
       val in = fs.open(p)
       val found =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      require(found == layoutId,
+      if (found.isEmpty && m.buckets.isEmpty)
+        // torn stamp from a pre-atomic-write release's crash window:
+        // nothing committed, so re-stamping loses nothing
+        stamp()
+      else require(found == layoutId,
         s"state at $stateDir has layout '$found' but this reader expects " +
           s"'$layoutId' — rebuild the index; it carries no cross-layout " +
           "durability promise")
@@ -176,10 +193,7 @@ private[graft] object BucketState {
         s"state at $stateDir has committed segments but no _LAYOUT stamp " +
           s"(written by a pre-'$layoutId' release) — rebuild the index; " +
           "it carries no cross-layout durability promise")
-    } else {
-      val out = fs.create(p, true)
-      try out.write(layoutId.getBytes("UTF-8")) finally out.close()
-    }
+    } else stamp()
   }
 
   /** `_CURRENT` manifest: one `bucket,version` line per live SEGMENT

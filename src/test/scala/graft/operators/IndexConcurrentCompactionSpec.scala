@@ -143,6 +143,27 @@ class IndexConcurrentCompactionSpec extends AnyFunSuite {
     assert(diskVersions(dir) === m.buckets.values.flatten.toSet)
   }
 
+  test("a torn _LAYOUT stamp on an uncommitted store re-stamps; on a committed store it refuses") {
+    // the r15 chaos-soak find: a SIGKILL between the stamp's create and
+    // write left an empty _LAYOUT, and every relaunch refused the store.
+    // Uncommitted + torn ⇒ re-stamp and proceed; committed + torn ⇒ the
+    // loud refusal stands (provenance genuinely unknown).
+    val dir = s"${Files.createTempDirectory("graft-icc-stamp").toString}/index"
+    new java.io.File(dir).mkdirs()
+    new java.io.FileOutputStream(s"$dir/_LAYOUT").close() // empty stamp
+    IncrementalNearDup.ingest(spark, dir,
+      docs(1L -> "alpha beta gamma delta epsilon"), batchId = 0, nBuckets = 4)
+    val stamped = scala.io.Source.fromFile(s"$dir/_LAYOUT").mkString
+    assert(stamped === "neardup-v3")
+    // committed store, stamp torn afterwards (corruption): refuse
+    new java.io.FileOutputStream(s"$dir/_LAYOUT").close()
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalNearDup.ingest(spark, dir,
+        docs(2L -> "zeta eta theta iota kappa"), batchId = 1, nBuckets = 4)
+    }
+    assert(ex.getMessage.contains("layout"))
+  }
+
   test("a snapshot taken mid-fold answers after the fold GCs the dirs it read") {
     // the serve-path lease: pre-lease, snapshot() built a LAZY plan over
     // the pre-fold version dirs and the fold's GC deleted exactly those
