@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   *
   *   crawl drops → quality gate → DECONTAMINATION vs the VERSIONED eval
   *   set → incremental EXACT dedup → incremental NEAR-dup admission ∥
-  *   incremental KEEP-BEST retention → incremental VECTOR-INDEX ingest
+  *   incremental KEEP-BEST retention ∥ incremental VECTOR-INDEX ingest
   *   → curated corpus → seeded epoch shuffle + packed shard write
   *
   * Decontamination is the unconditional pre-admission fork every
@@ -23,12 +23,38 @@ import org.apache.spark.sql.functions._
   * be 0) asserts the streamed survivor traces against the one-shot
   * per-batch-at-recorded-version filter.
   *
+  * THE TAKEDOWN LOOP (v2 publish → back-screen → retraction): the drop
+  * that publishes v2 also re-screens the ALREADY-ADMITTED corpus — the
+  * per-drop decon survivor traces of every drop recorded at v1 — against
+  * the new suite ([[operators.Dedup.textDeconBackscreen]]'s semantics
+  * driven through the live store), and the flagged set (admitted under
+  * v1, contaminated under v2) becomes that drop's `retractIds`,
+  * committed WITH the batch into ALL FOUR stores
+  * ([[operators.Retraction]]). This is the loop a curation team runs on
+  * every eval refresh, and the reference's delete semantics interleaved
+  * in the same ordered stream (`/root/reference/main.py:75-86`) at
+  * curation scale. `retract_diff` (must be 0) asserts the streamed
+  * flagged set against the one-shot back-screen recomputation; the
+  * store expectations below are all phase-aware in it.
+  *
   * The VECTOR stage makes each drop's near-dup-admitted docs searchable
   * as they land: a deterministic per-doc embedding is encoded against
   * the frozen first-drop quantizers and appended cell-bucketed
   * ([[operators.IncrementalVecIndex]]); `vec_diff` (must be 0) asserts
   * the streamed code rows equal the one-shot encode of the expected
-  * admitted set under the same frozen params.
+  * admitted set under the LIVE generation's params. At the 3/4 drop the
+  * soak CUTS OVER to generation 2 mid-stream (train on the accumulated
+  * surviving corpus, rebuild alongside, one atomic `_GEN` rename) with
+  * a background SERVE thread hammering [[operators.IncrementalVecIndex
+  * .searchTopk]] throughout the cutover — serves must all succeed
+  * (readers see the old generation entirely or the new entirely; there
+  * is no partially-cut-over view). Ingests never race the cutover: both
+  * run on the owning stream's thread — the store's single-writer
+  * contract; an ingest that committed to the old generation after the
+  * pointer moved would land rows in dead state. Under
+  * `SPARK_GRAFT_CHAOS` the first cutover attempt SIGKILLs itself at the
+  * pre-rename seam (once, marker-guarded) so the chaos harness always
+  * lands one kill mid-cutover.
   *
   * Near-dup admission and keep-best retention are PARALLEL consumers of
   * the exact survivors — two retention policies over the same stream:
@@ -39,20 +65,33 @@ import org.apache.spark.sql.functions._
   * after the drain (`pipeline_diff` and `kb_diff`, both must be 0).
   * They share ONE `bandRowsOf` pass per drop (the shingle→minhash
   * ladder is the dominant shared compute; it is materialized once and
-  * handed to both ingests — `bands_sec` attributes it).
+  * handed to both ingests — `bands_sec` attributes the residual).
+  *
+  * PER-DROP CONCURRENCY (the r16 throughput work — each item keeps the
+  * per-store single-writer contract because no two threads ever write
+  * the same store):
+  *  - the band ladder builds on a background thread WHILE the exact
+  *    index ingests (bands depend only on the decon survivors; the
+  *    final band set is the exact survivors' rows, a broadcast
+  *    semi-join filter over the prebuilt ladder — identical rows, so
+  *    every fingerprint and replay contract is unchanged);
+  *  - keep-best and the vector ingest run CONCURRENTLY (independent
+  *    stores, both consuming already-materialized inputs) — except at
+  *    the takedown drop, where they serialize: the keep-best ingest's
+  *    tracked-diff scratch release would unpersist the vector ingest's
+  *    in-flight retraction frame.
   *
   * Each micro-batch runs the stages in cheapest-first order (the pure
   * per-doc gate BEFORE any index I/O; the 32-byte-key exact index before
   * the banded near-dup index), so every downstream stage sees only the
-  * upstream survivors. Both persisted indexes are keyed by the SAME
-  * foreachBatch batchId: a crash anywhere between the two manifest
-  * commits and the checkpoint commit replays the batch, the exact
-  * index's recorded-fingerprint guard turns its replay into an
-  * idempotent no-op RETURNING THE SAME SURVIVORS, and the near-dup
-  * ingest therefore re-sees byte-identical input — exactly-once
-  * composition across two independent state stores from one checkpoint,
-  * the same contract `CdcStream` documents for its single store. The
-  * decon survivor trace is keyed by the same batchId (idempotent
+  * upstream survivors. All persisted indexes are keyed by the SAME
+  * foreachBatch batchId: a crash anywhere between the manifest commits
+  * and the checkpoint commit replays the batch, each index's recorded-
+  * fingerprint guard turns its replay into an idempotent no-op
+  * RETURNING THE SAME ANSWER — exactly-once composition across four
+  * independent state stores from one checkpoint, the same contract
+  * `CdcStream` documents for its single store. The decon survivor trace
+  * and the takedown trace are keyed by the same batchId (idempotent
   * overwrite), so a replayed drop re-publishes identical content.
   *
   * After the stream drains, the curated corpus (near-dup admitted ids
@@ -64,9 +103,10 @@ import org.apache.spark.sql.functions._
   * train corpus — gate, then decontamination, then min-doc_id-per-
   * fingerprint, then the pairwise first-wins near-dup filter (the
   * ingest's own `nearDup` predicate, so the two definitions cannot
-  * drift). The gate and decon are pure per-doc filters and drops arrive
-  * in ascending doc_id ranges, so chunked ≡ one-shot holds stage by
-  * stage (the IncrementalDedupSpec argument, composed).
+  * drift), all phase-aware in the back-screen takedown. The gate and
+  * decon are pure per-doc filters and drops arrive in ascending doc_id
+  * ranges, so chunked ≡ one-shot holds stage by stage (the
+  * IncrementalDedupSpec argument, composed).
   *
   * Usage: `graft.PipelineSoak [nDocs] [nBatches] [workDir] [tau]`
   * (tau = quality-score admission threshold; adaptive async compaction
@@ -89,6 +129,10 @@ object PipelineSoak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
 
     // Corpus + drops are generated ONCE per workDir: a resumed run (the
     // chaos harness kill -9s the JVM mid-stream and relaunches) must NOT
@@ -99,20 +143,28 @@ object PipelineSoak {
     // mismatched reuse fails loudly instead of soaking the wrong corpus.
     // held-out eval slice: never streamed, decon gates against it
     val EvalMod = 7
-    // mid-stream TAKEDOWN: at this drop a deterministic retraction set
-    // (~1% of the already-streamed train ids) commits WITH the drop's
-    // batch into all four stores — tombstones mask the stores' reads
-    // from that drop on, and the expected sets below replay the same
-    // two-phase sequence (retraction changes LATER admissions only)
-    val RetractDrop = (3 * nBatches) / 4
-    val RetractMod = 97L
+    // the v2-publish drop IS the takedown drop: publish → back-screen
+    // the v1-admitted corpus → retract the flagged set with this batch
+    val PublishDrop = nBatches / 2
+    // mid-stream vector-index generation cutover at the 3/4 mark
+    val CutoverDrop = (3 * nBatches) / 4
     val marker = java.nio.file.Paths.get(s"$base/_CORPUS_READY")
-    val params = s"$nDocs/$nBatches/decon$EvalMod-evalv2-vec-retract$RetractDrop"
+    val params =
+      s"$nDocs/$nBatches/decon$EvalMod-backscreen$PublishDrop-cutover$CutoverDrop"
     if (java.nio.file.Files.exists(marker)) {
       val found = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
       require(found == params,
         s"workDir $base holds a corpus for $found, not $params — use a fresh dir")
     }
+    // deterministic per-doc embedding for the vector stage: 64 pseudo-
+    // random components in [-1, 1] derived from (doc_id, dim) — real
+    // drops arrive embedded; the soak's point is the INDEX plumbing
+    // (frozen params, per-drop append, replay, cutover), which is
+    // embedding-agnostic, so a hash-derived vector exercises it fully
+    def pseudoEmbedding(docId: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(docId, i), lit(2000001L)) - lit(1000000L)) /
+          lit(1000000.0)).cast("float"))
     if (!java.nio.file.Files.exists(marker)) {
       ScaleProbe.writeDocuments(spark, s"$base/corpus", nDocs)
       val c = spark.read.parquet(s"$base/corpus/documents.parquet")
@@ -124,6 +176,13 @@ object PipelineSoak {
           .coalesce(1)
           .write.mode("overwrite").parquet(f"$base/drops/d$b%03d")
       }
+      // the serve thread's re-rank side: the same deterministic
+      // embeddings the vector stage ingests, materialized as the
+      // embeddings table Similarity.corpus expects (train docs only)
+      c.select(col("doc_id").as("vec_id"),
+          pseudoEmbedding(col("doc_id")).as("embedding"),
+          lit(0).as("label"))
+        .write.mode("overwrite").parquet(s"$base/corpus/embeddings.parquet")
       java.nio.file.Files.write(marker, params.getBytes("UTF-8"))
     }
     val corpus = spark.read.parquet(s"$base/corpus/documents.parquet")
@@ -145,15 +204,6 @@ object PipelineSoak {
     val kbDir = s"$base/kb-index"
     val vecDir = s"$base/vec-index"
     val gate = operators.TextAnalysis.scoreExpr(col("text")) >= tau
-    // deterministic per-doc embedding for the vector stage: 64 pseudo-
-    // random components in [-1, 1] derived from (doc_id, dim) — real
-    // drops arrive embedded; the soak's point is the INDEX plumbing
-    // (frozen params, per-drop append, replay), which is embedding-
-    // agnostic, so a hash-derived vector exercises it fully
-    def pseudoEmbedding(docId: org.apache.spark.sql.Column) =
-      transform(sequence(lit(0), lit(63)), i =>
-        ((pmod(xxhash64(docId, i), lit(2000001L)) - lit(1000000L)) /
-          lit(1000000.0)).cast("float"))
 
     // per-drop stage counts + wall times (onBatch-to-onBatch deltas;
     // AvailableNow runs drops back to back)
@@ -165,7 +215,11 @@ object PipelineSoak {
     val batchEnds = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
     val evalStateCache = scala.collection.mutable.Map.empty[
       Long, (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Byte]])]
+    val cutoverSec = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cutoverServes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val serveFailures = new java.util.concurrent.atomic.AtomicInteger(0)
 
+    val Ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val stream = spark.readStream
       .schema(corpus.schema)
       .option("maxFilesPerTrigger", 1)
@@ -187,9 +241,29 @@ object PipelineSoak {
           }
           // the eval suite grows at the half-way drop — a version-guarded
           // publish, so replays and relaunches never double-publish
-          if (batchId >= nBatches / 2 &&
+          if (batchId >= PublishDrop &&
               operators.EvalSet.currentVersion(s, evalDir) == 1L)
             operators.EvalSet.publish(s, evalDir, evalAll)
+          // per-version eval state built ONCE and carried across drops:
+          // the persisted hash relation + its Bloom summary broadcast.
+          // Superseded versions are EVICTED on change (recorded versions
+          // are non-decreasing in batchId, so an older version can never
+          // be requested again) — a long-lived stream with many eval
+          // publishes must not pin executor memory for dead suites.
+          def evalState(ver: Long) = {
+            if (!evalStateCache.contains(ver)) {
+              evalStateCache.foreach { case (_, (h, b)) =>
+                h.unpersist(); b.destroy()
+              }
+              evalStateCache.clear()
+            }
+            evalStateCache.getOrElseUpdate(ver, {
+              val h = operators.EvalSet.hashesAt(s, evalDir, ver).persist()
+              val b = s.sparkContext.broadcast(
+                operators.Dedup.evalBloomOf(s, h))
+              (h, b)
+            })
+          }
           // stage 2: decontamination vs the batch's RECORDED eval version
           // (current on first run, pinned on replay) — the per-batch
           // survivor trace is keyed by batchId (idempotent overwrite on
@@ -197,16 +271,7 @@ object PipelineSoak {
           val (deconned, tDecon) = timed {
             val ver = operators.EvalSet.versionForBatch(s, evalDir,
               evalVerDir, batchId)
-            // per-version eval state built ONCE and carried across drops:
-            // the persisted hash relation + its Bloom summary broadcast
-            // (the r14 form re-broadcast the multi-million-hash relation
-            // every drop — measured ~4 s/drop after the v2 publish)
-            val (hashes, bloom) = evalStateCache.getOrElseUpdate(ver, {
-              val h = operators.EvalSet.hashesAt(s, evalDir, ver).persist()
-              val b = s.sparkContext.broadcast(
-                operators.Dedup.evalBloomOf(s, h))
-              (h, b)
-            })
+            val (hashes, bloom) = evalState(ver)
             val d = operators.Dedup.decontaminateAdmitBloom(s, gated,
               hashes, bloom)
               .persist()
@@ -214,21 +279,57 @@ object PipelineSoak {
               .write.mode("overwrite").parquet(f"$base/decon/d$batchId%03d")
             d
           }
-          // the takedown drop's retraction set — deterministic in the
-          // corpus and the batchId, so chaos relaunches and replays
-          // commit the identical tombstones (fingerprint-guarded)
-          val perDocs = (nDocs + nBatches - 1) / nBatches
+          // THE TAKEDOWN DROP: back-screen the v1-admitted corpus (the
+          // decon survivor traces of every earlier drop recorded at v1)
+          // against the just-published v2 suite; the flagged set —
+          // admitted under v1, contaminated under v2 — is this batch's
+          // retraction, committed WITH it into all four stores. File-
+          // backed and keyed by batchId: deterministic in the recorded
+          // versions + committed traces, so a chaos relaunch or replay
+          // recomputes the identical set (fingerprint-guarded), and the
+          // post-drain retract_diff reads the same file.
           val retractIds: Option[DataFrame] =
-            if (batchId == RetractDrop)
-              Some(train.filter(col("doc_id") < RetractDrop * perDocs &&
-                  pmod(col("doc_id"), lit(RetractMod)) === 13)
-                .select(col("doc_id")))
-            else None
+            if (batchId == PublishDrop) Some {
+              val v1Drops = (0L until batchId).filter(b =>
+                operators.EvalSet.versionForBatch(s, evalDir, evalVerDir,
+                  b) == 1L)
+              require(v1Drops.nonEmpty,
+                s"takedown drop $batchId found no v1-recorded drops to " +
+                  "back-screen — publish ordering is broken")
+              val v1Ids = s.read.parquet(
+                v1Drops.map(b => f"$base/decon/d$b%03d"): _*)
+              // read through the STREAM session: the bloom probe function
+              // is registered in its registry — a frame rooted in the
+              // outer session would analyze there and not resolve it
+              val v1Docs = s.read.parquet(s"$base/corpus/documents.parquet")
+                .select(col("doc_id"), col("text"))
+                .join(v1Ids, Seq("doc_id"))
+              val (h2, b2) = evalState(2L)
+              val flagged = v1Ids.join(
+                operators.Dedup.decontaminateAdmitBloom(s, v1Docs, h2, b2)
+                  .select(col("doc_id")),
+                Seq("doc_id"), "left_anti")
+              flagged.coalesce(1).write.mode("overwrite")
+                .parquet(f"$base/retract/d$batchId%03d")
+              s.read.parquet(f"$base/retract/d$batchId%03d")
+            } else None
           try {
-            // stage 3: exact admission (32-byte fingerprint index)
+            // stage 3 ∥ band ladder: the exact admission (32-byte
+            // fingerprint index) ingests WHILE the shingle→minhash
+            // ladder of the decon survivors builds on a background
+            // thread — the ladder depends only on deconned, and the
+            // final band set is filtered to the exact survivors below
+            // (per-doc rows, so filter-after ≡ compute-after)
+            val bands0F = Future {
+              val b0 = operators.IncrementalNearDup.bandRowsOf(deconned)
+                .persist(Ser)
+              b0.count()
+              b0
+            }
             val (exactSurvivors, tExact) = timed(
               operators.IncrementalDedup.ingest(s, exactDir, deconned, batchId,
                 retractIds = retractIds))
+            val bands0 = Await.result(bands0F, Duration.Inf)
             // stage 4: near-dup admission + keep-best retention over ONE
             // banded index — the minhash ladder runs once (shared bands),
             // candidate discovery + est-verify run once (the admission
@@ -237,27 +338,102 @@ object PipelineSoak {
             // policies, one banded corpus at rest
             val ndInput = deconned.join(
               exactSurvivors.select(col("doc_id")), Seq("doc_id")).persist()
-            val bands = operators.IncrementalNearDup.bandRowsOf(ndInput)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+            // re-select the ladder's column order after the semi join
+            // (join moves the key first — positional readers break)
+            val bands = bands0
+              .join(exactSurvivors.select(col("doc_id")), Seq("doc_id"),
+                "left_semi")
+              .select(col("band"), col("bh"), col("doc_id"), col("sig"))
+              .persist(Ser)
             try {
-              val (_, tBands) = timed(bands.count())
+              val (_, tBands) = timed { bands.count(); bands0.unpersist() }
               val ((admitted, edgesSeen, edgesBatch), tNd) = timed(
                 operators.IncrementalNearDup.ingestWithEdges(s, ndDir, ndInput,
                   batchId, bandsIn = Some(bands), retractIds = retractIds))
               try {
-                val (_, tKb) = timed(
+                // stage 5 ∥ stage 6: keep-best retention and the vector
+                // ingest run concurrently — independent stores, inputs
+                // already materialized (edges checkpointed, admitted
+                // file-backed). SERIALIZED at the takedown drop: the kb
+                // ingest releases its scratch as a tracked persistent-RDD
+                // diff, which would sweep the vector ingest's in-flight
+                // retraction frame.
+                val kbF = Future(timed(
                   operators.IncrementalKeepBest.ingest(s, kbDir, ndInput,
                     batchId, edgesIn = Some((edgesSeen, edgesBatch)),
-                    retractIds = retractIds))
-                // stage 5: the drop's admitted docs become SEARCHABLE —
-                // deterministic embeddings encoded against the frozen
-                // first-drop quantizers, appended cell-bucketed; replay
-                // is fingerprint-guarded like every other store here
-                val (_, tVec) = timed(
+                    retractIds = retractIds)))
+                val vecIngest = () => timed(
                   operators.IncrementalVecIndex.ingest(s, vecDir,
                     admitted.select(col("doc_id").as("vec_id"),
                       pseudoEmbedding(col("doc_id")).as("embedding")),
                     batchId, retractIds = retractIds))
+                val (tKb, tVec) =
+                  if (retractIds.isDefined) {
+                    val (_, a) = Await.result(kbF, Duration.Inf)
+                    val (_, b) = vecIngest()
+                    (a, b)
+                  } else {
+                    val vecF = Future(vecIngest())
+                    val (_, a) = Await.result(kbF, Duration.Inf)
+                    val (_, b) = Await.result(vecF, Duration.Inf)
+                    (a, b)
+                  }
+                // MID-STREAM GENERATION CUTOVER: train gen 2 on the
+                // accumulated SURVIVING corpus (admitted snapshot —
+                // takedowns must not re-enter), rebuild alongside, one
+                // atomic rename. Generation-guarded (liveGen == 0), so a
+                // crash-replay of this drop retries an incomplete
+                // cutover and skips a completed one. A background serve
+                // loop hammers searchTopk throughout — every serve must
+                // succeed and return the full top-10 (old gen before
+                // the rename, new gen after; no torn view).
+                if (batchId == CutoverDrop &&
+                    operators.IncrementalVecIndex.liveGen(s, vecDir)
+                      .getOrElse(0L) == 0L) {
+                  val serving = new java.util.concurrent.atomic.AtomicBoolean(true)
+                  val qv = Array.tabulate(64)(i =>
+                    math.sin(0.13 + i * 0.37) * math.cos(0.07 * (i + 1)))
+                  val serveThread = new Thread(() => {
+                    while (serving.get()) {
+                      try {
+                        val n = operators.IncrementalVecIndex
+                          .searchTopk(s, vecDir, s"$base/corpus", qv).count()
+                        if (n == 10L) cutoverServes.incrementAndGet()
+                        else serveFailures.incrementAndGet()
+                      } catch {
+                        case e: Throwable =>
+                          serveFailures.incrementAndGet()
+                          System.err.println(
+                            s"[soak] cutover-window serve FAILED: $e")
+                      }
+                    }
+                  }, "soak-cutover-serve")
+                  serveThread.setDaemon(true)
+                  val beforeSwap: () => Unit = () =>
+                    if (sys.env.contains("SPARK_GRAFT_CHAOS")) {
+                      val mk = java.nio.file.Paths.get(s"$base/_CHAOS_CUT_DONE")
+                      if (!java.nio.file.Files.exists(mk)) {
+                        java.nio.file.Files.write(mk,
+                          "self-SIGKILL at the pre-rename seam".getBytes("UTF-8"))
+                        System.err.println(
+                          "[chaos] self-SIGKILL mid-cutover (beforeSwap)")
+                        Runtime.getRuntime.halt(137)
+                      }
+                    }
+                  val survivors = operators.IncrementalNearDup
+                    .admittedSnapshot(s, ndDir)
+                  val genCorpus = survivors
+                    .select(col("doc_id").as("vec_id"),
+                      pseudoEmbedding(col("doc_id")).as("embedding"))
+                  serveThread.start()
+                  val (_, tCut) = timed(
+                    operators.IncrementalVecIndex.cutover(s, vecDir,
+                      genCorpus, beforeSwap = beforeSwap))
+                  serving.set(false)
+                  serveThread.join()
+                  cutoverSec.set(math.round(tCut * 1000))
+                  survivors.unpersist()
+                }
                 stats.add(DropStat(batchId, raw, gated.count(), deconned.count(),
                   exactSurvivors.count(), admitted.count(), tDecon, tExact,
                   tBands, tNd, tKb, tVec))
@@ -287,7 +463,11 @@ object PipelineSoak {
         // the read amortization saves) — nd@4/kb@5 kept.
         // per-store tombstone folds (the takedown's masked rows reclaim
         // at the fold; nd keeps its tombstone relation as the admitted
-        // registry's standing mask — see Retraction.foldTombstones)
+        // registry's standing mask — see Retraction.foldTombstones).
+        // The vector index folds at its LIVE GENERATION dir (a cut-over
+        // store's root manifest is dead state — compacting it would
+        // fold nothing and GC against the wrong manifest).
+        val vecLive = operators.IncrementalVecIndex.liveDir(s, vecDir)
         val folds: Seq[(String, Int, DataFrame => DataFrame)] = Seq(
           (exactDir, compactWhenSegments,
             operators.Retraction.foldTombstones(_, "doc_id")),
@@ -297,7 +477,7 @@ object PipelineSoak {
           (kbDir, compactWhenSegments / 2 + 1,
             operators.Retraction.foldTombstones(_, "doc_id",
               exempt = Some(col("band") === -3L))),
-          (vecDir, compactWhenSegments + 3,
+          (vecLive, compactWhenSegments + 3,
             operators.Retraction.foldTombstones(_, "vec_id")))
         folds.foreach { case (d, threshold, resolve) =>
           val m = streaming.BucketState.readManifest(s, d)
@@ -312,10 +492,17 @@ object PipelineSoak {
       }
       .start()
     q.processAllAvailable(); q.stop()
-    Seq(exactDir, ndDir, kbDir, vecDir).foreach { d =>
+    val vecLiveFinal = operators.IncrementalVecIndex.liveDir(spark, vecDir)
+    (Seq(exactDir, ndDir, kbDir, vecDir) :+ vecLiveFinal).distinct.foreach { d =>
       while (streaming.BucketState.compactionInFlight(d)) Thread.sleep(100)
     }
     val streamSec = (System.nanoTime() - t0) / 1e9
+    // the cutover must have happened (generation 2 live), and the serve
+    // loop racing it must have completed every query — reclaim the dead
+    // generation BEFORE the assertions so they also prove post-GC reads
+    require(operators.IncrementalVecIndex.liveGen(spark, vecDir).contains(1L),
+      "the mid-stream generation cutover did not complete")
+    operators.IncrementalVecIndex.gcGenerations(spark, vecDir)
 
     // ---- one-shot equivalence over the whole train corpus ------------
     // the one-shot decontamination applies, per batch, the eval version
@@ -323,6 +510,16 @@ object PipelineSoak {
     // ranges the generator wrote — the same invariant every incremental
     // index contract here already assumes)
     val per = (nDocs + nBatches - 1) / nBatches
+    // pin the recorded-version split the expectations assume: v1 for
+    // every drop before the publish drop, v2 from it on — fail loudly if
+    // any interleaving ever produced something else
+    (0 until nBatches).foreach { b =>
+      val expect = if (b < PublishDrop) 1L else 2L
+      val got = operators.EvalSet.versionForBatch(spark, evalDir,
+        evalVerDir, b.toLong)
+      require(got == expect,
+        s"drop $b recorded eval version $got, expected $expect")
+    }
     val deconAll = (0 until nBatches).map { b =>
       val ver = operators.EvalSet.versionForBatch(spark, evalDir,
         evalVerDir, b.toLong)
@@ -337,18 +534,34 @@ object PipelineSoak {
     val deconIds = deconAll.select(col("doc_id"))
     val deconDiff = streamedDecon.exceptAll(deconIds).count() +
       deconIds.exceptAll(streamedDecon).count()
-    // ---- phase-aware exact expectation (takedown at RetractDrop) -----
-    // phase 1 (drops < RetractDrop): winners = min doc_id per fp.
+    // ---- the expected takedown: one-shot back-screen ------------------
+    // v1-admitted docs (decon survivors of drops before the publish
+    // drop — all recorded v1, pinned above) contaminated under v2: the
+    // exact recomputation of what the takedown drop flagged
+    val rStart = PublishDrop * per
+    val v1AdmittedDocs = deconAll.filter(col("doc_id") < rStart)
+    val retractSet = v1AdmittedDocs.select(col("doc_id"))
+      .join(operators.Dedup.decontaminateAdmit(v1AdmittedDocs,
+          operators.EvalSet.hashesAt(spark, evalDir, 2L))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .persist()
+    val retractN = retractSet.count()
+    require(retractN > 0,
+      "the back-screen flagged nothing — the corpus no longer plants " +
+        "v2-only contamination and the takedown loop is untested")
+    // the streamed flagged set (the takedown trace the ingests consumed)
+    // must equal the one-shot back-screen
+    val streamedRetract = spark.read.parquet(f"$base/retract/d$PublishDrop%03d")
+    val retractDiff = streamedRetract.exceptAll(retractSet).count() +
+      retractSet.exceptAll(streamedRetract).count()
+    // ---- phase-aware exact expectation (takedown at PublishDrop) -----
+    // phase 1 (drops < PublishDrop): winners = min doc_id per fp.
     // The takedown then masks its ids' registry rows, so phase 2 winners
     // are min per fp among later docs whose fp has NO SURVIVING phase-1
     // row. Both phases' winners reach the downstream indexes (phase-1
     // winners streamed before their retraction), so the banded universe
     // is their union; the FINAL surviving sets subtract the takedown.
-    val rStart = RetractDrop * per
-    val retractSet = train
-      .filter(col("doc_id") < rStart &&
-        pmod(col("doc_id"), lit(RetractMod)) === 13)
-      .select(col("doc_id")).persist()
     val fpOf = deconAll
       .select(functions.TextFns.fingerprint(col("text")).as("fp"), col("doc_id"))
     val w1 = fpOf.filter(col("doc_id") < rStart)
@@ -431,8 +644,11 @@ object PipelineSoak {
       kbExpected.exceptAll(kbGot).count()
 
     // vector index: streamed code rows must equal the one-shot encode of
-    // the expected admitted set under the index's own frozen params —
+    // the expected admitted set under the LIVE GENERATION's params —
     // the pure-function contract, composed with the nd one-shot above
+    // and carried ACROSS the cutover (the rebuild re-encodes the
+    // surviving corpus under gen-2 params; later drops append under the
+    // same params; snapshot/readParams resolve the pointer)
     val vecGot = operators.IncrementalVecIndex.snapshot(spark, vecDir)
     val vecExpected = operators.IncrementalVecIndex.encodeWithParams(spark,
       operators.IncrementalVecIndex.readParams(spark, vecDir),
@@ -440,7 +656,7 @@ object PipelineSoak {
         pseudoEmbedding(col("doc_id")).as("embedding")))
     val vecDiff = vecGot.exceptAll(vecExpected).count() +
       vecExpected.exceptAll(vecGot).count()
-    bands.unpersist(); deconAll.unpersist()
+    bands.unpersist(); deconAll.unpersist(); retractSet.unpersist()
 
     // ---- epoch shuffle + packed shard write over the curated corpus --
     val curated = corpus.join(admittedIds, Seq("doc_id"))
@@ -483,14 +699,24 @@ object PipelineSoak {
       s"degenerate gate at tau=$tau: $gatedN of $raw passed")
     require(ds.size < nBatches || (deconN > 0 && deconN < gatedN),
       s"degenerate decontamination: $deconN of $gatedN gated docs survived")
-    val retractN = retractSet.count()
-    retractSet.unpersist()
+    // the serve loop racing the cutover must have run and never failed —
+    // but only in the process that actually performed the cutover (a
+    // chaos resume that found it done has no serves to report)
+    require(cutoverSec.get() == 0L ||
+        (cutoverServes.get() > 0 && serveFailures.get() == 0),
+      s"cutover serve loop: ${cutoverServes.get()} ok, " +
+        s"${serveFailures.get()} failed")
     println(s"""{"metric":"pipeline_soak","docs":$nDocs,"batches":$nBatches,""" +
       s""""tau":$tau,"raw":$raw,"gated":$gatedN,"decon_admitted":$deconN,""" +
       s""""exact_admitted":$exactN,""" +
       s""""nd_admitted":$admittedN,"pipeline_diff":$diff,"kb_diff":$kbDiff,""" +
       s""""decon_diff":$deconDiff,"vec_diff":$vecDiff,""" +
-      s""""retract_drop":$RetractDrop,"retract_n":$retractN,""" +
+      s""""retract_diff":$retractDiff,""" +
+      s""""retract_drop":$PublishDrop,"retract_n":$retractN,""" +
+      s""""cutover_drop":$CutoverDrop,""" +
+      s""""cutover_sec":${cutoverSec.get() / 1000.0},""" +
+      s""""cutover_serves":${cutoverServes.get()},""" +
+      s""""serve_failures":${serveFailures.get()},""" +
       s""""eval_versions":${(0 until nBatches).map(b =>
         operators.EvalSet.versionForBatch(spark, evalDir, evalVerDir, b.toLong))
         .mkString("[", ",", "]")},""" +
@@ -508,6 +734,7 @@ object PipelineSoak {
       s""""pack_sec":${math.round(packSec * 1000) / 1000.0},""" +
       s""""shard_docs":${shardSizes.sorted.mkString("[", ",", "]")}}""")
     spark.stop()
-    if (diff != 0 || kbDiff != 0 || deconDiff != 0 || vecDiff != 0) sys.exit(1)
+    if (diff != 0 || kbDiff != 0 || deconDiff != 0 || vecDiff != 0 ||
+      retractDiff != 0) sys.exit(1)
   }
 }

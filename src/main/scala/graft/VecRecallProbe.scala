@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recall-vs-nProbe OPERATING-POINT curve for the incremental IVF-PQ
+  * index at a real serving rung — the measurement the 2k-fixture
+  * cutover probe ([[VecCutoverProbe]]) cannot give: a serving index
+  * needs its recall quantified against exact brute-force AT SCALE, per
+  * probe width, for both the first-drop-trained generation and the
+  * post-cutover one, so the deployment can pick (and document) an
+  * operating point instead of shipping the default blind.
+  *
+  * Protocol: ingest the embeddings table as two ascending halves (gen-1
+  * params freeze on the FIRST half — maximal drift), measure recall@10
+  * of [[operators.IncrementalVecIndex.searchTopk]] against the exact
+  * fixed-point brute-force answer ([[operators.Similarity
+  * .bruteTopkForVec]] — the engine's own cosine and tie-break, so
+  * ground truth is bit-reproducible) for every nProbe in {1,2,4,8,16}
+  * over 24 deterministic fixture queries; cut over to a generation
+  * trained on the full corpus and re-measure the same grid. nProbe=16
+  * probes every cell, so its residual miss isolates the PQ-quantization
+  * + rerank-cut error from the cell-routing error the smaller widths
+  * add.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir with embeddings.parquet> java ...
+  * graft.VecRecallProbe. Prints ONE JSON line (the committed-artifact
+  * convention).
+  */
+object VecRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val n = vecs.count()
+    val probes = Seq(1, 2, 4, 8, 16)
+    // the cutover probe's fixture family — deterministic, off-corpus
+    val queries = (0 until 24).map(qi =>
+      Array.tabulate(64)(i =>
+        math.sin(0.13 * (qi + 1) + i * 0.37) *
+          math.cos(0.07 * (qi + 1) * (i + 1))))
+    def timed[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    // exact ground truth: one distributed brute-force pass per query
+    val (exact, tExact) = timed(queries.map(q =>
+      operators.Similarity.bruteTopkForVec(spark, sfDir, q)
+        .collect().map(_.getLong(0)).toSeq))
+
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-recall-probe").toString
+    val ids = vecs.agg(min("vec_id"), max("vec_id")).collect()(0)
+    val mid = (ids.getLong(0) + ids.getLong(1)) / 2
+    val (_, tIngest) = timed {
+      operators.IncrementalVecIndex.ingest(spark, indexDir,
+        vecs.filter(col("vec_id") <= mid), 0).count()
+      operators.IncrementalVecIndex.ingest(spark, indexDir,
+        vecs.filter(col("vec_id") > mid), 1).count()
+    }
+    // (nProbe -> (recall@10, serve seconds for the 24 queries))
+    def curve(): Seq[(Int, Double, Double)] = probes.map { np =>
+      val ((hits, _), tServe) = timed {
+        val perQ = queries.zip(exact).map { case (q, ex) =>
+          val got = operators.IncrementalVecIndex
+            .searchTopk(spark, indexDir, sfDir, q, nProbe = np)
+            .collect().map(_.getLong(0)).toSet
+          ex.count(got.contains).toDouble / 10.0
+        }
+        (perQ.sum / perQ.length, perQ.length)
+      }
+      (np, hits, tServe)
+    }
+    val (g1, tG1) = timed(curve())
+    val (_, tCutover) = timed(
+      operators.IncrementalVecIndex.cutover(spark, indexDir, vecs))
+    operators.IncrementalVecIndex.gcGenerations(spark, indexDir)
+    val (g2, tG2) = timed(curve())
+    graft.Shared.deleteDirTree(indexDir)
+
+    def fmt(c: Seq[(Int, Double, Double)], f: ((Int, Double, Double)) => String) =
+      c.map { t => s""""${t._1}":${f(t)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"vec_recall_curve","sf_dir":"$sfDir","vectors":$n,""" +
+      s""""queries":${queries.length},"probes":[${probes.mkString(",")}],""" +
+      s""""recall10_gen1":${fmt(g1, t => f"${t._2}%.4f")},""" +
+      s""""recall10_gen2":${fmt(g2, t => f"${t._2}%.4f")},""" +
+      s""""serve24_gen1_sec":${fmt(g1, t => f"${t._3}%.1f")},""" +
+      s""""serve24_gen2_sec":${fmt(g2, t => f"${t._3}%.1f")},""" +
+      s""""exact_sec":${f"$tExact%.1f"},"ingest_sec":${f"$tIngest%.1f"},""" +
+      s""""cutover_sec":${f"$tCutover%.1f"},""" +
+      s""""grid_gen1_sec":${f"$tG1%.1f"},"grid_gen2_sec":${f"$tG2%.1f"}}""")
+    spark.stop()
+  }
+}

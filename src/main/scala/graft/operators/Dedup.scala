@@ -1394,6 +1394,28 @@ object Dedup {
     * relation). Capacity is the measured hash count: a fixed guess
     * erodes the FPP the moment the suite outgrows it.
     */
+  /** BloomFilterAggregate silently CLAMPS its `estimatedNumItems` (and
+    * the derived bit count) to the session confs
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+    * (defaults 4M items / 64Mi bits) — past that suite size the
+    * capacity-tracks-measured-count property would quietly stop holding
+    * and the FPP erode (a perf regression only: every caller re-verifies
+    * exactly, but the Bloom would stop pruning). Raise both confs to
+    * cover `n` BEFORE building, so capacity genuinely tracks the
+    * measured count at any suite size. ~9.6 bits/item is the optimal
+    * sizing at the aggregate's default 3% FPP, padded up.
+    */
+  private def ensureBloomCapacity(s: SparkSession, n: Long): Unit = {
+    def raiseTo(key: String, needed: Long): Unit = {
+      val cur = s.conf.getOption(key).map(_.toLong).getOrElse(0L)
+      if (cur < needed) s.conf.set(key, needed.toString)
+    }
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      math.max(n, 4000000L))
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      math.max(n * 10L, 67108864L))
+  }
+
   def evalBloomOf(s: SparkSession, evalHashes: DataFrame): Array[Byte] = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_agg",
@@ -1401,6 +1423,7 @@ object Dedup {
         .BloomFilterAggregate(exprs(0), exprs(1)),
       "built-in")
     val n = math.max(evalHashes.count(), 1L)
+    ensureBloomCapacity(s, n)
     evalHashes
       .agg(call_function("graft_bloom_agg", col("shh"), lit(n)).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
@@ -1700,6 +1723,7 @@ object Dedup {
     // materializes the cache, so the bloom agg below reads cached blocks);
     // callers with a known corpus can pin it and skip the counting job
     val nItems = expectedItems.getOrElse(math.max(ev.count(), 1L))
+    ensureBloomCapacity(s, nItems)
     val bf = ev
       .agg(call_function("graft_bloom_agg",
         xxhash64(col("sh")), lit(nItems)).as("bf"))

@@ -121,32 +121,38 @@ object IncrementalDedup {
               // surviving view: stored tombstones ∪ this batch's own
               // retraction set mask the fingerprint registry BEFORE the
               // batch's admissions (on replay the batch's tombstones are
-              // already stored — same set, same view, bit-identical)
-              val tombs = retract.fold(storedTombs(spark, indexDir, m))(r =>
-                storedTombs(spark, indexDir, m).unionByName(r).distinct())
-              val prevLive = Retraction.mask(prev, tombs, "doc_id")
+              // already stored — same set, same view, bit-identical).
+              // Takedown-free stores (no tombstone bucket in the
+              // manifest, no retraction in-flight) skip the mask — the
+              // r14 read path, restored (Retraction.hasTombs)
+              val tombs: Option[DataFrame] =
+                if (retract.isEmpty && !Retraction.hasTombs(m)) None
+                else Some(retract.fold(storedTombs(spark, indexDir, m))(r =>
+                  storedTombs(spark, indexDir, m).unionByName(r).distinct()))
+              val prevLive = Retraction.maskIfAny(prev, tombs, "doc_id")
 
               val survivors = batchFps
                 .join(prevLive.select(col("fp")), Seq("fp"), "left_anti")
                 .persist()
 
-              // stage survivors FIRST (they are part of the batch's durable
-              // effect), then the batch's index SEGMENT, then commit; natural
-              // partitioning — a single-task coalesce would bottleneck at real
-              // batch sizes. Both writes come off the SAME persisted frame —
-              // re-reading the staged parquet to build the segment was a whole
-              // extra scan per batch, and the manifest rename below is still
-              // the only commit point, so crash consistency is unchanged.
-              survivors.write.mode("overwrite").parquet(survivorsDir)
-              // append-only LSM segment: the new version dir holds ONLY this
-              // batch's survivors — prior segments are never rewritten, so the
-              // bytes written per batch are O(batch), not O(touched state).
-              // (The first formulation rewrote prev ∪ survivors per touched
-              // bucket; at K batches that is quadratic total writes — measured
-              // by graft.IngestSoak before the fix.) Read amplification grows
-              // one segment per batch until a compaction folds them.
+              // ONE staging job: the batch's index SEGMENT (append-only
+              // LSM — the new version dir holds ONLY this batch's
+              // survivors; prior segments are never rewritten, so bytes
+              // written per batch are O(batch), not O(touched state);
+              // the first formulation rewrote prev ∪ survivors per
+              // touched bucket — quadratic total writes, measured by
+              // graft.IngestSoak) PLUS the batch's durable survivor
+              // ANSWER riding the same write under the reserved staging
+              // bucket, renamed out before the commit (claimAnswer —
+              // the r15 form ran these as two jobs per batch). Both
+              // branches read the SAME persisted frame; the manifest
+              // rename below stays the only commit point, so crash
+              // consistency is unchanged. Read amplification grows one
+              // segment per batch until a compaction folds them.
               val segRows = survivors
                 .withColumn("p", bucketOf(col("fp"), nBuckets))
+                .unionByName(survivors
+                  .withColumn("p", lit(BucketState.AnswerBucket)))
               // tombstone rows ride the same segment and the same
               // commit: (fp = null, doc_id, p = TombBucket)
               retract.fold(segRows)(r => segRows.unionByName(
@@ -156,6 +162,8 @@ object IncrementalDedup {
                 .write.mode("overwrite").partitionBy("p")
                 .parquet(s"$indexDir/v=$physicalVersion")
               survivors.unpersist()
+              BucketState.claimAnswer(spark, s"$indexDir/v=$physicalVersion",
+                survivorsDir, survivorSchema)
 
               val outBuckets =
                 BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
@@ -173,7 +181,10 @@ object IncrementalDedup {
       // lease would otherwise spare every dir a mid-ingest background
       // fold superseded — and since no later GC is guaranteed to run,
       // the folded dirs would leak on disk past the last batch.
-      BucketState.gcVersions(spark, indexDir)
+      // Conditional: an append-only ingest creates no garbage of its
+      // own, so the sweep runs only when a fold left lease-spared dirs
+      // behind (or on the process's first call — crash orphans).
+      BucketState.gcVersionsIfDirty(spark, indexDir)
     } finally { batchFps.unpersist(); retract.foreach(_.unpersist()) }
     spark.read.schema(survivorSchema).parquet(survivorsDir)
   }
@@ -258,9 +269,11 @@ object IncrementalDedup {
       val all = BucketState.readBuckets(spark, indexDir, m.buckets,
         emptyIdx(spark))
       // data rows (fp non-null — tombstones carry a null fp) minus every
-      // stored tombstone: the surviving registry
-      Retraction.mask(all.filter(col("fp").isNotNull),
-          storedTombs(spark, indexDir, m), "doc_id")
+      // stored tombstone: the surviving registry (mask skipped entirely
+      // on a takedown-free store — Retraction.hasTombs)
+      Retraction.maskIfAny(all.filter(col("fp").isNotNull),
+          if (Retraction.hasTombs(m)) Some(storedTombs(spark, indexDir, m))
+          else None, "doc_id")
         .select(col("fp"), col("doc_id"))
         .localCheckpoint(eager = true)
     } finally BucketState.releaseReads(lease)

@@ -294,9 +294,12 @@ object IncrementalKeepBest {
         BucketState.checkOrStampLayout(spark, indexDir, m,
           if (overlay) "keepbest-overlay-v1" else "keepbest-v2")
         // surviving-view mask — stored tombstones ∪ this batch's own set
-        // (identical on first run and replay; see IncrementalNearDup)
-        val tombs = retract.fold(storedTombs(spark, indexDir, m))(r =>
-          storedTombs(spark, indexDir, m).unionByName(r).distinct())
+        // (identical on first run and replay; see IncrementalNearDup);
+        // None on a takedown-free store (mask skipped — Retraction.hasTombs)
+        val tombs: Option[DataFrame] =
+          if (retract.isEmpty && !Retraction.hasTombs(m)) None
+          else Some(retract.fold(storedTombs(spark, indexDir, m))(r =>
+            storedTombs(spark, indexDir, m).unionByName(r).distinct()))
         BucketState.checkBatch(m, batchId, batchFp) match {
           case BucketState.AlreadyCommitted => ()
           case BucketState.Proceed(proposed) =>
@@ -337,7 +340,7 @@ object IncrementalKeepBest {
                   // surviving index (sig/member reads need no mask of
                   // their own — they only join on seen_ids drawn from
                   // this masked frame)
-                  val prevBands = Retraction.mask(
+                  val prevBands = Retraction.maskIfAny(
                       BucketState.readBuckets(spark, indexDir,
                         m.buckets.view.filterKeys(touched).toMap, emptyIdx(spark))
                       .filter(col("band") >= 0)
@@ -452,7 +455,7 @@ object IncrementalKeepBest {
                         .distinct().collect().map(_.getLong(0)).toSet)
                       // retracted recorded minima lose their anchor role
                       // — the IncrementalNearDup takedown semantics
-                      val storedMin = Retraction.mask(
+                      val storedMin = Retraction.maskIfAny(
                           readKind(skBuckets, -4L), tombs, "doc_id")
                         .select(col("bh").as("sk"), col("doc_id").as("cand_id"))
                       val seenMin = resc.join(storedMin, Seq("sk"))
@@ -623,14 +626,22 @@ object IncrementalKeepBest {
                     coalesce(col("cluster"), col("doc_id")).as("label"),
                     col("score"))
 
-                // stage the batch's durable answer FIRST, then the segment
-                // (one atomic commit: four row kinds in full mode, member +
-                // fwd only in overlay mode — the banded index already holds
-                // the band/sig state an overlay would merely duplicate)
-                tr("members_write")(
-                  members.write.mode("overwrite").parquet(membersDir))
+                // the batch's durable member ANSWER rides the segment
+                // write under the reserved staging bucket (one job where
+                // r15 ran two — members.write, then a re-read to build
+                // the member rows) and is renamed out before the one
+                // atomic commit: five row kinds in full mode, member +
+                // fwd + answer in overlay mode (the banded index already
+                // holds the band/sig state an overlay would merely
+                // duplicate). The members sub-plan evaluates once per
+                // union branch — `lab` is persisted, the score map is a
+                // cheap re-read of the batch source.
                 val nullSig = lit(null).cast(ArrayType(LongType, containsNull = false))
-                val memberRows = spark.read.schema(memberSchema).parquet(membersDir)
+                val answerRows = members
+                  .select(lit(-6L).as("band"), lit("").as("bh"),
+                    col("doc_id"), nullSig.as("sig"), col("label"),
+                    col("score"))
+                val memberRows = members
                   .select(lit(-2L).as("band"), col("doc_id").cast("string").as("bh"),
                     col("doc_id"), nullSig.as("sig"), col("label"), col("score"))
                 val fwdRows = fwdNew
@@ -663,6 +674,8 @@ object IncrementalKeepBest {
                 // tombstone rows ride the same segment and commit:
                 // (band = -9, bh = "", doc_id, nulls, p = TombBucket)
                 val segAll = segRows.withColumn("p", bucketOf(nBuckets))
+                  .unionByName(answerRows
+                    .withColumn("p", lit(BucketState.AnswerBucket)))
                 val segWithTombs = retract.fold(segAll)(r =>
                   segAll.unionByName(r.select(
                     lit(-9L).as("band"), lit("").as("bh"), col("doc_id"),
@@ -674,6 +687,8 @@ object IncrementalKeepBest {
                     .repartition(col("p"))
                     .write.mode("overwrite").partitionBy("p")
                     .parquet(s"$indexDir/v=$physicalVersion"))
+                BucketState.claimAnswer(spark,
+                  s"$indexDir/v=$physicalVersion", membersDir, memberSchema)
 
                 // release this batch's component-pass checkpoints (tracked
                 // diff — same exposure as clustersOf's own internal
@@ -700,7 +715,8 @@ object IncrementalKeepBest {
             } finally BucketState.releaseVersion(indexDir, physicalVersion)
         }
       } finally BucketState.releaseReads(lease)
-      tr("gc")(BucketState.gcVersions(spark, indexDir))
+      // conditional sweep — see IncrementalDedup.ingest's GC comment
+      tr("gc")(BucketState.gcVersionsIfDirty(spark, indexDir))
     } finally {
       if (ownBands) bandsOpt.foreach(_.unpersist())
       retract.foreach(_.unpersist())
@@ -731,10 +747,12 @@ object IncrementalKeepBest {
     val all = BucketState.readBuckets(spark, indexDir, m.buckets,
       emptyIdx(spark)).persist()
     // members minus stored takedowns: per cluster the best SURVIVING
-    // member answers; forwarding rows stay (label graph, not members)
-    val members = Retraction.mask(
+    // member answers; forwarding rows stay (label graph, not members);
+    // mask skipped on a takedown-free store (Retraction.hasTombs)
+    val members = Retraction.maskIfAny(
         all.filter(col("band") === -2L),
-        storedTombs(spark, indexDir, m), "doc_id")
+        if (Retraction.hasTombs(m)) Some(storedTombs(spark, indexDir, m))
+        else None, "doc_id")
       .select(col("doc_id"), col("label"), col("score"))
     val fwdAll = all.filter(col("band") === -3L)
       .select(col("doc_id").as("from"), col("label").as("to"))

@@ -311,12 +311,14 @@ object IncrementalNearDup {
     * the in-flight batch's own retraction set (identical on first run
     * and replay; see [[Retraction]]). Every stored read here (band rows,
     * sig rows, sig-key anchors) is anti-joined against it, so admission
-    * and edge discovery run against the surviving index.
+    * and edge discovery run against the surviving index. `None` on a
+    * takedown-free store — the masks (and the tombstone-bucket read that
+    * feeds them) are skipped entirely.
     */
   private def verifiedEdges(spark: SparkSession, indexDir: String,
                             m: BucketState.Manifest, bands: DataFrame,
                             touched: Set[Long], nBuckets: Int,
-                            tombs: DataFrame,
+                            tombs: Option[DataFrame],
                             replayFloor: Option[Long] = None)
       : (DataFrame, DataFrame) = {
     val emptyIdx = spark.createDataFrame(
@@ -340,7 +342,7 @@ object IncrementalNearDup {
     // aggregate), and the pruned read re-opens touched segment files
     // otherwise; released before return — the edge results are
     // checkpointed, so the release cannot cascade into them
-    val prevBands = Retraction.mask(
+    val prevBands = Retraction.maskIfAny(
       ownRowsExcluded(
         BucketState.readBuckets(spark, indexDir,
             m.buckets.view.filterKeys(touched).toMap, emptyIdx)
@@ -486,7 +488,7 @@ object IncrementalNearDup {
             // doc per sig per batch; surviving non-minimum same-sig docs
             // are not anchors) — the declared takedown semantics the
             // oracle replays
-            val storedMin = Retraction.mask(
+            val storedMin = Retraction.maskIfAny(
               ownRowsExcluded(
                 BucketState.readBuckets(spark, indexDir,
                     m.buckets.view.filterKeys(skBuckets).toMap, emptyIdx)
@@ -607,9 +609,12 @@ object IncrementalNearDup {
         BucketState.checkOrStampLayout(spark, indexDir, m, "neardup-v3")
         // surviving-view mask: stored tombstones ∪ this batch's own
         // retraction set — identical on first run (input supplies the
-        // not-yet-committed set) and replay (the set is stored)
-        val tombs = retract.fold(storedTombs(spark, indexDir, m))(r =>
-          storedTombs(spark, indexDir, m).unionByName(r).distinct())
+        // not-yet-committed set) and replay (the set is stored); None
+        // on a takedown-free store (mask skipped — Retraction.hasTombs)
+        val tombs: Option[DataFrame] =
+          if (retract.isEmpty && !Retraction.hasTombs(m)) None
+          else Some(retract.fold(storedTombs(spark, indexDir, m))(r =>
+            storedTombs(spark, indexDir, m).unionByName(r).distinct()))
         BucketState.checkBatch(m, batchId, batchFp) match {
           case BucketState.AlreadyCommitted =>
             // a replayed batch still owes its consumer the edges (the
@@ -642,10 +647,15 @@ object IncrementalNearDup {
                     .distinct(),
                   Seq("doc_id"), "left_anti")
 
-              // stage the admitted set FIRST (the batch's durable answer),
-              // then the segment (band keys sig-less, one sig row per
-              // doc), then the one-rename commit
-              admitted.write.mode("overwrite").parquet(admittedDir)
+              // the admitted ANSWER rides the segment write under the
+              // reserved staging bucket (one job where r15 ran two) and
+              // is renamed out before the one-rename commit — see
+              // BucketState.claimAnswer for the unchanged crash story
+              val nullSigA =
+                lit(null).cast(ArrayType(LongType, containsNull = false))
+              val answerRows = admitted.select(lit(-5L).as("band"),
+                lit("").as("bh"), col("doc_id"), nullSigA.as("sig"),
+                lit(BucketState.AnswerBucket).as("p"))
               val bandKeys = bands.select(col("band"), col("bh"), col("doc_id"),
                 lit(null).cast(ArrayType(LongType, containsNull = false)).as("sig"))
               // every doc with a signature has exactly one band-0 row
@@ -670,6 +680,7 @@ object IncrementalNearDup {
               // (band = -9, bh = "", doc_id, sig = null, p = TombBucket)
               val dataRows = bandKeys.unionByName(sigRows).unionByName(skRows)
                 .withColumn("p", bucketOf(nBuckets))
+                .unionByName(answerRows)
               retract.fold(dataRows)(r => dataRows.unionByName(
                   r.select(lit(-9L).as("band"), lit("").as("bh"),
                     col("doc_id"),
@@ -679,6 +690,8 @@ object IncrementalNearDup {
                 .repartition(col("p"))
                 .write.mode("overwrite").partitionBy("p")
                 .parquet(s"$indexDir/v=$physicalVersion")
+              BucketState.claimAnswer(spark, s"$indexDir/v=$physicalVersion",
+                admittedDir, admittedSchema)
               val outBuckets =
                 BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
               BucketState.manifestLock(indexDir).synchronized {
@@ -693,8 +706,10 @@ object IncrementalNearDup {
       } finally BucketState.releaseReads(lease)
       // GC after the lease release — see IncrementalDedup.ingest: a GC
       // under this batch's own lease would spare (and thus leak) every
-      // dir a mid-ingest background fold superseded.
-      BucketState.gcVersions(spark, indexDir)
+      // dir a mid-ingest background fold superseded. Conditional — runs
+      // only when a fold left lease-spared dirs (or on the process's
+      // first call, covering crash orphans).
+      BucketState.gcVersionsIfDirty(spark, indexDir)
     } finally {
       if (ownBands) bands.unpersist()
       retract.foreach(_.unpersist())
@@ -748,9 +763,10 @@ object IncrementalNearDup {
     */
   def admittedSnapshot(spark: SparkSession, indexDir: String): DataFrame = {
     val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
-    try Retraction.mask(
+    try Retraction.maskIfAny(
         spark.read.schema(admittedSchema).parquet(s"$indexDir/admitted/*"),
-        storedTombs(spark, indexDir, m), "doc_id")
+        if (Retraction.hasTombs(m)) Some(storedTombs(spark, indexDir, m))
+        else None, "doc_id")
       .localCheckpoint(eager = true)
     finally BucketState.releaseReads(lease)
   }

@@ -235,8 +235,14 @@ object IncrementalVecIndex {
              batchId: Long, retractIds: Option[DataFrame] = None): DataFrame = {
     val indexDir = liveDir(spark, indexDirIn)
     val clean = cleanOf(vecs)
+    // persisted for the ingest's duration (the sibling stores' rule): the
+    // normalized retraction frame is consumed by BOTH the fingerprint
+    // action and the tombstone segment write — recomputing it in between
+    // would let a non-deterministic caller frame commit tombstone rows
+    // that do not match the committed batch fingerprint
     val retract = retractIds.map(r =>
-      Retraction.normIds(r).withColumnRenamed("doc_id", "vec_id"))
+      Retraction.normIds(r).withColumnRenamed("doc_id", "vec_id").persist())
+    try {
     val batchFp = Retraction.mixFp(BucketState.inputFingerprint(clean),
       retract.map(BucketState.inputFingerprint))
     val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
@@ -289,7 +295,9 @@ object IncrementalVecIndex {
           } finally BucketState.releaseVersion(indexDir, physicalVersion)
       }
     } finally BucketState.releaseReads(lease)
-    BucketState.gcVersions(spark, indexDir)
+    // conditional sweep — see IncrementalDedup.ingest's GC comment
+    BucketState.gcVersionsIfDirty(spark, indexDir)
+    } finally retract.foreach(_.unpersist())
     // the batch's answer is a pure function of the committed frozen
     // params — recomputing it (first run AND replay) is cheaper than
     // storing a per-batch copy, and bit-identical by construction
@@ -315,10 +323,11 @@ object IncrementalVecIndex {
   def snapshot(spark: SparkSession, indexDirIn: String): DataFrame = {
     val indexDir = liveDir(spark, indexDirIn)
     val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
-    try Retraction.mask(
+    try Retraction.maskIfAny(
         BucketState.readBuckets(spark, indexDir, m.buckets, emptyIdx(spark))
           .filter(col("cell") >= 0),
-        storedTombs(spark, indexDir, m), "vec_id")
+        if (Retraction.hasTombs(m)) Some(storedTombs(spark, indexDir, m))
+        else None, "vec_id")
       .select(col("cell"), col("vec_id"), col("codes"))
       .localCheckpoint(eager = true)
     finally BucketState.releaseReads(lease)
@@ -358,11 +367,13 @@ object IncrementalVecIndex {
     val (m, lease) = BucketState.readManifestLeased(s, indexDir)
     try {
       // probed cells are bucket-pruned as before; retracted vec_ids are
-      // masked out of the candidate set (tiny broadcast anti-join)
-      val idx = Retraction.mask(
+      // masked out of the candidate set (tiny broadcast anti-join),
+      // skipped entirely on a takedown-free store
+      val idx = Retraction.maskIfAny(
         BucketState.readBuckets(s, indexDir,
           m.buckets.view.filterKeys(probed).toMap, emptyIdx(s)),
-        storedTombs(s, indexDir, m), "vec_id")
+        if (Retraction.hasTombs(m)) Some(storedTombs(s, indexDir, m))
+        else None, "vec_id")
       val base = excludeId.map(id => idx.filter(col("vec_id") =!= id)).getOrElse(idx)
       val tables = Similarity.pqTablesFor(p.codebooks, qvec)
       val candidates = base
@@ -440,19 +451,25 @@ object IncrementalVecIndex {
   }
 
   /** Delete every generation dir but the live one (and the root store's
-    * dead state if a cutover has happened). Maintenance-window only: a
-    * serve that resolved the pointer before a concurrent cutover may
-    * still be reading the previous generation.
+    * dead state — version dirs, params, manifest, layout stamp — if a
+    * cutover has happened; a stale root `_CURRENT` left behind would
+    * make any read that bypassed the pointer target deleted state).
+    * Maintenance-window only: a serve that resolved the pointer before
+    * a concurrent cutover may still be reading the previous generation.
+    * Listed via the Hadoop FS abstraction (every other store path here)
+    * so non-local state dirs GC too.
     */
   def gcGenerations(spark: SparkSession, indexDir: String): Unit =
     liveGen(spark, indexDir).foreach { live =>
-      val root = new java.io.File(indexDir)
-      Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
-        val n = f.getName
+      val fs = BucketState.hadoopFs(spark, indexDir)
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
         val deadGen = n.startsWith("gen=") &&
           n.stripPrefix("gen=").toLongOption.exists(_ != live)
-        val deadRoot = n.startsWith("v=") || n == "params"
-        if (deadGen || deadRoot) graft.Shared.deleteDirTree(f.toString)
+        val deadRoot = n.startsWith("v=") || n == "params" ||
+          n == "_CURRENT" || n == "_LAYOUT"
+        if (deadGen || deadRoot) fs.delete(st.getPath, true)
       }
     }
 

@@ -111,6 +111,21 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
 
+  /** Exact brute-force top-k for an ARBITRARY query vector — the ground
+    * truth the recall probes (`graft.VecRecallProbe`) measure the ANN
+    * serving paths against. Same fixed-point cosine and (cos desc, id)
+    * tie-break as every serving path here, so recall is measured against
+    * the engine's own exact answer, bit-reproducibly.
+    */
+  private[graft] def bruteTopkForVec(s: SparkSession, dir: String,
+                                     qvec: Array[Double], k: Int = 10): DataFrame =
+    corpus(s, dir)
+      .withColumn("qv", typedLit(qvec.map(fxLong)))
+      .withColumn("cosine", cosNative(s, col("v"), col("qv")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+
   // DuckDB-side fixed-point componentization shared by the oracles.
   // generate_subscripts is 1-based; i0 aligns with Spark's 0-based lambdas.
   private[operators] val compCte =

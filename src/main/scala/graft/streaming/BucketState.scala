@@ -347,6 +347,44 @@ private[graft] object BucketState {
     }.reduce(_.unionByName(_))
   }
 
+  // ---- per-batch answer files staged inside the segment write ---------
+  //
+  // Every incremental index commits TWO durable artifacts per batch: the
+  // segment (bucket rows, folded away by compaction) and the batch's
+  // ANSWER (survivors / admitted / members — immutable per-batch files a
+  // replay returns and snapshots union). Writing them as two Spark jobs
+  // doubled the per-batch job count for what is one logical write; the
+  // answer rows now ride the SAME repartition+partitionBy job under the
+  // reserved bucket below, and [[claimAnswer]] renames that partition
+  // dir to its durable per-batch location BEFORE the manifest commit.
+  // Crash story unchanged: the manifest rename stays the only commit
+  // point, a crashed attempt's half-staged answer dir is overwritten by
+  // the replay (same per-batch path), and the orphan version dir is
+  // GC'd. The bucket number collides with nothing: data buckets are
+  // non-negative, tombstones are -1.
+
+  /** Reserved staging bucket for a batch's answer rows. */
+  val AnswerBucket = -2L
+
+  /** Move the staged answer partition out of `versionDir` to `destDir`.
+    * An absent partition (empty answer — every batch row rejected) writes
+    * an empty-but-readable parquet dir with `emptySchema` instead, so
+    * per-batch readers and glob unions over the answer root stay
+    * schema-stable.
+    */
+  def claimAnswer(spark: SparkSession, versionDir: String, destDir: String,
+                  emptySchema: org.apache.spark.sql.types.StructType): Unit = {
+    val fs = hadoopFs(spark, destDir)
+    val dest = new org.apache.hadoop.fs.Path(destDir)
+    fs.mkdirs(dest.getParent)
+    if (fs.exists(dest)) fs.delete(dest, true) // crashed prior attempt
+    val src = new org.apache.hadoop.fs.Path(s"$versionDir/p=$AnswerBucket")
+    if (fs.exists(src)) { fs.rename(src, dest); () }
+    else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+      .write.mode("overwrite").parquet(destDir)
+  }
+
   /** Buckets actually present under one version dir. */
   def listBuckets(spark: SparkSession, versionDir: String): Seq[Long] = {
     val fs = hadoopFs(spark, versionDir)
@@ -401,6 +439,7 @@ private[graft] object BucketState {
     val next = listBuckets(spark, s"$stateDir/v=$newVersion")
       .map(_ -> Set(newVersion)).toMap
     commitManifest(spark, stateDir, next, m.fp)
+    markGcDirty(stateDir) // superseded dirs exist until the sweep below
     gcVersions(spark, stateDir)
   }
 
@@ -453,6 +492,7 @@ private[graft] object BucketState {
         }.toMap
         commitManifest(spark, stateDir, merged, mNow.fp)
       }
+      markGcDirty(stateDir) // superseded dirs exist until the sweep below
       gcVersions(spark, stateDir)
     } finally releaseVersion(stateDir, newVersion)
   }
@@ -521,16 +561,50 @@ private[graft] object BucketState {
     * that could GC their dirs.
     */
   def gcVersions(spark: SparkSession, stateDir: String): Unit = {
-    val doomed = manifestLock(stateDir).synchronized {
+    val (doomed, sparedByLease) = manifestLock(stateDir).synchronized {
       val live = readManifest(spark, stateDir).buckets.values.flatten.toSet
-      val keep = live ++ inFlightVersions(stateDir) ++ leasedVersions(stateDir)
+      val hard = live ++ inFlightVersions(stateDir)
+      val leased = leasedVersions(stateDir)
       val fs = hadoopFs(spark, stateDir)
-      fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
+      val dead = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-        .filterNot(s => keep.contains(s.getPath.getName.stripPrefix("v=").toLong))
-        .map(_.getPath)
+        .filterNot(s => hard.contains(s.getPath.getName.stripPrefix("v=").toLong))
+      (dead.filterNot(s =>
+          leased.contains(s.getPath.getName.stripPrefix("v=").toLong))
+          .map(_.getPath),
+        dead.exists(s =>
+          leased.contains(s.getPath.getName.stripPrefix("v=").toLong)))
     }
+    // dirty-state bookkeeping for gcVersionsIfDirty: a lease-spared dead
+    // dir means work remains (some later GC must retry); a clean sweep
+    // means hot-path callers can skip their GC until a fold dirties the
+    // dir again
+    if (sparedByLease) gcClean.remove(stateDir) else gcClean.put(stateDir, ())
     val fs = hadoopFs(spark, stateDir)
     doomed.foreach(p => fs.delete(p, true))
   }
+
+  // ---- conditional GC for the ingest hot path -------------------------
+  // An APPEND-ONLY ingest never supersedes a version dir, so its
+  // end-of-batch gcVersions finds garbage only when (a) a fold completed
+  // mid-ingest and this ingest's own lease spared the folded dirs, or
+  // (b) a prior process crashed mid-stage. Both are rare next to the
+  // per-drop cadence, and the unconditional GC costs a locked manifest
+  // read + a full dir listing per batch per store. `gcClean` tracks
+  // "the last GC swept everything" per state dir; folds clear it when
+  // they supersede dirs, and a fresh process starts with it empty so the
+  // first call always does a real sweep (covering crash orphans).
+  private val gcClean =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Mark `stateDir` as needing a GC pass (folds call this when they
+    * supersede version dirs).
+    */
+  def markGcDirty(stateDir: String): Unit = gcClean.remove(stateDir)
+
+  /** [[gcVersions]] unless the dir is known-clean: the last sweep
+    * deleted everything dead, and no fold has superseded dirs since.
+    */
+  def gcVersionsIfDirty(spark: SparkSession, stateDir: String): Unit =
+    if (!gcClean.contains(stateDir)) gcVersions(spark, stateDir)
 }

@@ -44,7 +44,10 @@ while :; do
   # sweeping the previous attempt's dir keeps the box bounded
   LOCAL="$BASE/spark-local-$attempt"
   rm -rf "$BASE/spark-local-$((attempt - 1))"
-  SPARK_GRAFT_CPUS=$CPUS java $ADD_OPENS -Xmx24g \
+  # SPARK_GRAFT_CHAOS makes the soak SIGKILL itself once at the vector
+  # cutover's pre-rename seam (marker-guarded), so one kill is always
+  # guaranteed to land mid-cutover regardless of the random schedule
+  SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_CHAOS=1 java $ADD_OPENS -Xmx24g \
     -Dspark.ui.enabled=false -Dspark.local.dir="$LOCAL" \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
     graft.PipelineSoak "$DOCS" "$BATCHES" "$BASE/work" 0.5 \
@@ -69,6 +72,17 @@ while :; do
   fi
   wait $pid
   rc=$?
+  # the soak's own mid-cutover SIGKILL (SPARK_GRAFT_CHAOS): count it as a
+  # kill and relaunch into the same dir — the marker survives, so it
+  # fires exactly once per corpus
+  if [ $rc -ne 0 ] && [ -f "$BASE/work/_CHAOS_CUT_DONE" ] && \
+     [ ! -f "$BASE/work/_CHAOS_CUT_ACK" ]; then
+    touch "$BASE/work/_CHAOS_CUT_ACK"
+    kills=$((kills + 1))
+    kill_pts+=('"cutover"')
+    echo "[chaos] attempt $attempt: self-SIGKILL mid-cutover (kill $kills/$KILLS)"
+    continue
+  fi
   line=$(grep -h '"metric":"pipeline_soak"' "$LOG" | tail -1)
   if [ $rc -eq 0 ] && [ -n "$line" ]; then
     if [ "$kills" -lt "$KILLS" ]; then
@@ -79,12 +93,12 @@ while :; do
       continue
     fi
     elapsed=$(( $(date +%s) - t0 ))
-    diffs=$(echo "$line" | python3 -c 'import sys,json; d=json.load(sys.stdin); print(d["pipeline_diff"], d["kb_diff"], d.get("decon_diff", 0), d.get("vec_diff", 0))')
-    read -r pd kd dd vd <<<"$diffs"
-    printf '{"metric":"chaos_soak","docs":%s,"batches":%s,"kills":%s,"attempts":%s,"seed":%s,"kill_delays_s":[%s],"pipeline_diff":%s,"kb_diff":%s,"decon_diff":%s,"vec_diff":%s,"elapsed_s":%s,"final":%s}\n' \
+    diffs=$(echo "$line" | python3 -c 'import sys,json; d=json.load(sys.stdin); print(d["pipeline_diff"], d["kb_diff"], d.get("decon_diff", 0), d.get("vec_diff", 0), d.get("retract_diff", 0))')
+    read -r pd kd dd vd rd <<<"$diffs"
+    printf '{"metric":"chaos_soak","docs":%s,"batches":%s,"kills":%s,"attempts":%s,"seed":%s,"kill_delays_s":[%s],"pipeline_diff":%s,"kb_diff":%s,"decon_diff":%s,"vec_diff":%s,"retract_diff":%s,"elapsed_s":%s,"final":%s}\n' \
       "$DOCS" "$BATCHES" "$kills" "$attempt" "$SEED" \
-      "$(IFS=,; echo "${kill_pts[*]-}")" "$pd" "$kd" "$dd" "$vd" "$elapsed" "$line" | tee "$OUT"
-    [ "$pd" = "0" ] && [ "$kd" = "0" ] && [ "$dd" = "0" ] && [ "$vd" = "0" ] && exit 0
+      "$(IFS=,; echo "${kill_pts[*]-}")" "$pd" "$kd" "$dd" "$vd" "$rd" "$elapsed" "$line" | tee "$OUT"
+    [ "$pd" = "0" ] && [ "$kd" = "0" ] && [ "$dd" = "0" ] && [ "$vd" = "0" ] && [ "$rd" = "0" ] && exit 0
     echo "[chaos] NONZERO DIFF — state diverged after replay" >&2
     exit 1
   fi
