@@ -388,6 +388,18 @@ object IncrementalVecIndex {
     } finally BucketState.releaseReads(lease)
   }
 
+  /** Segment fold for the LIVE generation — the safe compaction entry
+    * for this store: callers must never compact the ROOT of a cut-over
+    * index (its manifest is dead state — the fold would rewrite deleted
+    * or superseded dirs and GC against the wrong manifest). Resolves
+    * the generation pointer, then dispatches the standard concurrent
+    * fold with this store's tombstone resolve.
+    */
+  def maybeCompactConcurrent(spark: SparkSession, indexDir: String,
+                             async: Boolean = false): Unit =
+    BucketState.maybeCompactConcurrent(spark, liveDir(spark, indexDir), async,
+      resolve = Retraction.foldTombstones(_, "vec_id"))
+
   /** Build generation N+1 from the accumulated corpus and atomically cut
     * the serving pointer over to it. The old generation serves every
     * read until the ONE rename of `_GEN`; the new generation's manifest
