@@ -66,20 +66,29 @@ object VecRecallProbe {
       operators.IncrementalVecIndex.ingest(spark, indexDir,
         vecs.filter(col("vec_id") > mid), 1).count()
     }
-    // (nProbe -> (recall@10, serve seconds for the 24 queries))
-    def curve(): Seq[(Int, Double, Double)] = probes.map { np =>
-      val ((hits, _), tServe) = timed {
+    // (axis value -> (recall@10, serve seconds for the 24 queries))
+    def curveAt(np: Int, rr: Int): (Double, Double) = {
+      val (r, tServe) = timed {
         val perQ = queries.zip(exact).map { case (q, ex) =>
           val got = operators.IncrementalVecIndex
-            .searchTopk(spark, indexDir, sfDir, q, nProbe = np)
+            .searchTopk(spark, indexDir, sfDir, q, nProbe = np, rerank = rr)
             .collect().map(_.getLong(0)).toSet
           ex.count(got.contains).toDouble / 10.0
         }
-        (perQ.sum / perQ.length, perQ.length)
+        perQ.sum / perQ.length
       }
-      (np, hits, tServe)
+      (r, tServe)
+    }
+    def curve(): Seq[(Int, Double, Double)] = probes.map { np =>
+      val (r, t) = curveAt(np, operators.Similarity.PqRerank)
+      (np, r, t)
     }
     val (g1, tG1) = timed(curve())
+    // the SECOND recall/latency axis at the documented operating width
+    // (nProbe=8): widen the ADC→exact re-rank cut — isolates how much
+    // of the residual miss is the candidate cut vs PQ quantization
+    val reranks = Seq(100, 400, 1600)
+    val rrCurve = reranks.map { rr => val (r, t) = curveAt(8, rr); (rr, r, t) }
     val (_, tCutover) = timed(
       operators.IncrementalVecIndex.cutover(spark, indexDir, vecs))
     operators.IncrementalVecIndex.gcGenerations(spark, indexDir)
@@ -92,6 +101,8 @@ object VecRecallProbe {
       s""""queries":${queries.length},"probes":[${probes.mkString(",")}],""" +
       s""""recall10_gen1":${fmt(g1, t => f"${t._2}%.4f")},""" +
       s""""recall10_gen2":${fmt(g2, t => f"${t._2}%.4f")},""" +
+      s""""recall10_gen1_rerank_np8":${fmt(rrCurve, t => f"${t._2}%.4f")},""" +
+      s""""serve24_rerank_np8_sec":${fmt(rrCurve, t => f"${t._3}%.1f")},""" +
       s""""serve24_gen1_sec":${fmt(g1, t => f"${t._3}%.1f")},""" +
       s""""serve24_gen2_sec":${fmt(g2, t => f"${t._3}%.1f")},""" +
       s""""exact_sec":${f"$tExact%.1f"},"ingest_sec":${f"$tIngest%.1f"},""" +

@@ -341,9 +341,15 @@ object IncrementalVecIndex {
     * [[Similarity.annIvfPqTopkFromIndexForVec]] over the incremental
     * store instead of the one-shot layout.
     */
+  /** `rerank`: ADC candidates kept for the exact re-rank — the second
+    * recall/latency knob beside `nProbe` (default = the one-shot
+    * indexes' constant, which every driver oracle bakes in; the 2M
+    * operating-point curve in `tools/` measures both axes).
+    */
   def searchTopk(s: SparkSession, indexDirIn: String, dir: String,
                  qvec: Array[Double], nProbe: Int = NProbe,
-                 excludeId: Option[Long] = None): DataFrame = {
+                 excludeId: Option[Long] = None,
+                 rerank: Int = Similarity.PqRerank): DataFrame = {
     val indexDir = liveDir(s, indexDirIn)
     val p = readParams(s, indexDir)
     require(qvec.length == Similarity.PqM * Similarity.PqSub,
@@ -378,7 +384,7 @@ object IncrementalVecIndex {
       val tables = Similarity.pqTablesFor(p.codebooks, qvec)
       val candidates = base
         .select(col("vec_id"), Similarity.adcDot(tables).as("adot"))
-        .orderBy(col("adot").desc, col("vec_id")).limit(Similarity.PqRerank)
+        .orderBy(col("adot").desc, col("vec_id")).limit(rerank)
       broadcast(candidates).join(Similarity.corpus(s, dir), "vec_id")
         .withColumn("qv", typedLit(qFx))
         .withColumn("cosine", Similarity.cosNative(s, col("v"), col("qv")))

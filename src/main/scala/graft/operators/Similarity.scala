@@ -485,7 +485,7 @@ object Similarity {
   // ------------------------------------------- product quantization
   private[operators] val PqM = 16      // subspaces (64 dims → 4-dim subvectors)
   private[operators] val PqK = 16      // codewords per subspace
-  private[operators] val PqRerank = 100 // ADC candidates kept for exact re-rank
+  private[graft] val PqRerank = 100 // ADC candidates kept for exact re-rank
 
   /** Deterministic local Lloyd's k-means over the (bounded) training
     * sample: seeded-shuffle init, first-min assignment, empty clusters
