@@ -341,7 +341,26 @@ object IncrementalNearDup {
     // candidate join; under a biting cap also withPred's bucket-count
     // aggregate), and the pruned read re-opens touched segment files
     // otherwise; released before return — the edge results are
-    // checkpointed, so the release cannot cascade into them
+    // checkpointed, so the release cannot cascade into them.
+    //
+    // RESTRICTED TO BATCH-TOUCHED (band,bh) GROUPS — an EXACT
+    // refinement, not an approximation: every consumer of this frame is
+    // group-scoped to the batch's rows (pred counts stored predecessors
+    // of a BATCH row's group; the saturation predicate and the rescue
+    // are defined over batch rows; the candidate join's equi-keys are
+    // the batch's groups; the probe mask only reads groups where a
+    // batch row exists). Bucket pruning bounds the READ to touched
+    // buckets, but within them the stored-vs-batch group overlap is the
+    // real working set — measured 2.2% of stored band rows at the 1M
+    // soak's 16th drop (137,862 batch groups selecting 45,885 of 2.1M
+    // stored rows), so the guard aggregate and the join build side
+    // shrink ~45×. The semi-join is left to AQE: a drop-sized key set
+    // broadcasts (~5 MB at 1M-scale drops); a decade-scale drop falls
+    // back to a shuffle that replaces the one the guard's groupBy paid
+    // anyway. NOTE the guard's maxOcc trace therefore reports the max
+    // over BATCH-TOUCHED groups (the only ones that can saturate a
+    // batch row) — stored-only groups no longer inflate it.
+    val batchGroups = bands.select(col("band"), col("bh")).distinct()
     val prevBands = Retraction.maskIfAny(
       ownRowsExcluded(
         BucketState.readBuckets(spark, indexDir,
@@ -350,6 +369,7 @@ object IncrementalNearDup {
         col("doc_id"))
         .select(col("band"), col("bh"), col("doc_id")),
       tombs, "doc_id")
+      .join(batchGroups, Seq("band", "bh"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // Serialized persistence for SCRATCH frames (released in this scope);
     // eager LOCAL CHECKPOINTS for the frames that outlive it (the edge
