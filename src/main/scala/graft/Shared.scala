@@ -121,6 +121,9 @@ object Shared {
     * break.
     */
   def deleteDirTree(path: String): Unit = {
+    // any session read view rooted under the dying tree goes with it —
+    // its leases and leaf blocks would otherwise pin deleted state
+    graft.streaming.BucketState.invalidateViewsUnder(path)
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -140,6 +143,10 @@ object Shared {
     * lineage is truncated, so its blocks must outlive its readers.
     */
   def releaseTransient(s: SparkSession): Unit = {
+    // retire session read views first so their leases, leaf-id registry,
+    // and blocks release coherently (the raw sweep below would strand
+    // the registry entries while killing the blocks)
+    graft.streaming.BucketState.invalidateAllViews()
     val appId = s.sparkContext.applicationId
     s.sparkContext.getPersistentRDDs.valuesIterator
       .filter(r => !shared.contains((appId, r.id)))

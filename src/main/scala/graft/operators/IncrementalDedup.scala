@@ -116,8 +116,12 @@ object IncrementalDedup {
           case BucketState.Proceed(proposed) =>
             val physicalVersion = BucketState.reserveVersion(indexDir, proposed)
             try {
-              val prev = BucketState.readBuckets(spark, indexDir,
-                m.buckets.view.filterKeys(touched).toMap, emptyIdx(spark))
+              // manifest-keyed session view: per drop the registry read
+              // is one batch-sized delta leaf, the touched prune an
+              // in-memory filter (see BucketState.readStoreView)
+              val prev = BucketState
+                .readStoreView(spark, indexDir, m, emptyIdx(spark))
+                .filter(col("p").isin(touched.toSeq: _*))
               // surviving view: stored tombstones ∪ this batch's own
               // retraction set mask the fingerprint registry BEFORE the
               // batch's admissions (on replay the batch's tombstones are

@@ -313,9 +313,16 @@ object IncrementalKeepBest {
             // ingests, so the diff captures only this thread's blocks)
             val before = sc.getPersistentRDDs.keySet.toSet
             try {
+              // all stored reads in this ingest go through the manifest-
+              // keyed session view (BucketState.readStoreView): per drop
+              // the parquet cost is one batch-sized delta leaf and every
+              // bucket prune an in-memory filter; this store's tracked-
+              // diff scratch sweeps subtract viewRddIds so the view's
+              // blocks survive them
+              val view = BucketState.readStoreView(spark, indexDir, m,
+                emptyIdx(spark))
               def readKind(buckets: Set[Long], kind: Long): DataFrame =
-                BucketState.readBuckets(spark, indexDir,
-                  m.buckets.view.filterKeys(buckets).toMap, emptyIdx(spark))
+                view.filter(col("p").isin(buckets.toSeq: _*))
                   .filter(col("band") === kind)
 
               // ---- edge discovery -----------------------------------
@@ -348,8 +355,7 @@ object IncrementalKeepBest {
                   val batchGroups = bands.select(col("band"), col("bh"))
                     .distinct()
                   val prevBands = Retraction.maskIfAny(
-                      BucketState.readBuckets(spark, indexDir,
-                        m.buckets.view.filterKeys(touched).toMap, emptyIdx(spark))
+                      view.filter(col("p").isin(touched.toSeq: _*))
                       .filter(col("band") >= 0)
                       .select(col("band"), col("bh"), col("doc_id")),
                       tombs, "doc_id")
@@ -703,9 +709,13 @@ object IncrementalKeepBest {
                 // tracking: nothing in this store's protocol persists RDDs
                 // concurrently (compactConcurrent is a pure read→write and
                 // the single-writer contract excludes other ingests), so
-                // the diff captures only this thread's checkpoint blocks)
+                // the diff captures only this thread's checkpoint blocks —
+                // MINUS the session view's leaves, whose blocks this
+                // ingest materialized inside the window but which outlive
+                // the batch by design (BucketState.viewRddIds)
                 lab.unpersist()
-                (sc.getPersistentRDDs.keySet.toSet -- before)
+                (sc.getPersistentRDDs.keySet.toSet -- before --
+                    BucketState.viewRddIds)
                   .foreach(id => sc.getPersistentRDDs.get(id)
                     .foreach(_.unpersist(blocking = false)))
                 seenLab.unpersist()
@@ -776,8 +786,11 @@ object IncrementalKeepBest {
         col("best.score").as("score"), col("n_members"))
       .orderBy(col("cluster"))
     // snapshot the pinned-block diff BEFORE checkpointing: the local
-    // checkpoint's own blocks back `rows` and must outlive this call
-    val pinned = sc.getPersistentRDDs.keySet.toSet -- before
+    // checkpoint's own blocks back `rows` and must outlive this call;
+    // session-view leaves materialized by a concurrent ingest are not
+    // this pass's scratch — spare them (BucketState.viewRddIds)
+    val pinned = sc.getPersistentRDDs.keySet.toSet -- before --
+      BucketState.viewRddIds
     // materialize before releasing the backing blocks
     val rows = out.localCheckpoint(eager = true)
     all.unpersist()

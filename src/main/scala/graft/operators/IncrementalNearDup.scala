@@ -361,10 +361,15 @@ object IncrementalNearDup {
     // over BATCH-TOUCHED groups (the only ones that can saturate a
     // batch row) — stored-only groups no longer inflate it.
     val batchGroups = bands.select(col("band"), col("bh")).distinct()
+    // all stored reads below go through the manifest-keyed session view
+    // (BucketState.readStoreView): per drop the parquet cost is one
+    // batch-sized delta leaf; the touched/sig/sk bucket prunes become
+    // in-memory filters over the cached rows — same rows, same plans
+    // downstream (StoreViewSpec pins view ≡ direct)
+    val view = BucketState.readStoreView(spark, indexDir, m, emptyIdx)
     val prevBands = Retraction.maskIfAny(
       ownRowsExcluded(
-        BucketState.readBuckets(spark, indexDir,
-            m.buckets.view.filterKeys(touched).toMap, emptyIdx)
+        view.filter(col("p").isin(touched.toSeq: _*))
           .filter(col("band") >= 0),
         col("doc_id"))
         .select(col("band"), col("bh"), col("doc_id")),
@@ -510,8 +515,7 @@ object IncrementalNearDup {
             // oracle replays
             val storedMin = Retraction.maskIfAny(
               ownRowsExcluded(
-                BucketState.readBuckets(spark, indexDir,
-                    m.buckets.view.filterKeys(skBuckets).toMap, emptyIdx)
+                view.filter(col("p").isin(skBuckets.toSeq: _*))
                   .filter(col("band") === -4L),
                 col("doc_id")),
               tombs, "doc_id")
@@ -546,8 +550,7 @@ object IncrementalNearDup {
           else tr("cand_probe")(cand
             .select(sigBucketOf(col("seen_id"), nBuckets).as("p"))
             .distinct().collect().map(_.getLong(0)).toSet)
-        val seenSigs = BucketState.readBuckets(spark, indexDir,
-            m.buckets.view.filterKeys(sigBuckets).toMap, emptyIdx)
+        val seenSigs = view.filter(col("p").isin(sigBuckets.toSeq: _*))
           .filter(col("band") === -1L)
           .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
         val candB = elig.as("x").join(

@@ -137,6 +137,200 @@ private[graft] object BucketState {
     readLeases.values.collect { case (d, vs) if d == stateDir => vs }
       .foldLeft(Set.empty[Long])(_ ++ _)
 
+  // ---- single-writer session read view --------------------------------
+  //
+  // The ingest hot loop re-reads the SAME immutable segments every drop:
+  // at the 1M pipeline soak the near-dup band store is ~2.1M rows by
+  // drop 16 and the touched-bucket parquet read dominates the guard job
+  // (traced 0.9 → 3.0 s/drop) even though all but the newest segment's
+  // bytes were read last drop. Segments are immutable and the manifest
+  // is the single source of truth for which (version, bucket) pairs are
+  // live, so the manifest IS a cache key: this view caches the store's
+  // rows as persisted in-memory leaves and maintains them incrementally —
+  //
+  //  - manifest unchanged            → the cached frame, zero I/O;
+  //  - segments APPENDED (a commit)  → read only the delta pairs, one
+  //    more persisted leaf unioned on (bounded by [[MaxViewLeaves]],
+  //    and folds reset it long before the bound at normal cadences);
+  //  - pairs REMOVED (fold/compact)  → full reset from parquet — the
+  //    folded store is exactly one segment, so the reset read is the
+  //    small one.
+  //
+  // Exactness: the view frame is readBuckets over the same manifest —
+  // identical rows, so every consumer (guards, anti-joins, masks) is
+  // bit-identical with the direct read; StoreViewSpec pins it across
+  // appends, folds, and retractions. Scale shape: the leaves live in
+  // executor block storage (MEMORY_AND_DISK_SER), exactly an LSM block
+  // cache distributed over the cluster; the per-drop read cost drops
+  // from O(store) to O(batch).
+  //
+  // Safety contracts, in the order they bite:
+  //  - SINGLE WRITER per state dir (the checkpoint contract, declared
+  //    since r9): a foreign writer's commit changes the manifest, which
+  //    misses the cache and resets the view — stale data is impossible,
+  //    only stale MEMORY would be, and the key prevents that.
+  //  - GC: each view holds a read lease on every version it references
+  //    (registered under the manifest lock, like every other lease), so
+  //    a concurrent fold's GC spares the dirs backing un-materialized or
+  //    evicted-and-recomputing blocks; the lease moves to the new
+  //    version set on every view update.
+  //  - Block loss is SAFE, not fatal: leaves are persist()ed, never
+  //    localCheckpoint()ed, so a lost block recomputes from the leased
+  //    parquet files.
+  //  - The keep-best store releases batch scratch as a tracked
+  //    getPersistentRDDs DIFF; view leaves materialized inside that
+  //    window must survive it, so their cached-RDD ids are registered in
+  //    [[viewRddIds]] and the sweeps subtract them.
+  //
+  // Opt-out: spark.graft.store.readCache=false restores direct reads.
+
+  private final class ViewLeaf(val df: DataFrame) {
+    @volatile var rddIds: Set[Int] = Set.empty
+  }
+  private final case class StoreView(pairs: Set[(Long, Long)],
+                                     frame: DataFrame,
+                                     leaves: List[ViewLeaf],
+                                     leaseId: Long) {
+    @volatile var lastUse: Long = System.nanoTime()
+  }
+  private val storeViews =
+    scala.collection.concurrent.TrieMap.empty[String, StoreView]
+  private val viewRdds =
+    scala.collection.concurrent.TrieMap.empty[Int, Unit]
+  // last pair set served per dir while NOT caching: a view is only built
+  // once a dir shows the streaming signature — a second read whose pairs
+  // EXTEND the first's. A one-shot chunked query (two ingests, one
+  // stored read) never caches, so it never pays the view's extra
+  // store materialization — at the 5M-doc decade rung that
+  // materialization would be the dominant new cost for zero reuse.
+  // Folds seed this with the folded pairs (compact/compactConcurrent),
+  // so a post-fold stream resumes caching on its first read.
+  private val lastSeen =
+    scala.collection.concurrent.TrieMap.empty[String, Set[(Long, Long)]]
+  /** Union-tree depth bound before a full reset re-bases the view. */
+  private val MaxViewLeaves = 8
+  /** Live views bound — one-shot driver queries churn temp store dirs. */
+  private val MaxViews = 8
+
+  /** Cached-RDD ids owned by live view leaves — tracked-diff scratch
+    * sweeps (IncrementalKeepBest) must spare these blocks.
+    */
+  def viewRddIds: Set[Int] = viewRdds.keySet.toSet
+
+  /** Is a view live for `stateDir`? (spec visibility — the one-shot
+    * chunked-query pattern must NEVER build one.)
+    */
+  def hasView(stateDir: String): Boolean = storeViews.contains(stateDir)
+
+  private def releaseView(v: StoreView): Unit = {
+    releaseReads(v.leaseId)
+    v.leaves.foreach { l =>
+      l.rddIds.foreach(viewRdds.remove)
+      l.df.unpersist(blocking = false)
+    }
+  }
+
+  /** Drop the cached view for `stateDir` (callers that DELETE a store
+    * dir outright — temp indexes — release its pinned blocks here;
+    * normal folds/commits invalidate by manifest key change instead).
+    */
+  def invalidateView(stateDir: String): Unit = {
+    val old = manifestLock(stateDir).synchronized {
+      lastSeen.remove(stateDir)
+      storeViews.remove(stateDir)
+    }
+    old.foreach(releaseView)
+  }
+
+  /** Drop every view rooted under `path` — a recursive scratch-dir
+    * delete (Shared.deleteDirTree) may hold several store dirs.
+    */
+  def invalidateViewsUnder(path: String): Unit =
+    storeViews.keys.toList
+      .filter(d => d == path || d.startsWith(path + "/"))
+      .foreach(invalidateView)
+
+  /** Release every live view (between-query cleanup in Verify/Bench —
+    * Shared.releaseTransient — so leases and leaf blocks go together).
+    */
+  def invalidateAllViews(): Unit =
+    storeViews.keys.toList.foreach(invalidateView)
+
+  /** The store's rows under manifest `m` as a session-cached frame (all
+    * buckets, `p` column included — callers filter). Falls back to a
+    * direct [[readBuckets]] when disabled. See the section comment for
+    * the maintenance and safety story.
+    */
+  def readStoreView(spark: SparkSession, stateDir: String, m: Manifest,
+                    empty: => DataFrame): DataFrame = {
+    if (!spark.conf.getOption("spark.graft.store.readCache")
+          .forall(_.toBoolean))
+      return readBuckets(spark, stateDir, m.buckets, empty)
+    val want: Set[(Long, Long)] = m.buckets.toSeq
+      .flatMap { case (b, vs) => vs.map(v => (v, b)) }.toSet
+    if (want.isEmpty) return empty
+    var toRelease: Option[StoreView] = None
+    var newLeaf: Option[ViewLeaf] = None
+    val frame = manifestLock(stateDir).synchronized {
+      storeViews.get(stateDir) match {
+        case Some(v) if v.pairs == want =>
+          v.lastUse = System.nanoTime()
+          v.frame
+        case None if !lastSeen.get(stateDir)
+              .exists(s => s.nonEmpty && s.subsetOf(want)) =>
+          // no streaming signature yet: serve direct, remember the pairs
+          lastSeen.put(stateDir, want)
+          return readBuckets(spark, stateDir, m.buckets, empty)
+        case prev =>
+          // reusable base: current pairs extend it and the union tree
+          // has room; otherwise (a fold removed pairs, or depth bound)
+          // full reset — release the old leaves once the swap is done
+          val base = prev.filter(p =>
+            p.pairs.subsetOf(want) && p.leaves.size < MaxViewLeaves)
+          val delta = base.fold(want)(b => want -- b.pairs)
+          val deltaManifest: Map[Long, Set[Long]] = delta.groupBy(_._2)
+            .view.mapValues(_.map(_._1)).toMap
+          val leaf = new ViewLeaf(
+            readBuckets(spark, stateDir, deltaManifest, empty)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+          val merged = base.fold(leaf.df)(_.frame.unionByName(leaf.df))
+          // lease BEFORE releasing the old one: version sets overlap on
+          // the append path, so the dirs stay pinned across the swap
+          val lease = leaseReads(stateDir, want.map(_._1))
+          prev.foreach { p =>
+            if (base.isEmpty) toRelease = Some(p)
+            else releaseReads(p.leaseId)
+          }
+          newLeaf = Some(leaf)
+          val view = StoreView(want, merged,
+            leaf :: base.fold(List.empty[ViewLeaf])(_.leaves), lease)
+          storeViews.put(stateDir, view)
+          merged
+      }
+    }
+    toRelease.foreach(releaseView)
+    // materialize the new leaf OUTSIDE the lock (seconds-long on a
+    // reset; the lease already pins its files) and claim its cached-RDD
+    // ids — the before/after diff brackets only this count, and a
+    // foreign id raced into the window costs one spared-scratch leak,
+    // never a correctness miss
+    newLeaf.foreach { l =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      l.df.count()
+      val ids = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      l.rddIds = ids
+      ids.foreach(viewRdds.put(_, ()))
+    }
+    // bound live views across store dirs (temp-dir churn in the driver
+    // queries): evict the least-recently-used OTHER dir, outside our
+    // lock — invalidateView takes the victim's own
+    if (storeViews.size > MaxViews)
+      storeViews.toSeq.filter(_._1 != stateDir)
+        .sortBy(_._2.lastUse).headOption
+        .foreach { case (dir, _) => invalidateView(dir) }
+    frame
+  }
+
   /** FileSystem for a path via the session's Hadoop conf — works for
     * local, HDFS, and object-store state dirs alike (java.io.File would
     * silently see "no state" on any non-local URI and discard prior state).
@@ -439,6 +633,13 @@ private[graft] object BucketState {
     val next = listBuckets(spark, s"$stateDir/v=$newVersion")
       .map(_ -> Set(newVersion)).toMap
     commitManifest(spark, stateDir, next, m.fp)
+    // the session view is stale by key after the fold (its pairs were
+    // just superseded) — retire it NOW so its lease doesn't defer the
+    // GC below, and seed the streaming signature with the folded pairs
+    // so a live stream resumes caching on its first post-fold read
+    invalidateView(stateDir)
+    lastSeen.put(stateDir,
+      next.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) }.toSet)
     markGcDirty(stateDir) // superseded dirs exist until the sweep below
     gcVersions(spark, stateDir)
   }
@@ -481,17 +682,26 @@ private[graft] object BucketState {
         .parquet(s"$stateDir/v=$newVersion")
       val outBuckets = listBuckets(spark, s"$stateDir/v=$newVersion").toSet
       beforeSwap()
-      manifestLock(stateDir).synchronized {
+      val merged = manifestLock(stateDir).synchronized {
         val mNow = readManifest(spark, stateDir)
-        val merged = (mNow.buckets.keySet ++ outBuckets).flatMap { b =>
+        val out = (mNow.buckets.keySet ++ outBuckets).flatMap { b =>
           val late = mNow.buckets.getOrElse(b, Set.empty[Long]) --
             m.buckets.getOrElse(b, Set.empty[Long])
           val segs = late ++
             (if (outBuckets.contains(b)) Set(newVersion) else Set.empty[Long])
           if (segs.isEmpty) None else Some(b -> segs)
         }.toMap
-        commitManifest(spark, stateDir, merged, mNow.fp)
+        commitManifest(spark, stateDir, out, mNow.fp)
+        out
       }
+      // retire the (now stale-by-key) session view so its lease doesn't
+      // defer the sweep, and seed the streaming signature with the
+      // folded pairs so the live stream resumes caching on its first
+      // post-fold read; a concurrent ingest mid-read is safe — blocks
+      // recompute from files its OWN lease still pins
+      invalidateView(stateDir)
+      lastSeen.put(stateDir, merged.toSeq
+        .flatMap { case (b, vs) => vs.map(v => (v, b)) }.toSet)
       markGcDirty(stateDir) // superseded dirs exist until the sweep below
       gcVersions(spark, stateDir)
     } finally releaseVersion(stateDir, newVersion)
