@@ -325,6 +325,36 @@ object IncrementalDedup {
       |       CAST(MIN(doc_id) AS BIGINT) AS doc_id
       |FROM docs GROUP BY 1 ORDER BY fp""".stripMargin
 
+  /** Driver-facing demonstration of the STREAMING read path: the same
+    * corpus in FOUR ascending quartile chunks. From the third chunk on,
+    * the ingest's stored read runs against the manifest-keyed session
+    * view ([[graft.streaming.BucketState.readStoreView]] — the second
+    * EXTENDING read is the streaming signature that builds it; the
+    * fourth chunk appends one delta leaf), so the DuckDB equality gates
+    * the cached-read path itself, where the 2-chunk `dedup_incremental`
+    * stays on the direct read by the same heuristic. Ascending chunks
+    * keep the final registry provably equal to the one-shot answer, so
+    * the oracle is shared.
+    */
+  def dedupIncrementalStream(s: SparkSession, dir: String): DataFrame = {
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-increm-stream").toString
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val cuts = Seq(lo - 1) ++ (1 to 3).map(i => lo + (hi - lo) * i / 4) ++
+      Seq(hi)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      ingest(s, indexDir,
+        docs.filter(col("doc_id") > a && col("doc_id") <= b),
+        batchId = i, nBuckets = 16).count()
+    }
+    val out = snapshot(s, indexDir).orderBy(col("fp"))
+      .localCheckpoint(eager = true)
+    graft.Shared.deleteDirTree(indexDir)
+    out
+  }
+
   /** Driver-facing demonstration of DELETION: chunk 1 (ids ≤ mid)
     * ingests, then chunk 2 arrives WITH a takedown of every chunk-1 id
     * divisible by 5 — the tombstones commit with chunk 2's batch and
@@ -383,9 +413,14 @@ object IncrementalDedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_stream" -> (dedupIncrementalStream _),
     "dedup_incremental_retract" -> (dedupIncrementalRetract _))
 
   val oracles: Map[String, String] = Map(
     "dedup_incremental" -> dedupIncrementalSql,
+    // the 4-chunk stream form converges to the same one-shot answer —
+    // the shared oracle IS the statement that chunking (and the cached
+    // read path it exercises) is invisible in the result
+    "dedup_incremental_stream" -> dedupIncrementalSql,
     "dedup_incremental_retract" -> dedupIncrementalRetractSql)
 }

@@ -894,6 +894,37 @@ object IncrementalNearDup {
        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM sig
        |WHERE doc_id NOT IN (SELECT doc_b FROM mh_pairs)
        |ORDER BY doc_id""".stripMargin
+
+  /** Driver-facing demonstration of the STREAMING read path: the same
+    * corpus in FOUR ascending quartile chunks. From the third chunk on,
+    * every stored read of this store — the band rows feeding the guard
+    * and candidate join, the sig-bucket probe, the rescue anchors — runs
+    * against the manifest-keyed session view
+    * ([[graft.streaming.BucketState.readStoreView]]; the 2-chunk
+    * `dedup_neardup_incremental` stays direct by the streaming-signature
+    * heuristic). The declared capped-graph semantics are defined over
+    * the GLOBAL ascending-doc_id order (rn per (band,bh), not per
+    * batch), so the admitted set is chunking-invariant and the oracle is
+    * shared — the equality gates the cached read path bit-for-bit.
+    */
+  def nearDupStream(s: SparkSession, dir: String): DataFrame = {
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-neardup-stream").toString
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val cuts = Seq(lo - 1) ++ (1 to 3).map(i => lo + (hi - lo) * i / 4) ++
+      Seq(hi)
+    val parts = cuts.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      ingest(s, indexDir,
+        docs.filter(col("doc_id") > a && col("doc_id") <= b),
+        batchId = i, nBuckets = 16)
+    }.toSeq
+    val out = parts.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+      .localCheckpoint(eager = true)
+    graft.Shared.deleteDirTree(indexDir)
+    out
+  }
     // admitted universe is SIG (docs that produce band rows), not DOCS:
     // a <3-token or null-text doc has no shingles, hence no signature and
     // no band rows, and the ingest (which derives admission from band
@@ -1046,9 +1077,14 @@ object IncrementalNearDup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_neardup_incremental" -> (nearDupIncremental _),
+    "dedup_neardup_stream" -> (nearDupStream _),
     "dedup_neardup_retract" -> (nearDupRetract _))
 
   val oracles: Map[String, String] = Map(
     "dedup_neardup_incremental" -> nearDupIncrementalSql,
+    // the 4-chunk stream form: the capped graph is declared over the
+    // global ascending order, so chunking (and the session read view it
+    // exercises from chunk 3 on) is invisible in the admitted set
+    "dedup_neardup_stream" -> nearDupIncrementalSql,
     "dedup_neardup_retract" -> nearDupRetractSql)
 }
