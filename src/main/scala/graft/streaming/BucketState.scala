@@ -292,6 +292,11 @@ private[graft] object BucketState {
             .view.mapValues(_.map(_._1)).toMap
           val leaf = new ViewLeaf(
             readBuckets(spark, stateDir, deltaManifest, empty)
+              // SER: a deserialized-level A/B at the 1M soak was
+              // timing-neutral (3,422 vs 3,207–3,542 docs/s spread,
+              // same guard trend), so the smaller footprint wins —
+              // at the decade the store's leaves must share executor
+              // memory with everything else
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
           val merged = base.fold(leaf.df)(_.frame.unionByName(leaf.df))
           // lease BEFORE releasing the old one: version sets overlap on
