@@ -432,7 +432,15 @@ object PipelineSoak {
                   serving.set(false)
                   serveThread.join()
                   cutoverSec.set(math.round(tCut * 1000))
-                  survivors.unpersist()
+                  // admittedSnapshot returns an EAGER localCheckpoint —
+                  // Dataset.unpersist is a CacheManager no-op on it (the
+                  // IncrementalKeepBest.snapshot trap); release the
+                  // backing RDD blocks directly or the O(corpus) frame
+                  // pins executor memory past the cutover drop
+                  survivors.queryExecution.analyzed.collect {
+                    case l: org.apache.spark.sql.execution.LogicalRDD =>
+                      l.rdd
+                  }.foreach(_.unpersist(blocking = false))
                 }
                 stats.add(DropStat(batchId, raw, gated.count(), deconned.count(),
                   exactSurvivors.count(), admitted.count(), tDecon, tExact,

@@ -1405,15 +1405,30 @@ object Dedup {
     * measured count at any suite size. ~9.6 bits/item is the optimal
     * sizing at the aggregate's default 3% FPP, padded up.
     */
-  private def ensureBloomCapacity(s: SparkSession, n: Long): Unit = {
-    def raiseTo(key: String, needed: Long): Unit = {
-      val cur = s.conf.getOption(key).map(_.toLong).getOrElse(0L)
-      if (cur < needed) s.conf.set(key, needed.toString)
+  /** Run `body` with the optimizer bloom caps raised to cover `n`, then
+    * RESTORE the prior values: the caps also govern Spark's OWN
+    * runtime-bloom-join injection, and leaving a 100M-item raise behind
+    * would let every later large join in a shared session build
+    * hundreds-of-MB blooms — an invisible cross-query side effect. The
+    * aggregate inside `body` is built and executed eagerly (both
+    * callers `.collect()`), so the scope genuinely covers it.
+    */
+  private def withBloomCapacity[T](s: SparkSession, n: Long)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
+        math.max(n, 4000000L),
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+        math.max(n * 10L, 67108864L))
+    val prior = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, needed) =>
+      if (s.conf.getOption(k).map(_.toLong).getOrElse(0L) < needed)
+        s.conf.set(k, needed.toString)
     }
-    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
-      math.max(n, 4000000L))
-    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-      math.max(n * 10L, 67108864L))
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 
   def evalBloomOf(s: SparkSession, evalHashes: DataFrame): Array[Byte] = {
@@ -1423,10 +1438,11 @@ object Dedup {
         .BloomFilterAggregate(exprs(0), exprs(1)),
       "built-in")
     val n = math.max(evalHashes.count(), 1L)
-    ensureBloomCapacity(s, n)
-    evalHashes
-      .agg(call_function("graft_bloom_agg", col("shh"), lit(n)).as("bf"))
-      .collect()(0).getAs[Array[Byte]](0)
+    withBloomCapacity(s, n) {
+      evalHashes
+        .agg(call_function("graft_bloom_agg", col("shh"), lit(n)).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+    }
   }
 
   /** [[decontaminateAdmit]] for the STREAMING gate when the eval hash
@@ -1723,11 +1739,11 @@ object Dedup {
     // materializes the cache, so the bloom agg below reads cached blocks);
     // callers with a known corpus can pin it and skip the counting job
     val nItems = expectedItems.getOrElse(math.max(ev.count(), 1L))
-    ensureBloomCapacity(s, nItems)
-    val bf = ev
-      .agg(call_function("graft_bloom_agg",
-        xxhash64(col("sh")), lit(nItems)).as("bf"))
-      .collect()(0).getAs[Array[Byte]](0)
+    val bf = withBloomCapacity(s, nItems) {
+      ev.agg(call_function("graft_bloom_agg",
+          xxhash64(col("sh")), lit(nItems)).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+    }
     val pruned =
       if (bf == null) tr.filter(lit(false)) // empty benchmark: no overlaps
       else {

@@ -243,10 +243,13 @@ private[graft] object BucketState {
   }
 
   /** Drop every view rooted under `path` — a recursive scratch-dir
-    * delete (Shared.deleteDirTree) may hold several store dirs.
+    * delete (Shared.deleteDirTree) may hold several store dirs. Sweeps
+    * `lastSeen` too: dirs that only ever did direct reads (the 2-chunk
+    * driver-query pattern) have a signature entry but no view, and a
+    * long Verify/bench session churns thousands of such temp dirs.
     */
   def invalidateViewsUnder(path: String): Unit =
-    storeViews.keys.toList
+    (storeViews.keys ++ lastSeen.keys).toList.distinct
       .filter(d => d == path || d.startsWith(path + "/"))
       .foreach(invalidateView)
 
@@ -254,7 +257,7 @@ private[graft] object BucketState {
     * Shared.releaseTransient — so leases and leaf blocks go together).
     */
   def invalidateAllViews(): Unit =
-    storeViews.keys.toList.foreach(invalidateView)
+    (storeViews.keys ++ lastSeen.keys).toList.distinct.foreach(invalidateView)
 
   /** The store's rows under manifest `m` as a session-cached frame (all
     * buckets, `p` column included — callers filter). Falls back to a
@@ -578,7 +581,15 @@ private[graft] object BucketState {
     fs.mkdirs(dest.getParent)
     if (fs.exists(dest)) fs.delete(dest, true) // crashed prior attempt
     val src = new org.apache.hadoop.fs.Path(s"$versionDir/p=$AnswerBucket")
-    if (fs.exists(src)) { fs.rename(src, dest); () }
+    // Hadoop rename reports some failures as FALSE, not an exception —
+    // a silently-unclaimed answer partition would then be committed as a
+    // data bucket (p=-2 in the manifest) AND the per-batch answer would
+    // never exist; fail the batch loudly instead (the staged version dir
+    // is uncommitted, so the replay re-stages everything)
+    if (fs.exists(src)) {
+      require(fs.rename(src, dest),
+        s"failed to claim staged answer $src -> $dest (rename returned false)")
+    }
     else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
       .write.mode("overwrite").parquet(destDir)
@@ -776,7 +787,7 @@ private[graft] object BucketState {
     * that could GC their dirs.
     */
   def gcVersions(spark: SparkSession, stateDir: String): Unit = {
-    val (doomed, sparedByLease) = manifestLock(stateDir).synchronized {
+    val doomed = manifestLock(stateDir).synchronized {
       val live = readManifest(spark, stateDir).buckets.values.flatten.toSet
       val hard = live ++ inFlightVersions(stateDir)
       val leased = leasedVersions(stateDir)
@@ -784,17 +795,20 @@ private[graft] object BucketState {
       val dead = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
         .filterNot(s => hard.contains(s.getPath.getName.stripPrefix("v=").toLong))
-      (dead.filterNot(s =>
-          leased.contains(s.getPath.getName.stripPrefix("v=").toLong))
-          .map(_.getPath),
-        dead.exists(s =>
+      // dirty-state bookkeeping for gcVersionsIfDirty, INSIDE the lock: a
+      // lease-spared dead dir means work remains (some later GC must
+      // retry); a clean sweep means hot-path callers can skip their GC
+      // until a fold dirties the dir again. Written under the lock so a
+      // concurrent fold's markGcDirty (which supersedes dirs only via a
+      // locked commit) can never be clobbered by a stale put
+      if (dead.exists(s =>
           leased.contains(s.getPath.getName.stripPrefix("v=").toLong)))
+        gcClean.remove(stateDir)
+      else gcClean.put(stateDir, ())
+      dead.filterNot(s =>
+          leased.contains(s.getPath.getName.stripPrefix("v=").toLong))
+        .map(_.getPath)
     }
-    // dirty-state bookkeeping for gcVersionsIfDirty: a lease-spared dead
-    // dir means work remains (some later GC must retry); a clean sweep
-    // means hot-path callers can skip their GC until a fold dirties the
-    // dir again
-    if (sparedByLease) gcClean.remove(stateDir) else gcClean.put(stateDir, ())
     val fs = hadoopFs(spark, stateDir)
     doomed.foreach(p => fs.delete(p, true))
   }
