@@ -633,12 +633,23 @@ object IncrementalKeepBest {
                 val fwdNew = mergeFwd.unionByName(compressFwd).distinct()
 
                 // ---- member rows for the whole batch ------------------
+                // persisted for the duration of the segment write: the
+                // sub-plan feeds TWO union branches (the durable answer
+                // rows and the registry's band=-2 rows) of the single
+                // segment job, and only `lab` underneath it is pinned —
+                // the `scored` side is a re-read of the batch source, so
+                // without the persist a non-deterministic caller frame
+                // could commit an answer file that diverges from the
+                // registry rows in the same commit (the same hazard class
+                // the vec ingest's retraction-frame persist closes).
+                // Released by the tracked-diff sweep below.
                 val members = scored
                   .join(lab.withColumnRenamed("doc_id", "ldoc"),
                     col("doc_id") === col("ldoc"), "left")
                   .select(col("doc_id"),
                     coalesce(col("cluster"), col("doc_id")).as("label"),
                     col("score"))
+                  .persist()
 
                 // the batch's durable member ANSWER rides the segment
                 // write under the reserved staging bucket (one job where

@@ -209,8 +209,21 @@ private[graft] object BucketState {
     scala.collection.concurrent.TrieMap.empty[String, Set[(Long, Long)]]
   /** Union-tree depth bound before a full reset re-bases the view. */
   private val MaxViewLeaves = 8
-  /** Live views bound — one-shot driver queries churn temp store dirs. */
-  private val MaxViews = 8
+  /** Live views bound — one-shot driver queries churn temp store dirs.
+    * Default; override with spark.graft.store.maxViews for workloads
+    * streaming into more than this many stores at once (each eviction
+    * under pressure costs the victim a full O(store) re-materialization
+    * on its next drop — the warning below is the signal).
+    */
+  private val MaxViewsDefault = 8
+  private def maxViews(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.store.maxViews")
+      .map(_.toInt).getOrElse(MaxViewsDefault)
+  /** Recency window (ns) inside which an evicted view counts as LIVE —
+    * evicting one means the cache bound is defeated, not that a stale
+    * one-shot dir aged out.
+    */
+  private val LiveEvictionNs = 60L * 1000 * 1000 * 1000
 
   /** Cached-RDD ids owned by live view leaves — tracked-diff scratch
     * sweeps (IncrementalKeepBest) must spare these blocks.
@@ -242,16 +255,36 @@ private[graft] object BucketState {
     old.foreach(releaseView)
   }
 
+  /** Scheme-stripped, dot-normalized, trailing-slash-free form of a
+    * state-dir string, for PREFIX MATCHING only (registration keys stay
+    * raw — they key locks and leases too). Catches the `file:` URI and
+    * trailing-slash variants a caller might delete under; symlink
+    * aliasing is out of scope (normalization never hits the filesystem).
+    * Over-matching is safe here — invalidation only drops a cache.
+    */
+  private def normForMatch(s: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    if (p.length > 1 && p.endsWith("/")) p.dropRight(1) else p
+  }
+
   /** Drop every view rooted under `path` — a recursive scratch-dir
     * delete (Shared.deleteDirTree) may hold several store dirs. Sweeps
     * `lastSeen` too: dirs that only ever did direct reads (the 2-chunk
     * driver-query pattern) have a signature entry but no view, and a
     * long Verify/bench session churns thousands of such temp dirs.
+    * Matching is on normalized paths (see [[normForMatch]]) so a
+    * `file:` URI or trailing-slash variant of the deleted root still
+    * releases the views registered under the plain form.
     */
-  def invalidateViewsUnder(path: String): Unit =
+  def invalidateViewsUnder(path: String): Unit = {
+    val root = normForMatch(path)
     (storeViews.keys ++ lastSeen.keys).toList.distinct
-      .filter(d => d == path || d.startsWith(path + "/"))
+      .filter { d =>
+        val n = normForMatch(d)
+        n == root || n.startsWith(root + "/")
+      }
       .foreach(invalidateView)
+  }
 
   /** Release every live view (between-query cleanup in Verify/Bench —
     * Shared.releaseTransient — so leases and leaf blocks go together).
@@ -331,11 +364,22 @@ private[graft] object BucketState {
     }
     // bound live views across store dirs (temp-dir churn in the driver
     // queries): evict the least-recently-used OTHER dir, outside our
-    // lock — invalidateView takes the victim's own
-    if (storeViews.size > MaxViews)
+    // lock — invalidateView takes the victim's own. A victim used within
+    // the live window means MORE streams than slots — the cache is being
+    // defeated, every drop re-pays O(store); warn so the operator raises
+    // spark.graft.store.maxViews instead of silently thrashing
+    if (storeViews.size > maxViews(spark))
       storeViews.toSeq.filter(_._1 != stateDir)
         .sortBy(_._2.lastUse).headOption
-        .foreach { case (dir, _) => invalidateView(dir) }
+        .foreach { case (dir, v) =>
+          if (System.nanoTime() - v.lastUse < LiveEvictionNs)
+            System.err.println(
+              s"[store-view] evicting recently-used view for $dir under " +
+                s"maxViews=${maxViews(spark)} pressure — more concurrently " +
+                "streaming stores than view slots; raise " +
+                "spark.graft.store.maxViews to avoid per-drop O(store) re-reads")
+          invalidateView(dir)
+        }
     frame
   }
 
@@ -810,7 +854,22 @@ private[graft] object BucketState {
         .map(_.getPath)
     }
     val fs = hadoopFs(spark, stateDir)
-    doomed.foreach(p => fs.delete(p, true))
+    // the clean flag above was written on the assumption these deletes
+    // succeed; if any fails (FALSE return or exception — transient FS
+    // errors on object stores), the orphan dirs remain on disk and
+    // gcVersionsIfDirty would skip every later sweep until a fold
+    // re-dirtied the dir — re-dirty it ourselves so the next pass
+    // retries. markGcDirty only removes the flag, so it can never
+    // clobber a concurrent fold's own dirtying.
+    val allDeleted = doomed.forall { p =>
+      try fs.delete(p, true)
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[gc] failed to delete $p: ${e.getMessage}")
+          false
+      }
+    }
+    if (!allDeleted) markGcDirty(stateDir)
   }
 
   // ---- conditional GC for the ingest hot path -------------------------
