@@ -19,7 +19,9 @@ import graft.streaming.BucketState
   * vector side.
   *
   * CONTRACT (frozen declared params, append-only codes): the coarse
-  * quantizer (16 cell centroids) and the 16×16×4 PQ codebooks are trained
+  * quantizer (the generation's cell centroids — [[Cells]] for a first
+  * generation, corpus-scaled via [[cellsFor]] at each [[cutover]]) and
+  * the 16×16×4 PQ codebooks are trained
   * ONCE, on a bounded order-pinned sample of the FIRST drop, committed as
   * index data, and frozen for the index's lifetime — the exact
   * declared-learned-state discipline `ann_ivf_topk`/`ann_pq_topk` already
@@ -56,13 +58,41 @@ import graft.streaming.BucketState
   */
 object IncrementalVecIndex {
 
-  /** Coarse cells; ALSO the bucket count — `p = cell`, so a probe of
-    * nProbe cells is a partition-pruned read of exactly nProbe buckets.
+  /** Coarse cells for a FIRST-generation index (trained on the first
+    * drop, before any corpus has accumulated); ALSO the bucket count —
+    * `p = cell`, so a probe of nProbe cells is a partition-pruned read
+    * of exactly nProbe buckets. Generations retrained at [[cutover]]
+    * scale past this (see [[cellsFor]]); a reader never consults this
+    * constant — the stored centroid rows ARE the cell count.
     */
   val Cells = 16
   val NProbe = 4
   private val TrainTarget = 4096L
   private val Iters = 10
+  /** nlist ceiling: bounds the encode's per-vector argmin cost (cells ×
+    * dims flops) and the training sample's driver footprint. Past ~16M
+    * vectors the √N default saturates here; a deployment that needs
+    * more sets the conf and accepts the assignment cost (a real system
+    * would move cell assignment to an ANN structure at that point).
+    */
+  private val MaxCells = 4096
+
+  /** nlist for a corpus of `n` accumulated vectors: the explicit conf
+    * (`spark.graft.vec.cells`) wins; the default is √N-shaped, clamped
+    * to [[[Cells]], [[MaxCells]]]. A FIXED cell count is not an IVF at
+    * scale — 16 cells prune by a constant 16× forever, and the
+    * committed 2M recall curve (tools/vec_recall_curve_2M_r16.json)
+    * shows a same-nlist retrain cannot raise recall because 16
+    * centroids have no resolution to add. √N keeps per-cell occupancy
+    * ≈ √N too, so a fixed probe FRACTION reads O(√N·nProbeFrac) cells
+    * of O(√N) rows each — the standard FAISS-style sizing.
+    */
+  def cellsFor(spark: SparkSession, n: Long): Int =
+    confCells(spark).getOrElse(math.min(MaxCells.toLong,
+      math.max(Cells.toLong, math.round(math.sqrt(n.toDouble)))).toInt)
+
+  private def confCells(spark: SparkSession): Option[Int] =
+    spark.conf.getOption("spark.graft.vec.cells").map(_.toInt)
 
   private val rowSchema = StructType(Seq(
     StructField("cell", LongType), StructField("vec_id", LongType),
@@ -154,24 +184,34 @@ object IncrementalVecIndex {
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
 
   /** Train the frozen params on a bounded order-pinned sample of the
-    * first drop: modulus stride to ~[[TrainTarget]] vectors, collected in
+    * training corpus: modulus stride to the sample target, collected in
     * vec_id order (lloydFit's seeded init is order-sensitive — a bare
-    * collect's order varies with partitioning). Deterministic, so a
-    * replay of the first batch retrains byte-identical params.
+    * collect's order varies with partitioning). Deterministic in
+    * (input, cells), so a replay retrains byte-identical params.
+    *
+    * `cellsOf` maps the corpus size to nlist — [[Cells]] at first-drop
+    * ingest (nothing has accumulated yet; [[cutover]] is the scaling
+    * vehicle), [[cellsFor]] at cutover. The sample target scales with
+    * nlist (≈48 training points per centroid, never below the legacy
+    * [[TrainTarget]]) — √N cells over a fixed 4k sample would leave
+    * most cells with no points at all.
     */
-  private def train(clean: DataFrame)
+  private def train(spark: SparkSession, clean: DataFrame,
+                    cellsOf: Long => Int)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val n = clean.count()
-    val every = math.max(1L, n / TrainTarget)
+    val cells = cellsOf(n)
+    val target = math.max(TrainTarget, 48L * cells)
+    val every = math.max(1L, n / target)
     val sample = clean.filter(pmod(col("vec_id"), lit(every)) === 0)
       .orderBy(col("vec_id"))
       .select(col("embedding").cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
-    val need = math.max(Cells, Similarity.PqK)
+    val need = math.max(cells, Similarity.PqK)
     require(sample.length >= need,
-      s"first drop must sample at least $need vectors to train the frozen " +
+      s"training corpus must sample at least $need vectors to train the frozen " +
         s"quantizers; got ${sample.length} — seed the index with a larger drop")
-    val cents = Similarity.lloydFit(sample, Cells, seed = 4242L, iters = Iters)
+    val cents = Similarity.lloydFit(sample, cells, seed = 4242L, iters = Iters)
     val cbs = (0 until Similarity.PqM).map(j =>
       Similarity.lloydFit(
         sample.map(_.slice(j * Similarity.PqSub, (j + 1) * Similarity.PqSub)),
@@ -268,7 +308,11 @@ object IncrementalVecIndex {
               require(m.buckets.isEmpty,
                 s"index at $indexDir has committed segments but no readable " +
                   "frozen params — the store is corrupt; rebuild the index")
-              val (cents, cbs) = train(clean)
+              // first-drop nlist: the conf if set, else the first-gen
+              // constant — nothing has accumulated yet; a corpus-sized
+              // nlist arrives with the first cutover's retrain
+              val (cents, cbs) =
+                train(spark, clean, _ => confCells(spark).getOrElse(Cells))
               writeParams(spark, indexDir, cents, cbs, batchFp)
             }
             val rows = encodeWithParams(spark, readParams(spark, indexDir), clean)
@@ -443,7 +487,12 @@ object IncrementalVecIndex {
     // residue — rebuild it from scratch (training is deterministic)
     graft.Shared.deleteDirTree(nextDir)
     val clean = cleanOf(corpus)
-    val (cents, cbs) = train(clean)
+    // the cutover is THE nlist-scaling vehicle: generation N+1 retrains
+    // with cells sized to the ACCUMULATED corpus (√N-shaped default,
+    // [[cellsFor]]) — a same-nlist retrain cannot add partition
+    // resolution (the committed 2M recall curve), while √N cells keep
+    // a fixed probe fraction's read sublinear in the corpus
+    val (cents, cbs) = train(spark, clean, n => cellsFor(spark, n))
     writeParams(spark, nextDir, cents, cbs, BucketState.inputFingerprint(clean))
     BucketState.checkOrStampLayout(spark, nextDir,
       BucketState.readManifest(spark, nextDir), "vecindex-v1")

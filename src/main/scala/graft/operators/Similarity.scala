@@ -489,11 +489,19 @@ object Similarity {
 
   /** Deterministic local Lloyd's k-means over the (bounded) training
     * sample: seeded-shuffle init, first-min assignment, empty clusters
-    * keep their centroid. The sample never exceeds ~4k vectors, so
-    * training is microseconds of driver arithmetic — replacing m
-    * iterative `KMeans.fit` jobs (each a driver-synchronized multi-pass
-    * over a distributed frame, the exact pattern the IVF query had to
-    * drop) with zero cluster jobs.
+    * keep their centroid. Replaces m iterative `KMeans.fit` jobs (each a
+    * driver-synchronized multi-pass over a distributed frame, the exact
+    * pattern the IVF query had to drop) with zero cluster jobs.
+    *
+    * The O(n·k·d) ASSIGNMENT step runs on a parallel stream — each
+    * point's argmin is independent of every other point's, so the
+    * parallel form is bit-identical to the sequential one — while the
+    * centroid ACCUMULATION stays sequential in point order (float sums
+    * are order-sensitive; a parallel reduction would train different
+    * centroids per run). That keeps training deterministic (the replay
+    * contract every frozen-params store depends on) while making a
+    * corpus-scaled nlist trainable: k ≈ √N cells over a 48·k sample is
+    * seconds of multicore arithmetic, not minutes of one core.
     */
   private[operators] def lloydFit(points: Array[Array[Double]], k: Int, seed: Long,
                        iters: Int): Array[Array[Double]] = {
@@ -501,21 +509,29 @@ object Similarity {
     val dims = points(0).length
     var cent = rnd.shuffle(points.indices.toVector).take(k)
       .map(i => points(i).clone).toArray
-    def d2(a: Array[Double], b: Array[Double]) = {
-      var s = 0.0; var i = 0
-      while (i < dims) { val d = a(i) - b(i); s += d * d; i += 1 }; s
-    }
+    val assign = new Array[Int](points.length)
     for (_ <- 0 until iters) {
-      val sums = Array.fill(cent.length)(new Array[Double](dims))
-      val cnts = new Array[Long](cent.length)
-      points.foreach { p =>
+      val cur = cent
+      java.util.stream.IntStream.range(0, points.length).parallel().forEach { pi =>
+        val p = points(pi)
         var best = 0; var bd = Double.MaxValue
         var c = 0
-        while (c < cent.length) {
-          val d = d2(p, cent(c)); if (d < bd) { bd = d; best = c }; c += 1
+        while (c < cur.length) {
+          var s = 0.0; var i = 0
+          val cc = cur(c)
+          while (i < dims) { val d = p(i) - cc(i); s += d * d; i += 1 }
+          if (s < bd) { bd = s; best = c }; c += 1
         }
+        assign(pi) = best
+      }
+      val sums = Array.fill(cent.length)(new Array[Double](dims))
+      val cnts = new Array[Long](cent.length)
+      var pi = 0
+      while (pi < points.length) {
+        val p = points(pi); val best = assign(pi)
         cnts(best) += 1
         var i = 0; while (i < dims) { sums(best)(i) += p(i); i += 1 }
+        pi += 1
       }
       cent = cent.indices.map(c =>
         if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else cent(c)).toArray

@@ -95,4 +95,50 @@ class VecCutoverSpec extends AnyFunSuite {
     assert(rowsOf(IncrementalVecIndex.snapshot(spark, d)) === oneShot)
     graft.Shared.deleteDirTree(d)
   }
+
+  test("cutover scales nlist to the accumulated corpus; the scaled generation honors every contract") {
+    val d = freshDir("cutover-nlist")
+    val q = Array.tabulate(64)(i => math.cos(i * 0.17))
+    val n = vecs.count()
+    IncrementalVecIndex.ingest(spark, d, vecs.filter(col("vec_id") <= 249), 0).count()
+    // generation 0 trains at the first-gen constant
+    assert(IncrementalVecIndex.readParams(spark, d).centroids.length
+      === IncrementalVecIndex.Cells)
+    IncrementalVecIndex.ingest(spark, d, vecs.filter(col("vec_id") > 249), 1).count()
+    IncrementalVecIndex.cutover(spark, d, vecs)
+    // the retrained generation carries √N-scaled cells (> the constant
+    // at this fixture), and the cell count is discovered from the
+    // stored centroid rows — no reader consults the constant
+    val scaled = IncrementalVecIndex.cellsFor(spark, n)
+    assert(scaled > IncrementalVecIndex.Cells)
+    val p2 = IncrementalVecIndex.readParams(spark, d)
+    assert(p2.centroids.length === scaled)
+    // serving and the frozen-params equivalence hold under scaled cells
+    val got = topIds(d, q)
+    assert(got.size === 10)
+    assert(got.map(_._2).sliding(2).forall(s => s.head >= s.last))
+    assert(rowsOf(IncrementalVecIndex.snapshot(spark, d)) ===
+      rowsOf(IncrementalVecIndex.encodeWithParams(spark, p2, vecs)))
+    // code rows actually spread over the scaled cell space
+    assert(IncrementalVecIndex.snapshot(spark, d)
+      .select(col("cell")).distinct().count() > IncrementalVecIndex.Cells)
+    graft.Shared.deleteDirTree(d)
+  }
+
+  test("spark.graft.vec.cells overrides nlist at ingest and cutover; chunked ≡ one-shot holds") {
+    val d = freshDir("cutover-cellsconf")
+    spark.conf.set("spark.graft.vec.cells", "24")
+    try {
+      IncrementalVecIndex.ingest(spark, d, vecs.filter(col("vec_id") <= 249), 0).count()
+      assert(IncrementalVecIndex.readParams(spark, d).centroids.length === 24)
+      IncrementalVecIndex.ingest(spark, d, vecs.filter(col("vec_id") > 249), 1).count()
+      // chunked ingest ≡ one-shot encode under the conf'd params
+      val p = IncrementalVecIndex.readParams(spark, d)
+      assert(rowsOf(IncrementalVecIndex.snapshot(spark, d)) ===
+        rowsOf(IncrementalVecIndex.encodeWithParams(spark, p, vecs)))
+      IncrementalVecIndex.cutover(spark, d, vecs)
+      assert(IncrementalVecIndex.readParams(spark, d).centroids.length === 24)
+    } finally spark.conf.unset("spark.graft.vec.cells")
+    graft.Shared.deleteDirTree(d)
+  }
 }
