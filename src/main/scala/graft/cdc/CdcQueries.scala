@@ -157,6 +157,45 @@ object CdcQueries {
         .select(col("order_id").cast("long").as("order_id"),
           col("invoice_number").cast("long").as("invoice_number"))
     },
+    "cdc_snapshot_lsm_retract" -> { (s, d) =>
+      // OUT-OF-BAND KEY RETRACTION (GDPR takedown) against the LSM
+      // replica: the changelog replayed as three pos-ordered batches,
+      // with a retraction of keys ≡ 0 (mod 13) pinned at the ⅔ cut
+      // committed BETWEEN batches 2 and 3, then a compaction that
+      // removes the erased rows physically (tombstones persist as the
+      // standing mask — delivery order is not position order in
+      // general, so no fold can prove a horizon is spent).
+      // Keys of the last third re-appear through their post-retraction
+      // events — the pos-scoped mask, not a key-forever ban. A PRIVATE
+      // state dir (a retraction would poison the shared replica the
+      // other three LSM queries read); a full sequence replay by
+      // construction, like every incremental-store driver query.
+      import org.apache.spark.sql.functions.{col, min, max}
+      val log = Changelog.syntheticShared(s, d)
+      val b = log.agg(min("pos"), max("pos")).collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val state = java.nio.file.Files.createTempDirectory("graft-lsm-r").toString
+      val audit = java.nio.file.Files.createTempDirectory("graft-lsm-ra").toString
+      val S = graft.streaming.CdcStream
+      S.applyLsmBatch(log.filter(col("pos") <= c1), 0, audit, state, 16,
+        CdcSchema.invoiceSpec)
+      S.applyLsmBatch(log.filter(col("pos") > c1 && col("pos") <= c2), 1,
+        audit, state, 16, CdcSchema.invoiceSpec)
+      val takedown = graft.Tables.orders(s, d)
+        .select(col("o_orderkey").cast("int").as("k"))
+        .filter(col("k") % 13 === 0)
+      S.retractLsmKeys(s, state, takedown, throughPos = c2)
+      S.applyLsmBatch(log.filter(col("pos") > c2), 2, audit, state, 16,
+        CdcSchema.invoiceSpec)
+      S.compactLsm(s, state, 16)
+      val out = S.partitionedSnapshotLsm(s, state)
+        .select(col("order_id").cast("long").as("order_id"),
+          col("invoice_number").cast("long").as("invoice_number"))
+        .localCheckpoint(eager = true)
+      graft.Shared.deleteDirTree(state); graft.Shared.deleteDirTree(audit)
+      out
+    },
     "cdc_changes_between" -> { (s, d) =>
       // CHANGE-DATA FEED off the retained LSM log: net per-key
       // transitions between the stream midpoint and its end — i/u/d rows
@@ -271,9 +310,29 @@ object CdcQueries {
        |SELECT CAST(key AS BIGINT) AS order_id, CAST(a_inv AS BIGINT) AS invoice_number
        |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin
 
+  // The retraction oracle: the one-shot snapshot over the SAME event
+  // set minus every event of a retracted key at or below the pinned
+  // retraction position (keys ≡ 0 mod 13, position = the ⅔ cut the
+  // query pins) — the per-key-truncate declared semantics replayed
+  // relationally. Cut arithmetic mirrors the query exactly (integer
+  // division, same association).
+  private val snapshotLsmRetractSql: String =
+    s"""$cte, cuts AS (
+       |  SELECT MIN(pos) + 2 * (MAX(pos) - MIN(pos)) // 3 AS c2 FROM ev),
+       |liver AS (
+       |  SELECT live.* FROM live, cuts
+       |  WHERE NOT (live.key % 13 = 0 AND live.pos <= cuts.c2)),
+       |ranked AS (
+       |  SELECT key, a_inv, is_del,
+       |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos DESC) AS rn
+       |  FROM liver)
+       |SELECT CAST(key AS BIGINT) AS order_id, CAST(a_inv AS BIGINT) AS invoice_number
+       |FROM ranked WHERE rn = 1 AND NOT is_del ORDER BY order_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "cdc_snapshot" -> snapshotSql,
     "cdc_snapshot_lsm" -> snapshotSql,
+    "cdc_snapshot_lsm_retract" -> snapshotLsmRetractSql,
     "cdc_snapshot_asof" -> asofSql,
     "cdc_snapshot_lsm_asof" -> asofSql,
     "cdc_changes_between" ->

@@ -1108,6 +1108,134 @@ object CdcStream {
     ()
   }
 
+  // ---- out-of-band key retraction (GDPR-style takedown) ---------------
+  //
+  // The changelog's OWN deletes flow through the stream (a delete marker
+  // resolves by max pos); a RETRACTION is different: an out-of-band
+  // order to stop serving a key's stored history — including time-travel
+  // views — that does not ride the binlog at all (the reference's delete
+  // semantics, /root/reference/main.py:75-86, extended to "erase the
+  // history too"). The design is the Retraction pattern the four
+  // curation stores share, adapted to a keyed replica: a tombstone row
+  // `(key, pos = throughPos)` in the reserved bucket [[LsmRetractBucket]]
+  // is a PER-KEY TRUNCATE HORIZON — every stored event of that key at or
+  // below `throughPos` is erased from every read (snapshot, as-of,
+  // change feed), and the next compaction removes the rows physically.
+  //
+  //  - Pos-scoped, not key-forever: an event of the key ABOVE the
+  //    retraction position is new data and serves normally (the subject
+  //    may return; the same primary key may be legitimately reborn).
+  //    Masking is retroactive across time travel BY DESIGN — an as-of
+  //    read below the retraction point must not resurrect erased data —
+  //    which is exactly the global horizon's semantics applied per key.
+  //  - The change feed treats both prefix views as masked, so a
+  //    retracted key reports NO net change: a retraction is not a CDC
+  //    event, and shipping a 'd' row would leak that the key existed.
+  //    Downstream stores receive the takedown out-of-band (the same
+  //    key list that fed this call), exactly how the curation pipeline
+  //    distributes retractIds to all four indexes.
+  //  - Compaction erases the covered rows PHYSICALLY but keeps the
+  //    tombstones (deduped to one per-key max-rpos row): events may be
+  //    delivered out of order across micro-batches, so no fold can
+  //    prove a horizon will never mask a straggler — the tombstone is
+  //    the store's standing mask, bounded by lifetime takedowns (the
+  //    same stance as the near-dup index's keepTombstones).
+  //  - Zero cost when unused: no `p = -3` manifest entry ⇔ no tombstone
+  //    exists, and every read skips the bucket read and the mask join
+  //    (the hasTombs discipline).
+  //
+  // Commit protocol: reserved version + locked fresh-read merge with the
+  // manifest fp preserved (the compaction discipline — a retraction is
+  // not a stream batch and must not disturb the batchId replay chain).
+  // Safe concurrent with the live apply path and a background fold; a
+  // crash before the rename leaves an invisible staged dir (GC'd), a
+  // re-issued retraction just stacks duplicate tombstones (the mask
+  // takes max rpos per key — idempotent).
+
+  /** Reserved bucket for retraction tombstones. Horizon rows keep `-1`;
+    * hashed data buckets are non-negative.
+    */
+  val LsmRetractBucket = -3L
+
+  /** Commit an out-of-band retraction: erase every stored event of
+    * `keys` (first column, cast to the table's key type) at or below
+    * `throughPos` from all reads; the next [[compactLsm]] removes the
+    * rows physically. `throughPos` is pinned by the caller (typically
+    * the replica's current max position) so replays and duplicate
+    * issues are deterministic.
+    */
+  def retractLsmKeys(spark: SparkSession, stateDir: String, keys: DataFrame,
+                     throughPos: Long,
+                     spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
+                     imageType: org.apache.spark.sql.types.StructType =
+                       CdcSchema.invoiceType): Unit = {
+    val keyType = imageType(spec.key).dataType
+    val kcol = keys.columns.head
+    val tombs = keys.select(col(kcol).cast(keyType).as("key"))
+      .filter(col("key").isNotNull).distinct()
+      .select(col("key"), lit(throughPos).as("pos"),
+        lit(null).cast(imageType).as("after"),
+        lit(LsmRetractBucket).as("p"))
+    val m0 = readManifest(spark, stateDir)
+    // an empty replica has nothing to erase — and committing a
+    // tombstone-only version there would be misread as batch progress
+    // by checkBatch's pre-fingerprint bucket-max fallback
+    require(m0.fp.isDefined,
+      s"retractLsmKeys($stateDir): retract after the first data batch " +
+        "has committed — an empty replica has no history to erase")
+    val newVersion = BucketState.reserveVersion(stateDir,
+      m0.buckets.values.flatten.reduceOption(_ max _).getOrElse(0L) + 1)
+    try {
+      tombs.coalesce(1).write.mode("overwrite").partitionBy("p")
+        .parquet(s"$stateDir/v=$newVersion")
+      // an empty key frame stages no partition — commit nothing
+      if (listBuckets(spark, s"$stateDir/v=$newVersion")
+            .contains(LsmRetractBucket))
+        BucketState.manifestLock(stateDir).synchronized {
+          val mNow = readManifest(spark, stateDir)
+          commitManifest(spark, stateDir,
+            mNow.buckets.updated(LsmRetractBucket,
+              mNow.buckets.getOrElse(LsmRetractBucket, Set.empty[Long]) + newVersion),
+            mNow.fp)
+        }
+    } finally BucketState.releaseVersion(stateDir, newVersion)
+    BucketState.gcVersions(spark, stateDir)
+  }
+
+  /** The manifest's DATA segments (horizon rows included, tombstones
+    * excluded — they are not events and must never reach
+    * [[resolveSegments]], where a null-image row would read as a delete
+    * marker).
+    */
+  private def lsmDataBuckets(m: BucketState.Manifest): Map[Long, Set[Long]] =
+    m.buckets.view.filterKeys(_ != LsmRetractBucket).toMap
+
+  /** The per-key retraction horizon `(key, rpos)` — max over duplicate
+    * tombstones — or None on a retraction-free store (the zero-cost
+    * common case).
+    */
+  private def lsmRetractions(spark: SparkSession, stateDir: String,
+                             m: BucketState.Manifest): Option[DataFrame] =
+    if (!m.buckets.contains(LsmRetractBucket)) None
+    else Some(
+      BucketState.readBuckets(spark, stateDir,
+          m.buckets.view.filterKeys(_ == LsmRetractBucket).toMap,
+          sys.error("unreachable — bucket present"))
+        .groupBy(col("key")).agg(max(col("pos")).as("rpos"))
+        .withColumnRenamed("key", "_rkey"))
+
+  /** Erase rows at or below each key's retraction horizon (broadcast
+    * left join — takedown sets are bounded). Horizon rows (null key)
+    * never match and always survive.
+    */
+  private def maskRetracted(segs: DataFrame,
+                            tombs: Option[DataFrame]): DataFrame =
+    tombs.fold(segs) { t =>
+      segs.join(broadcast(t), segs("key") === col("_rkey"), "left")
+        .filter(col("rpos").isNull || col("pos") > col("rpos"))
+        .drop("_rkey", "rpos")
+    }
+
   /** Per-key resolution across a union of LSM segments — the read-side
     * half of the fold: max-pos winner per key, rows at-or-below the
     * accumulated horizon erased, delete markers retained, one horizon
@@ -1142,12 +1270,14 @@ object CdcStream {
 
   private def lsmState(spark: SparkSession, stateDir: String,
                        spec: CdcSchema.CdcTableSpec,
-                       imageType: org.apache.spark.sql.types.StructType): DataFrame =
-    resolveSegments(
-      BucketState.readBuckets(spark, stateDir,
-        readManifest(spark, stateDir).buckets,
+                       imageType: org.apache.spark.sql.types.StructType): DataFrame = {
+    val m = readManifest(spark, stateDir)
+    resolveSegments(maskRetracted(
+      BucketState.readBuckets(spark, stateDir, lsmDataBuckets(m),
         emptyStateFor(spark, spec, imageType).withColumn("p", lit(-1L)))
-        .drop("p"))
+        .drop("p"),
+      lsmRetractions(spark, stateDir, m)))
+  }
 
   /** Time-travel snapshot: the replica as of position `asOfPos`, read
     * straight off the retained segments — `resolveSegments` over the rows
@@ -1177,13 +1307,17 @@ object CdcStream {
         "per-key history at or below the floor was folded away by " +
         "compactLsm and a prefix read there would be silently wrong — " +
         "retain more history by compacting less often (compactWhenSegments)")
+    // the retraction mask applies UNFILTERED by the as-of point: erased
+    // history must not resurrect in any time-travel view (see the
+    // retraction section — per-key truncate semantics)
+    val m = readManifest(spark, stateDir)
     snapshotOfFor(
-      resolveSegments(
-        BucketState.readBuckets(spark, stateDir,
-          readManifest(spark, stateDir).buckets,
+      resolveSegments(maskRetracted(
+        BucketState.readBuckets(spark, stateDir, lsmDataBuckets(m),
           emptyStateFor(spark, spec, imageType).withColumn("p", lit(-1L)))
-          .drop("p")
-          .filter(col("pos") <= asOfPos)),
+          .drop("p"),
+        lsmRetractions(spark, stateDir, m))
+        .filter(col("pos") <= asOfPos)),
       spec)
   }
 
@@ -1217,10 +1351,15 @@ object CdcStream {
       s"fromPos $fromPos precedes the compaction floor $floor: history " +
         "below the floor was folded away by compactLsm — compact less " +
         "often (compactWhenSegments) to retain a deeper change feed")
-    val segs = BucketState.readBuckets(spark, stateDir,
-        readManifest(spark, stateDir).buckets,
-        emptyStateFor(spark, spec, imageType).withColumn("p", lit(-1L)))
-      .drop("p")
+    // masked on BOTH prefix views: a retracted key reports no net change
+    // (a retraction is not a CDC event — downstream stores receive the
+    // takedown out-of-band; see the retraction section)
+    val m = readManifest(spark, stateDir)
+    val segs = maskRetracted(
+        BucketState.readBuckets(spark, stateDir, lsmDataBuckets(m),
+          emptyStateFor(spark, spec, imageType).withColumn("p", lit(-1L)))
+          .drop("p"),
+        lsmRetractions(spark, stateDir, m))
       .filter(col("pos") <= toPos)
     // BOTH prefix winners from ONE keyed aggregation over ONE segment
     // scan (two resolveSegments calls would read the log twice): the
@@ -1300,24 +1439,25 @@ object CdcStream {
                  spec: CdcSchema.CdcTableSpec = CdcSchema.invoiceSpec,
                  beforeSwap: () => Unit = () => ()): Unit = {
     val m = readManifest(spark, stateDir)
-    if (m.buckets.isEmpty) return
+    // nothing to fold on an empty store, or one holding only retraction
+    // tombstones (a takedown can precede the first data batch)
+    if (m.buckets.isEmpty || lsmDataBuckets(m).isEmpty) return
     val bucketOf = bucketFn(nBuckets) _
     val newVersion = BucketState.reserveVersion(
       stateDir, m.buckets.values.flatten.max + 1)
     try {
-      val resolved = resolveSegments(
-        BucketState.readBuckets(spark, stateDir, m.buckets,
-          sys.error("unreachable — manifest non-empty")).drop("p"))
+      // the fold applies the retraction mask, so erased rows leave the
+      // disk here; tombstones themselves are read separately (they are
+      // not events — a null-image tombstone reaching resolveSegments
+      // would read as a delete marker)
+      val tombsOpt = lsmRetractions(spark, stateDir, m)
+      val resolved = resolveSegments(maskRetracted(
+          BucketState.readBuckets(spark, stateDir, lsmDataBuckets(m),
+            sys.error("unreachable — manifest non-empty")).drop("p"),
+          tombsOpt))
         .persist()
       try {
         val keyType = resolved.schema("key").dataType
-        resolved
-          .withColumn("p",
-            when(col("key").isNull, lit(-1L))
-              .otherwise(bucketOf(col("key"), keyType)))
-          .repartition(col("p"))
-          .write.mode("overwrite").partitionBy("p")
-          .parquet(s"$stateDir/v=$newVersion")
         // Per-key history at or below every folded position is gone now:
         // advance the time-travel floor to the max folded position (the
         // global max pos is always some key's winner, or the horizon row).
@@ -1325,9 +1465,32 @@ object CdcStream {
         // leaves the floor conservatively high, never an answerable-looking
         // but history-less as-of. (Positions a concurrent batch appends
         // mid-fold are strictly above the folded max — stream positions
-        // are monotone — so the floor never covers unfolded history.)
+        // are monotone — so the floor never covers unfolded history.
+        // With a retraction mask the max is over SURVIVING rows — still
+        // correct: every masked row above it is erased from every as-of
+        // view too, so no read between the two maxima can differ.)
         val folded = resolved.agg(coalesce(max(col("pos")), lit(Long.MinValue)))
           .collect()(0).getLong(0)
+        // tombstones SURVIVE the fold, deduped to one per-key max-rpos
+        // row: events may arrive out of order (the file-source batches
+        // shuffle the keyspace), so no fold can prove a horizon will
+        // never mask again — a straggler at or below rpos delivered
+        // after the fold must still be erased. The at-rest cost is one
+        // narrow row per lifetime takedown (the standing-mask stance the
+        // near-dup index's keepTombstones documents); the rows the
+        // horizon already covers DO leave the disk here.
+        val keptTombs = tombsOpt.map(_
+          .select(col("_rkey").as("key"), col("rpos").as("pos"),
+            lit(null).cast(resolved.schema("after").dataType).as("after"),
+            lit(LsmRetractBucket).as("p")))
+        val outRows = resolved
+          .withColumn("p",
+            when(col("key").isNull, lit(-1L))
+              .otherwise(bucketOf(col("key"), keyType)))
+        keptTombs.fold(outRows)(outRows.unionByName(_))
+          .repartition(col("p"))
+          .write.mode("overwrite").partitionBy("p")
+          .parquet(s"$stateDir/v=$newVersion")
         writeTtFloor(spark, stateDir,
           math.max(folded, readTtFloor(spark, stateDir)))
         val outBuckets = listBuckets(spark, s"$stateDir/v=$newVersion").toSet
