@@ -268,17 +268,28 @@ object PipelineSoak {
           // (current on first run, pinned on replay) — the per-batch
           // survivor trace is keyed by batchId (idempotent overwrite on
           // replay) and is what decon_diff reads back
-          val (deconned, tDecon) = timed {
+          val (deconAndTrace, tDecon) = timed {
             val ver = operators.EvalSet.versionForBatch(s, evalDir,
               evalVerDir, batchId)
             val (hashes, bloom) = evalState(ver)
             val d = operators.Dedup.decontaminateAdmitBloom(s, gated,
               hashes, bloom)
               .persist()
-            d.select(col("doc_id")).coalesce(1)
-              .write.mode("overwrite").parquet(f"$base/decon/d$batchId%03d")
-            d
+            // the per-batch survivor trace write rides a background
+            // thread: nothing in THIS batch reads it (the back-screen
+            // reads EARLIER drops' traces; decon_diff reads post-drain),
+            // so its only deadline is batch end — awaited before the
+            // checkpoint commit below, which preserves the crash story
+            // (idempotent batchId-keyed overwrite, replayed whole).
+            // Shares d's cached blocks with the exact ingest it now
+            // overlaps; no new persists ride the kb sweep window.
+            val traceF = Future {
+              d.select(col("doc_id")).coalesce(1)
+                .write.mode("overwrite").parquet(f"$base/decon/d$batchId%03d")
+            }
+            (d, traceF)
           }
+          val (deconned, traceF) = deconAndTrace
           // THE TAKEDOWN DROP: back-screen the v1-admitted corpus (the
           // decon survivor traces of every earlier drop recorded at v1)
           // against the just-published v2 suite; the flagged set —
@@ -454,7 +465,12 @@ object PipelineSoak {
                 edgesSeen.unpersist(); edgesBatch.unpersist()
               }
             } finally { bands.unpersist(); ndInput.unpersist() }
-          } finally deconned.unpersist()
+          } finally {
+            // the trace write must be durable before this batch commits
+            // (and before d's blocks release — the write reads them)
+            Await.result(traceF, Duration.Inf)
+            deconned.unpersist()
+          }
         } finally gated.unpersist()
         // adaptive async compaction on ALL indexes — the fold runs on a
         // background thread racing later drops (locked leased-read

@@ -469,11 +469,21 @@ object IncrementalNearDup {
       // codegen without ever materializing. Not persisted: with the probe
       // collect folded into the guard aggregate, the fused edge
       // checkpoint is this frame's ONLY consumer.
-      val cand0 = elig.as("b").join(prevBands.as("i"),
+      // A pair found in several bands appears once per band here; the
+      // pre-verify distinct() pays one full pair-set exchange to avoid
+      // re-verifying duplicates, and the fused edge checkpoint's own
+      // distinct dedupes the OUTPUT either way — so dropping it trades
+      // duplicate sig-join/verify compute for one exchange fewer
+      // (bit-identical results; IncrementalCapSpec + the oracle gate
+      // hold under both). Conf'd for the soak A/B; default keeps the
+      // measured r16 shape.
+      val dedupCand = spark.conf
+        .getOption("spark.graft.nd.dedupCandidates").forall(_.toBoolean)
+      val cand0raw = elig.as("b").join(prevBands.as("i"),
           col("b.band") === col("i.band") && col("b.bh") === col("i.bh") &&
             col("i.doc_id") < col("b.doc_id"))
         .select(col("b.doc_id").as("doc_id"), col("i.doc_id").as("seen_id"))
-        .distinct()
+      val cand0 = if (dedupCand) cand0raw.distinct() else cand0raw
       // the >64-bucket fallback consumes cand twice (probe + verify) —
       // persist it there; the fused path's single consumer needs none
       val cand = if (fusedProbe) cand0 else cand0.persist(Ser)
@@ -553,12 +563,12 @@ object IncrementalNearDup {
         val seenSigs = view.filter(col("p").isin(sigBuckets.toSeq: _*))
           .filter(col("band") === -1L)
           .select(col("doc_id").as("seen_id"), col("sig").as("seen_sig"))
-        val candB = elig.as("x").join(
+        val candBraw = elig.as("x").join(
             bands.select(col("band"), col("bh"), col("doc_id")).as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
               col("y.doc_id") < col("x.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
+        val candB = if (dedupCand) candBraw.distinct() else candBraw
         // ONE tagged frame, ONE checkpoint action (r14 ran two — the
         // traced 0.9 + 0.8 s/drop pair): both edge kinds verify in the
         // same job and land in the same truncated-lineage blocks; the
