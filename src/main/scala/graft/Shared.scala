@@ -124,6 +124,9 @@ object Shared {
     // any session read view rooted under the dying tree goes with it —
     // its leases and leaf blocks would otherwise pin deleted state
     graft.streaming.BucketState.invalidateViewsUnder(path)
+    // …and any frozen-params cache entry (vec index): a recreated store
+    // dir must never serve a dead generation's quantizers
+    graft.operators.IncrementalVecIndex.invalidateParamsUnder(path)
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)

@@ -77,6 +77,38 @@ object IncrementalVecIndex {
     */
   private val MaxCells = 4096
 
+  /** Physical-bucket ceiling: cells past this are RANGE-GROUPED into
+    * `MaxBuckets` partition dirs (`p = cell·MaxBuckets/cells`) instead
+    * of one dir per cell. With √N-scaled nlist, one dir per cell makes
+    * every drop's append write `cells` near-empty parquet files (the
+    * soak measured the consequence: per-drop vec ingest 1.6 s at 16
+    * dirs → 8.7 s at ~450 post-cutover — file open/commit overhead,
+    * not compute), and file count at rest grows as cells × drops. The
+    * cap bounds a drop's append at `MaxBuckets` files while a probe of
+    * nProbe cells still prunes to ≤ nProbe dirs of cells/MaxBuckets
+    * cells each (row-level `cell` filter recovers exactness; rows
+    * always carry the true cell). NOT a conf: the mapping is derived
+    * from the generation's frozen cell count at read time, so a conf
+    * flip between write and read would silently mis-route probes.
+    * Identity for cells ≤ MaxBuckets — first-generation (16-cell)
+    * stores keep their exact r16 layout.
+    */
+  private[operators] val MaxBuckets = 64
+
+  /** Partition dir for a data row's cell under a generation with
+    * `cells` centroids — identity until the cap bites, then range
+    * groups (stable per generation: `cells` is frozen declared state).
+    */
+  private def bucketCol(cells: Int, cell: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    if (cells <= MaxBuckets) cell
+    // floor of the double quotient == integer division here: operands
+    // are non-negative and cell·MaxBuckets ≤ 4096·64 ≪ 2^53 (exact)
+    else floor((cell * MaxBuckets) / cells).cast("long")
+
+  private def bucketOf(cells: Int, cell: Long): Long =
+    if (cells <= MaxBuckets) cell else cell * MaxBuckets / cells
+
   /** nlist for a corpus of `n` accumulated vectors: the explicit conf
     * (`spark.graft.vec.cells`) wins; the default is √N-shaped, clamped
     * to [[[Cells]], [[MaxCells]]]. A FIXED cell count is not an IVF at
@@ -179,6 +211,60 @@ object IncrementalVecIndex {
     Params(cents, Similarity.loadCodebooks(spark, s"$d/params"))
   }
 
+  // ---- frozen-params cache ---------------------------------------------
+  // Params are FROZEN for a generation's lifetime once any batch has
+  // committed — that is the store's core contract — yet every ingest and
+  // every serve re-ran the two params parquet read jobs (measured 0.3–
+  // 0.5 s/drop at the 1M soak, and the same per SERVE in the 2M recall
+  // grid). Cache them keyed by the RESOLVED generation dir; populate
+  // only when the caller can prove the frozen window is open (a
+  // committed manifest), so an aborted-batch-0 retrain can never be
+  // served stale. Invalidation: the retrain path drops its entry, and
+  // Shared.deleteDirTree sweeps entries under deleted roots (the store-
+  // view discipline). Bounded LRU — long bench sessions churn temp dirs.
+  private val ParamsCacheMax = 16
+  private val paramsCache =
+    new java.util.LinkedHashMap[String, Params](ParamsCacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Params]): Boolean =
+        size > ParamsCacheMax
+    }
+
+  /** [[readParams]] through the frozen-params cache. `frozen` must only
+    * be true when the caller holds evidence the params can no longer
+    * change (a manifest with at least one committed batch for this
+    * generation dir).
+    */
+  private def cachedParams(spark: SparkSession, indexDir: String,
+                           frozen: Boolean): Params = {
+    val d = liveDir(spark, indexDir)
+    if (!frozen) readParams(spark, d)
+    else {
+      val hit = paramsCache.synchronized(Option(paramsCache.get(d)))
+      hit.getOrElse {
+        val p = readParams(spark, d)
+        paramsCache.synchronized(paramsCache.put(d, p))
+        p
+      }
+    }
+  }
+
+  private def invalidateParams(dir: String): Unit =
+    paramsCache.synchronized { paramsCache.remove(dir); () }
+
+  /** Drop every cached params entry rooted under `path` — called by
+    * Shared.deleteDirTree beside the store-view invalidation, so a
+    * deleted-and-recreated store dir in one process can never serve a
+    * dead generation's quantizers.
+    */
+  def invalidateParamsUnder(path: String): Unit = paramsCache.synchronized {
+    val it = paramsCache.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k == path || k.startsWith(path + "/")) it.remove()
+    }
+  }
+
   private def cleanOf(vecs: DataFrame): DataFrame =
     vecs.filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -273,6 +359,17 @@ object IncrementalVecIndex {
     */
   def ingest(spark: SparkSession, indexDirIn: String, vecs: DataFrame,
              batchId: Long, retractIds: Option[DataFrame] = None): DataFrame = {
+    // opt-in phase timing (SPARK_GRAFT_VEC_TRACE=1) — the nd/kb trace
+    // discipline: per-drop cost must be attributable, not guessed
+    val trace = sys.env.contains("SPARK_GRAFT_VEC_TRACE")
+    def tr[T](tag: String)(f: => T): T =
+      if (!trace) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[vec-trace] $tag ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        r
+      }
     val indexDir = liveDir(spark, indexDirIn)
     val clean = cleanOf(vecs)
     // persisted for the ingest's duration (the sibling stores' rule): the
@@ -283,11 +380,12 @@ object IncrementalVecIndex {
     val retract = retractIds.map(r =>
       Retraction.normIds(r).withColumnRenamed("doc_id", "vec_id").persist())
     try {
-    val batchFp = Retraction.mixFp(BucketState.inputFingerprint(clean),
-      retract.map(BucketState.inputFingerprint))
+    val batchFp = tr("fingerprint")(
+      Retraction.mixFp(BucketState.inputFingerprint(clean),
+        retract.map(BucketState.inputFingerprint)))
     val (m, lease) = BucketState.readManifestLeased(spark, indexDir)
     try {
-      BucketState.checkOrStampLayout(spark, indexDir, m, "vecindex-v1")
+      BucketState.checkOrStampLayout(spark, indexDir, m, "vecindex-v2")
       BucketState.checkBatch(m, batchId, batchFp) match {
         case BucketState.AlreadyCommitted => ()
         case BucketState.Proceed(proposed) =>
@@ -313,39 +411,60 @@ object IncrementalVecIndex {
               // nlist arrives with the first cutover's retrain
               val (cents, cbs) =
                 train(spark, clean, _ => confCells(spark).getOrElse(Cells))
+              invalidateParams(indexDir)
               writeParams(spark, indexDir, cents, cbs, batchFp)
             }
-            val rows = encodeWithParams(spark, readParams(spark, indexDir), clean)
+            val params = tr("read_params")(
+              cachedParams(spark, indexDir, frozen = m.buckets.nonEmpty))
+            // the encode runs in the MAP stage of the p-exchange below,
+            // so its parallelism is the INPUT's partition count — and
+            // drop frames are routinely file-backed single-partition
+            // (the soak's admitted answer files; coalesce(1) callers).
+            // Measured at the 1M soak post-cutover: 3.9 s single-task
+            // encode_write at 529 cells vs 1.0 s at 16 — the argmin is
+            // cells×dims flops/row and one task paid all of it. A
+            // round-robin rebalance of the few-MB drop input restores
+            // map parallelism; skipped when the input is already
+            // parallel (a 2M-vector one-shot ingest must not pay a
+            // corpus-wide extra shuffle).
+            val nParts = spark.sessionState.conf.numShufflePartitions
+            val encIn =
+              if (clean.rdd.getNumPartitions < math.min(nParts, 8)) clean.repartition(nParts)
+              else clean
+            val rows = encodeWithParams(spark, params, encIn)
             // tombstone rows ride the same segment and the same commit:
             // (cell = -1, vec_id, codes = null, p = TombBucket)
-            val dataRows = rows.withColumn("p", col("cell"))
-            retract.fold(dataRows)(r => dataRows.unionByName(
-                r.select(lit(-1L).as("cell"), col("vec_id"),
-                  lit(null).cast(ArrayType(IntegerType, containsNull = false))
-                    .as("codes"),
-                  lit(Retraction.TombBucket).as("p"))))
-              .repartition(col("p"))
-              .write.mode("overwrite").partitionBy("p")
-              .parquet(s"$indexDir/v=$physicalVersion")
-            val outBuckets =
-              BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion")
-            BucketState.manifestLock(indexDir).synchronized {
+            val dataRows = rows.withColumn("p",
+              bucketCol(params.centroids.length, col("cell")))
+            tr("encode_write")(
+              retract.fold(dataRows)(r => dataRows.unionByName(
+                  r.select(lit(-1L).as("cell"), col("vec_id"),
+                    lit(null).cast(ArrayType(IntegerType, containsNull = false))
+                      .as("codes"),
+                    lit(Retraction.TombBucket).as("p"))))
+                .repartition(col("p"))
+                .write.mode("overwrite").partitionBy("p")
+                .parquet(s"$indexDir/v=$physicalVersion"))
+            val outBuckets = tr("list_buckets")(
+              BucketState.listBuckets(spark, s"$indexDir/v=$physicalVersion"))
+            tr("commit")(BucketState.manifestLock(indexDir).synchronized {
               val mNow = BucketState.readManifest(spark, indexDir)
               val next = outBuckets.foldLeft(mNow.buckets)((acc, b) =>
                 acc.updated(b, acc.getOrElse(b, Set.empty[Long]) + physicalVersion))
               BucketState.commitManifest(spark, indexDir, next,
                 Some((batchId + 1) -> batchFp))
-            }
+            })
           } finally BucketState.releaseVersion(indexDir, physicalVersion)
       }
     } finally BucketState.releaseReads(lease)
     // conditional sweep — see IncrementalDedup.ingest's GC comment
-    BucketState.gcVersionsIfDirty(spark, indexDir)
+    tr("gc")(BucketState.gcVersionsIfDirty(spark, indexDir))
     } finally retract.foreach(_.unpersist())
     // the batch's answer is a pure function of the committed frozen
     // params — recomputing it (first run AND replay) is cheaper than
-    // storing a per-batch copy, and bit-identical by construction
-    encodeWithParams(spark, readParams(spark, indexDir), clean)
+    // storing a per-batch copy, and bit-identical by construction.
+    // frozen: this batch (or an earlier one) has committed by now
+    encodeWithParams(spark, cachedParams(spark, indexDir, frozen = true), clean)
   }
 
   /** Stored tombstone ids `(vec_id)` — one pruned read of the reserved
@@ -395,7 +514,6 @@ object IncrementalVecIndex {
                  excludeId: Option[Long] = None,
                  rerank: Int = Similarity.PqRerank): DataFrame = {
     val indexDir = liveDir(s, indexDirIn)
-    val p = readParams(s, indexDir)
     require(qvec.length == Similarity.PqM * Similarity.PqSub,
       s"query vector must have ${Similarity.PqM * Similarity.PqSub} dims, " +
         s"got ${qvec.length}")
@@ -406,22 +524,32 @@ object IncrementalVecIndex {
       dot / math.sqrt(cf.map(x => x * x).sum.toDouble *
         qFx.map(x => x * x).sum.toDouble)
     }
-    val probed = p.centroids.zipWithIndex
-      .map { case (c, i) => (i.toLong, cosFx(c)) }
-      .sortBy { case (cell, sim) => (-sim, cell) }
-      .take(nProbe).map(_._1).toSet
     // leased serve: probe-cell read + ADC + re-rank all execute under
     // the lease (the final 10-row frame is checkpointed eagerly — no
     // measurable cost at any k), so a concurrent fold's GC can never
-    // sweep a probed cell dir mid-query
+    // sweep a probed cell dir mid-query. Params read INSIDE the lease
+    // so the committed manifest proves the frozen-cache window.
     val (m, lease) = BucketState.readManifestLeased(s, indexDir)
     try {
-      // probed cells are bucket-pruned as before; retracted vec_ids are
-      // masked out of the candidate set (tiny broadcast anti-join),
-      // skipped entirely on a takedown-free store
-      val idx = Retraction.maskIfAny(
-        BucketState.readBuckets(s, indexDir,
-          m.buckets.view.filterKeys(probed).toMap, emptyIdx(s)),
+      val p = cachedParams(s, indexDir, frozen = m.buckets.nonEmpty)
+      val probed = p.centroids.zipWithIndex
+        .map { case (c, i) => (i.toLong, cosFx(c)) }
+        .sortBy { case (cell, sim) => (-sim, cell) }
+        .take(nProbe).map(_._1).toSet
+      // probed cells prune to their physical buckets (identity below
+      // the MaxBuckets cap — the r16 read path verbatim; range groups
+      // past it, with a row-level cell filter recovering exactness);
+      // retracted vec_ids are masked out of the candidate set (tiny
+      // broadcast anti-join), skipped entirely on a takedown-free store
+      val cells = p.centroids.length
+      val probedBuckets =
+        if (cells <= MaxBuckets) probed else probed.map(bucketOf(cells, _))
+      val pruned0 = BucketState.readBuckets(s, indexDir,
+        m.buckets.view.filterKeys(probedBuckets).toMap, emptyIdx(s))
+      val prunedRows =
+        if (cells <= MaxBuckets) pruned0
+        else pruned0.filter(col("cell").isInCollection(probed))
+      val idx = Retraction.maskIfAny(prunedRows,
         if (Retraction.hasTombs(m)) Some(storedTombs(s, indexDir, m))
         else None, "vec_id")
       val base = excludeId.map(id => idx.filter(col("vec_id") =!= id)).getOrElse(idx)
@@ -495,9 +623,16 @@ object IncrementalVecIndex {
     val (cents, cbs) = train(spark, clean, n => cellsFor(spark, n))
     writeParams(spark, nextDir, cents, cbs, BucketState.inputFingerprint(clean))
     BucketState.checkOrStampLayout(spark, nextDir,
-      BucketState.readManifest(spark, nextDir), "vecindex-v1")
-    encodeWithParams(spark, readParams(spark, nextDir), clean)
-      .withColumn("p", col("cell"))
+      BucketState.readManifest(spark, nextDir), "vecindex-v2")
+    // same map-parallelism guard as ingest: the generation rebuild
+    // encodes the WHOLE accumulated corpus, so a narrow input would
+    // serialize cells×dims×corpus flops into a handful of tasks
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val encIn =
+      if (clean.rdd.getNumPartitions < math.min(nParts, 8)) clean.repartition(nParts)
+      else clean
+    encodeWithParams(spark, readParams(spark, nextDir), encIn)
+      .withColumn("p", bucketCol(cents.length, col("cell")))
       .repartition(col("p"))
       .write.mode("overwrite").partitionBy("p")
       .parquet(s"$nextDir/v=$v")
@@ -558,8 +693,13 @@ object IncrementalVecIndex {
     val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val ids = vecs.agg(min("vec_id"), max("vec_id")).collect()(0)
     val mid = (ids.getLong(0) + ids.getLong(1)) / 2
-    ingest(s, indexDir, vecs.filter(col("vec_id") <= mid), batchId = 0).count()
-    ingest(s, indexDir, vecs.filter(col("vec_id") > mid), batchId = 1).count()
+    // ingest's own actions (fingerprint, segment write, commit) run
+    // eagerly inside the call; the returned frame is the batch's lazy
+    // re-encode, and counting it re-ran the whole encode as an extra
+    // job per drop for a value this query never reads (r17 — two jobs
+    // off the declared query's critical path, results untouched)
+    ingest(s, indexDir, vecs.filter(col("vec_id") <= mid), batchId = 0)
+    ingest(s, indexDir, vecs.filter(col("vec_id") > mid), batchId = 1)
     // declare the frozen params + the appended codes for the oracle
     val od = s"${Similarity.OracleParamsDir}/vecinc"
     s.read.parquet(s"$indexDir/params/centroids")
