@@ -65,15 +65,6 @@ object FuzzyJoin {
     // one df frame over both sides: hot if EITHER side exceeds hotDf
     // (the cold-join bound needs both factors bounded); (dft, tok) is
     // the shared global total order for the prefix ranks
-    // MATERIALIZED (eager local checkpoint): this token-df frame is the
-    // common subexpression of every branch below — lt/rt embed it, and
-    // they feed the cold join, both hot-set aggregates, and both prefix
-    // rankings. Left lazy, Catalyst re-plans the full-outer-of-aggregates
-    // subtree once per use (measured shape at sf0.1: a 344-node plan
-    // with 116 Exchanges and 36 SortMergeJoins — r17 plans/ dump);
-    // checkpointed, each use is a cached-scan and the df side of the
-    // lt/rt joins broadcasts. One row per distinct token — bounded by
-    // vocabulary, not corpus.
     val dfs = l.groupBy(col("tok")).agg(count(lit(1)).as("dfl"))
       .join(r.groupBy(col("tok")).agg(count(lit(1)).as("dfr")),
         Seq("tok"), "full_outer")
@@ -82,16 +73,12 @@ object FuzzyJoin {
         coalesce(col("dfr"), lit(0L)).as("dfr"))
       .withColumn("hot", col("dfl") > hotDf || col("dfr") > hotDf)
       .withColumn("dft", col("dfl") + col("dfr"))
-      .localCheckpoint(eager = true)
     val lt = l.join(dfs, "tok")
     val rt = r.join(dfs, "tok")
 
-    // materialized: consumed by viaCold AND the hot-only anti-join —
-    // lazy, the cold equi-join + aggregate ran twice per query
     val coldPairs = lt.filter(!col("hot")).select(col("l_id"), col("tok"))
       .join(rt.filter(!col("hot")).select(col("r_id"), col("tok")), "tok")
       .groupBy(col("l_id"), col("r_id")).agg(count(lit(1)).as("i_cold"))
-      .localCheckpoint(eager = true)
     val hotSetL = lt.filter(col("hot")).groupBy(col("l_id"))
       .agg(sort_array(collect_list(col("tok"))).as("hs_l"))
     val hotSetR = rt.filter(col("hot")).groupBy(col("r_id"))
